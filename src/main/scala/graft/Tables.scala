@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loader for the engine's landed parquet tables (see TESTDATA.md).
+  *
+  * The reference ingests from external systems (GCS CSV blobs, RSS feeds,
+  * an Excel workbook — `CSV PARSER/gcp_csv.py:203-205`,
+  * `RSS PARSER/gcp_rss.py:24-28,83`); this engine models those as
+  * ingest-boundary adapters and consumes already-landed columnar tables,
+  * so every scan is a prunable, filter-pushable parquet read.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet TIMESTAMP(NANOS) columns per table. Spark has no nanosecond
+    * timestamp type; with `spark.sql.legacy.parquet.nanosAsLong` the scan
+    * yields the raw int64 and we truncate to microseconds here (floor
+    * division — same truncation Spark applies elsewhere for ns→µs). */
+  private val nanosCols: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      // Integral `div`, not `/`: ns-epoch longs (~1.7e18) exceed double's
+      // exact integer range, so float division would corrupt the low bits.
+      if (d.schema(c).dataType == LongType)
+        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      else d
+    }
+  }
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cleansing._
+import graft.operators.{CarryForward, Dedup, Merge}
+import graft.pipelines.CsvJob
+
+/** Reference-parity operators (SURVEY §2.1/§2.2) exercised over the landed
+  * testdata tables, each with a DuckDB oracle twin.
+  *
+  * The FXBlue-shaped inputs are synthesized deterministically FROM the
+  * testdata inside the query (stringified columns, synthetic paths,
+  * sentinel injection) so the oracle can reproduce the exact same staging
+  * in ANSI SQL — no external CSV/RSS fixtures needed at verify time.
+  */
+object RefQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Flagship: the full CSV-job pipeline C3→C9 on lineitem. */
+  def csvPipeline(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    // Stage an FXBlue-export-shaped frame: string-typed columns, a source
+    // object path, one malformed numeric per 7 lines, intra-"file" order.
+    val raw = li.select(
+      concat(lit("gs://ingest/testcsvs/acct_"),
+        (col("l_suppkey") % 10).cast("string"), lit(".csv")).as("__path"),
+      col("l_orderkey").cast("string").as("Ticket"),
+      concat(lit("SYM"), (col("l_partkey") % 7).cast("string")).as("Symbol"),
+      col("l_quantity").cast("string").as("Lots"),
+      when(col("l_linenumber") === 7, lit("N/A"))
+        .otherwise(col("l_extendedprice").cast("string")).as("Open price"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("Close time"),
+      col("l_linenumber").as("__ord"))
+    val required = Seq("Ticket", "Symbol", "Lots", "Open price", "Close time")
+    require(CsvJob.passesGate(raw, required), "required-column gate (C6)")
+    // The testdata plants exact-duplicate (orderkey, linenumber) rows, so
+    // the keep-first order must extend to payload columns for determinism.
+    CsvJob.clean(raw, pathCol = "__path",
+      orderCols = Seq(col("__ord"), col("symbol"), col("lots"), col("open_price")),
+      renames = Map("Ticket" -> "ticket", "Symbol" -> "symbol",
+        "Lots" -> "lots", "Open price" -> "open_price",
+        "Close time" -> "timestamp"),
+      numericCols = Seq("lots", "open_price"),
+      gptCols = Seq("gpt_summary", "gpt_sentiment"))
+      .select("account_id", "ticket", "symbol", "lots", "open_price",
+        "timestamp", "gpt_summary", "gpt_sentiment", "row_hash")
+      .orderBy("account_id", "ticket", "timestamp")
+  }
+
+  val csvPipelineSql: String = """
+WITH raw AS (
+  SELECT concat('gs://ingest/testcsvs/acct_', CAST(l_suppkey % 10 AS VARCHAR), '.csv') AS path,
+         CAST(l_orderkey AS VARCHAR) AS ticket_s,
+         concat('SYM', CAST(l_partkey % 7 AS VARCHAR)) AS symbol,
+         CAST(l_quantity AS VARCHAR) AS lots_s,
+         CASE WHEN l_linenumber = 7 THEN 'N/A' ELSE CAST(l_extendedprice AS VARCHAR) END AS open_price_s,
+         strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS close_time_s,
+         l_linenumber AS ord
+  FROM lineitem
+), cleaned AS (
+  SELECT regexp_extract(path, '([^/]+)\.csv$', 1) AS account_id,
+         TRY_CAST(ticket_s AS BIGINT) AS ticket,
+         symbol,
+         TRY_CAST(lots_s AS DOUBLE) AS lots,
+         TRY_CAST(open_price_s AS DOUBLE) AS open_price,
+         strftime(TRY_CAST(close_time_s AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS "timestamp",
+         CAST(NULL AS VARCHAR) AS gpt_summary,
+         CAST(NULL AS VARCHAR) AS gpt_sentiment,
+         ord
+  FROM raw
+), hashed AS (
+  SELECT *,
+         md5(concat_ws('|', account_id, CAST(ticket AS VARCHAR), "timestamp")) AS row_hash,
+         row_number() OVER (PARTITION BY account_id, ticket, "timestamp"
+                            ORDER BY ord, symbol, lots NULLS FIRST, open_price NULLS FIRST) AS rn
+  FROM cleaned
+)
+SELECT account_id, ticket, symbol, lots, open_price, "timestamp", gpt_summary, gpt_sentiment, row_hash
+FROM hashed WHERE rn = 1
+ORDER BY account_id, ticket, "timestamp"
+"""
+
+  /** R2 + R6 + R7 scalar cleansing over orders-derived dirty strings. */
+  def scalarCleansing(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val staged = o.select(
+      k.as("o_orderkey"),
+      when(k % 7 === 0, lit("-"))
+        .when(k % 7 === 1, lit(""))
+        .when(k % 7 === 2, concat((k % 200).cast("string"), lit("%")))
+        .when(k % 7 === 3, lit("junk"))
+        .otherwise((k % 150).cast("string")).as("pct_str"),
+      when(k % 5 === 0, lit(EpochSentinel))
+        .otherwise(date_format(col("o_orderdate"), FeedTsFmt)).as("feed_ts"),
+      (k % 3).cast("string").as("tp_str"))
+    staged.select(
+      col("o_orderkey"),
+      toPct(col("pct_str")).as("pct"),
+      isoFormat(parseFeedTs(nullIfEpoch(col("feed_ts")))).as("close_time"),
+      tryDouble(zeroToNull(col("tp_str"))).as("tp"))
+      .orderBy("o_orderkey")
+  }
+
+  val scalarCleansingSql: String = """
+WITH staged AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN '-'
+         WHEN o_orderkey % 7 = 1 THEN ''
+         WHEN o_orderkey % 7 = 2 THEN concat(CAST(o_orderkey % 200 AS VARCHAR), '%')
+         WHEN o_orderkey % 7 = 3 THEN 'junk'
+         ELSE CAST(o_orderkey % 150 AS VARCHAR) END AS pct_str,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'Thu 1 Jan 1970 00:00:00'
+         ELSE strftime(o_orderdate, '%a %-d %b %Y %H:%M:%S') END AS feed_ts,
+    CAST(o_orderkey % 3 AS VARCHAR) AS tp_str
+  FROM orders)
+SELECT o_orderkey,
+  CASE WHEN trim(pct_str) = '-' OR trim(pct_str) = '' THEN NULL
+       WHEN contains(trim(pct_str), '%') THEN TRY_CAST(replace(trim(pct_str), '%', '') AS DOUBLE) / 100.0
+       ELSE TRY_CAST(trim(pct_str) AS DOUBLE) END AS pct,
+  strftime(strptime(CASE WHEN feed_ts = 'Thu 1 Jan 1970 00:00:00' THEN NULL ELSE feed_ts END,
+                    '%a %-d %b %Y %H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS close_time,
+  TRY_CAST(CASE WHEN trim(tp_str) = '0' THEN NULL ELSE tp_str END AS DOUBLE) AS tp
+FROM staged ORDER BY o_orderkey
+"""
+
+  /** C9 keep-first dedup, deterministic (pandas `keep="first"` parity). */
+  def dedupKeepFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirst(t(s, dir, "orders"), Seq("o_custkey"),
+      Seq(col("o_orderdate"), col("o_orderkey")))
+      .orderBy("o_custkey")
+
+  val dedupKeepFirstSql: String = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) x
+WHERE rn = 1 ORDER BY o_custkey
+"""
+
+  private def mergeFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders")
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+    val source = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey"),
+      lit("U").as("o_orderstatus"),
+      // Exact double op (no round(_, 2): decimal rounding of doubles is
+      // engine-dependent at .xx5 shortest-repr boundaries).
+      (col("o_totalprice") * 2).as("o_totalprice"),
+      col("o_custkey"), col("o_orderdate"),
+      lit(null).cast("string").as("o_orderpriority"))
+    (target, source)
+  }
+
+  private val mergeStagingSql = """
+WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+source AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
+                  o_custkey, o_orderdate, CAST(NULL AS VARCHAR) AS o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 0)
+"""
+
+  /** C10/R9 MERGE: enrichment column (`o_orderpriority` stands in for the
+    * GPT columns) is insert-only — preserved on conflict. */
+  def mergePreserve(s: SparkSession, dir: String): DataFrame = {
+    val (target, source) = mergeFrames(s, dir)
+    Merge.upsert(target, source, keys = Seq("o_orderkey"),
+      updateCols = Seq("o_orderstatus", "o_totalprice"),
+      insertOnlyCols = Seq("o_custkey", "o_orderdate", "o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  val mergePreserveSql: String = mergeStagingSql + """
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_custkey ELSE s.o_custkey END AS o_custkey,
+  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderdate ELSE s.o_orderdate END AS o_orderdate,
+  CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority ELSE s.o_orderpriority END AS o_orderpriority
+FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+ORDER BY o_orderkey
+"""
+
+  /** R10 MERGE: every non-key column updated on conflict — the source's
+    * NULL enrichment values overwrite the target's. */
+  def mergeOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val (target, source) = mergeFrames(s, dir)
+    Merge.upsert(target, source, keys = Seq("o_orderkey"),
+      updateCols = Seq("o_orderstatus", "o_totalprice", "o_custkey",
+        "o_orderdate", "o_orderpriority"),
+      insertOnlyCols = Nil)
+      .orderBy("o_orderkey")
+  }
+
+  val mergeOverwriteSql: String = mergeStagingSql + """
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+ORDER BY o_orderkey
+"""
+
+  /** R4 carry-forward: last purchase value latched onto later events. */
+  def carryForward(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("purchase_value",
+        when(col("event_type") === "purchase", col("value")))
+    CarryForward.lastNonNull(e, Seq("user_id"),
+      Seq(col("ts"), col("event_id")), Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("purchase_value_ff").as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
+  val carryForwardSql: String = """
+SELECT event_id, user_id, event_type, value,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+FROM events ORDER BY event_id
+"""
+
+  /** Flagship 2: the RSS-job dataflow R4→R5→R8 — events as feed entries
+    * ('signup' = account summary, 'purchase' = position), customer as the
+    * broadcast account dim. */
+  def rssPipeline(s: SparkSession, dir: String): DataFrame = {
+    val entries = t(s, dir, "events")
+      .withColumn("balance", when(col("event_type") === "signup", col("value")))
+      .withColumn("position_ticket",
+        when(col("event_type") === "purchase", col("event_id")))
+    val accounts = t(s, dir, "customer").select(
+      col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").as("acct_score"))
+    graft.pipelines.RssJob.process(entries, accounts, "user_id",
+      orderBy = Seq(col("ts"), col("event_id")),
+      summaryCols = Seq("balance"), positionFlag = "position_ticket")
+      .select(col("user_id").as("account_id"),
+        col("position_ticket"),
+        isoFormat(col("ts")).as("trade_time"),
+        col("value").as("position_profit"),
+        col("balance_ff").as("account_balance"),
+        col("segment"), col("acct_score"))
+      .orderBy("position_ticket")
+  }
+
+  val rssPipelineSql: String = """
+WITH ff AS (
+  SELECT event_id, user_id, ts, event_type, value,
+    last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance
+  FROM events)
+SELECT f.user_id AS account_id, f.event_id AS position_ticket,
+  strftime(f.ts, '%Y-%m-%dT%H:%M:%S') AS trade_time,
+  f.value AS position_profit, f.balance AS account_balance,
+  c.c_mktsegment AS segment, c.c_acctbal AS acct_score
+FROM ff f LEFT JOIN customer c ON f.user_id = c.c_custkey
+WHERE f.event_type = 'purchase'
+ORDER BY position_ticket
+"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_pipeline" -> (csvPipeline _),
+    "q_scalar_cleansing" -> (scalarCleansing _),
+    "q_dedup_keepfirst" -> (dedupKeepFirst _),
+    "q_merge_preserve" -> (mergePreserve _),
+    "q_merge_overwrite" -> (mergeOverwrite _),
+    "q_carryforward" -> (carryForward _),
+    "q_rss_pipeline" -> (rssPipeline _))
+
+  val oracles: Map[String, String] = Map(
+    "q_csv_pipeline" -> csvPipelineSql,
+    "q_scalar_cleansing" -> scalarCleansingSql,
+    "q_dedup_keepfirst" -> dedupKeepFirstSql,
+    "q_merge_preserve" -> mergePreserveSql,
+    "q_merge_overwrite" -> mergeOverwriteSql,
+    "q_carryforward" -> carryForwardSql,
+    "q_rss_pipeline" -> rssPipelineSql)
+}
