@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns._
+
+/** Similarity search over embedding columns.
+  *
+  * Two strategies with identical output shape:
+  *  - `bruteForceTopK`: broadcast the (small) query set against every
+  *    candidate — exact, scan-bounded, the right baseline when queries ≪
+  *    corpus (the common batch-scoring case; the corpus is never
+  *    shuffled, just scanned once per batch of queries).
+  *  - `lshBucketTopK`: sign-bit bucketing turns the cross join into an
+  *    equi join on bucket id — approximate, and the 100 TB path: both
+  *    sides hash-partition on the bucket, candidate sets shrink by
+  *    ~2^nBits, recall tunable by probing neighbor buckets.
+  *
+  * Similarities are truncated to 1e-6 (`floor`, not `round` — floor on
+  * doubles is bitwise engine-portable) and ranked on the truncated value
+  * with an id tiebreak, so top-k membership is deterministic.
+  */
+object Knn {
+
+  /** floor-truncate to 6 decimals; IEEE-exact and portable. */
+  def truncSim(c: Column): Column = (floor(c * 1e6).cast("double") / 1e6)
+
+  private def rank(sims: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** @param queries  (qid, qe: array<double>) — small, broadcast
+    * @param corpus   (vec_id, e: array<double>) */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val sims = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), truncSim(cosine(col("qe"), col("e"))).as("sim"))
+    rank(sims, k)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's sign bucket. */
+  def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    nBits: Int = 8): DataFrame = {
+    val qb = queries.withColumn("bucket", signBucket(col("qe"), nBits))
+    val cb = corpus.withColumn("bucket", signBucket(col("e"), nBits))
+    val sims = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("bucket"),
+        truncSim(cosine(col("qe"), col("e"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+import graft.functions.VectorFns._
+import graft.operators.{Dedup, Knn, MinHashDedup, Multimodal, SimHash}
+
+/** LLM-training-data pipeline operators (SURVEY §2.4 mandated
+  * extensions): dedup families, similarity search, text analysis,
+  * multimodal plumbing — over `documents` and `embeddings`.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Exact dedup after canonical normalization (fingerprint keep-first). */
+  def docExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirst(
+      t(s, dir, "documents").withColumn("fingerprint", fingerprint(col("text"))),
+      Seq("fingerprint"), Seq(col("doc_id")))
+      .select("doc_id", "lang", "source", "n_chars", "fingerprint")
+      .orderBy("doc_id")
+
+  val docExactDedupSql: String = """
+SELECT doc_id, lang, source, n_chars, fingerprint
+FROM (SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+             row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                                ORDER BY doc_id) AS rn
+      FROM documents) x
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+  /** Duplicate clusters by fingerprint (who got deduped, and to what). */
+  def docFingerprintClusters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fingerprint", fingerprint(col("text")))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("fingerprint")
+
+  val docFingerprintClustersSql: String = """
+SELECT fingerprint, COUNT(*) AS n_docs, min(doc_id) AS canonical_doc
+FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      FROM documents) x
+GROUP BY fingerprint HAVING COUNT(*) > 1
+ORDER BY fingerprint
+"""
+
+  /** MinHash-LSH near-dup pairs, exact-Jaccard verified at ≥ 0.7. */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame =
+    MinHashDedup.nearDuplicates(t(s, dir, "documents"), "doc_id",
+        normalizeText(col("text")), threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
+  val minhashNearDupSql: String = """
+WITH norm AS (
+  SELECT doc_id, substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 200) AS s
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct([substr(s, i, 5) for i in range(1, greatest(length(s)-4, 1)+1)]) AS shingles
+  FROM norm),
+sig AS (
+  SELECT doc_id, shingles,
+         [list_aggregate(list_transform(shingles, x -> md5(concat('0|', x))), 'min'),
+          list_aggregate(list_transform(shingles, x -> md5(concat('1|', x))), 'min'),
+          list_aggregate(list_transform(shingles, x -> md5(concat('2|', x))), 'min'),
+          list_aggregate(list_transform(shingles, x -> md5(concat('3|', x))), 'min'),
+          list_aggregate(list_transform(shingles, x -> md5(concat('4|', x))), 'min'),
+          list_aggregate(list_transform(shingles, x -> md5(concat('5|', x))), 'min'),
+          list_aggregate(list_transform(shingles, x -> md5(concat('6|', x))), 'min'),
+          list_aggregate(list_transform(shingles, x -> md5(concat('7|', x))), 'min')] AS mh
+  FROM sh),
+banded AS (
+  SELECT doc_id, b, md5(concat(mh[2*b+1], mh[2*b+2])) AS bucket
+  FROM sig CROSS JOIN unnest([0,1,2,3]) t(b)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+j AS (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(a.shingles, v -> list_contains(b.shingles, v))) AS DOUBLE) /
+         (len(a.shingles) + len(b.shingles) - len(list_filter(a.shingles, v -> list_contains(b.shingles, v)))) AS jaccard
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b
+"""
+
+  /** SimHash clusters — xxhash64-based, no DuckDB twin → rows-only. */
+  def simhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val withSim = SimHash.withSimhash(docs, "doc_id", tokens(normalizeText(col("text"))))
+    SimHash.clusters(withSim, "doc_id").orderBy("doc_id")
+  }
+
+  /** Exact brute-force cosine top-10 for a small query batch. */
+  def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    Knn.bruteForceTopK(q, e, k = 10)
+      .select("qid", "vec_id", "sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val knnBruteForceSql: String = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 8),
+sims AS (
+  SELECT qid, vec_id,
+         CAST(floor(list_cosine_similarity(qe, e.e) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+  FROM e CROSS JOIN q WHERE vec_id <> qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sims)
+SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10 ORDER BY qid, rank
+"""
+
+  /** Approximate top-5 via sign-bit LSH bucket equi-join (the scale path:
+    * no cross join — candidates live in the query's bucket). */
+  def annLshBucket(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    Knn.lshBucketTopK(q, e, k = 5, nBits = 8)
+      .select("qid", "vec_id", "bucket", "sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val annLshBucketSql: String = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e,
+        (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END) +
+        (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) +
+        (CASE WHEN e[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN e[6] > 0 THEN 32 ELSE 0 END) +
+        (CASE WHEN e[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN e[8] > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM e),
+q AS (SELECT vec_id AS qid, e AS qe, bucket FROM b WHERE vec_id < 8),
+sims AS (
+  SELECT q.qid, b.vec_id, b.bucket,
+         CAST(floor(list_cosine_similarity(q.qe, b.e) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sims)
+SELECT qid, vec_id, bucket, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+  /** Language-ID heuristic vs ground truth: confusion matrix. */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("pred_lang", langId(col("text")))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  val langIdConfusionSql: String = """
+WITH scored AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|mit|ein|zu|den)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|was)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|de|que|y|en|un|una|por)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|est|une|que|dans|pour)\b')) AS s_fr
+  FROM documents),
+pred AS (
+  SELECT lang,
+    CASE WHEN cjk > 0 THEN 'zh'
+         WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END AS pred_lang
+  FROM scored)
+SELECT lang, pred_lang, COUNT(*) AS n
+FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+  /** Per-doc quality signals + composite score + keep decision. */
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        qualityScore(col("text")).as("score"),
+        (qualityScore(col("text")) >= 0.5).as("keep"))
+      .orderBy("doc_id")
+
+  val qualityScoresSql: String = """
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+    CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|was)\b')) AS DOUBLE) AS sw_hits,
+    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+  FROM documents),
+scored AS (
+  SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio,
+    sw_hits / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+    len_score * 0.3
+      + least(sw_hits / CAST(greatest(n_tokens, 1) AS DOUBLE) * 4.0, 1.0) * 0.5
+      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2 AS score
+  FROM base)
+SELECT doc_id, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio, score,
+       score >= 0.5 AS keep
+FROM scored ORDER BY doc_id
+"""
+
+  /** Corpus token statistics per language. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), tokenCount(col("text")).as("toks"),
+        bpeTokenCount(col("text")).as("bpe"), length(col("text")).as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("bpe")).as("total_bpe_tokens"),
+        sum(col("chars")).as("total_chars"),
+        (sum(col("toks")).cast("double") / count(lit(1)).cast("double")).as("avg_tokens"))
+      .orderBy("lang")
+
+  val tokenStatsSql: String = """
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+  CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+  CAST(SUM(chars) AS BIGINT) AS total_chars,
+  CAST(SUM(toks) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+FROM (
+  SELECT lang,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+    length(text) AS chars
+  FROM documents)
+GROUP BY lang ORDER BY lang
+"""
+
+  /** Multimodal plumbing: binary payloads decoded partition-parallel via
+    * the mapPartitions stub, then aggregated. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(s, t(s, dir, "documents"), "doc_id", "source", "text")
+    Multimodal.decode(media).toDF()
+      .groupBy(col("group").as("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("frames")).as("sum_frames"))
+      .orderBy("source")
+  }
+
+  val multimodalMetaSql: String = """
+SELECT source, COUNT(*) AS n_media,
+  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+  CAST(SUM(n_bytes % 640) AS BIGINT) AS sum_width,
+  CAST(SUM((n_bytes * 7) % 480) AS BIGINT) AS sum_height,
+  CAST(SUM(n_bytes % 16) AS BIGINT) AS sum_frames
+FROM (SELECT source, octet_length(encode(text)) AS n_bytes FROM documents)
+GROUP BY source ORDER BY source
+"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_exact_dedup" -> (docExactDedup _),
+    "q_doc_fingerprint_clusters" -> (docFingerprintClusters _),
+    "q_minhash_neardup" -> (minhashNearDup _),
+    "q_simhash_clusters" -> (simhashClusters _),
+    "q_knn_bruteforce" -> (knnBruteForce _),
+    "q_ann_lsh_bucket" -> (annLshBucket _),
+    "q_langid_confusion" -> (langIdConfusion _),
+    "q_quality_scores" -> (qualityScores _),
+    "q_token_stats" -> (tokenStats _),
+    "q_multimodal_meta" -> (multimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q_doc_exact_dedup" -> docExactDedupSql,
+    "q_doc_fingerprint_clusters" -> docFingerprintClustersSql,
+    "q_minhash_neardup" -> minhashNearDupSql,
+    "q_knn_bruteforce" -> knnBruteForceSql,
+    "q_ann_lsh_bucket" -> annLshBucketSql,
+    "q_langid_confusion" -> langIdConfusionSql,
+    "q_quality_scores" -> qualityScoresSql,
+    "q_token_stats" -> tokenStatsSql,
+    "q_multimodal_meta" -> multimodalMetaSql)
+}
