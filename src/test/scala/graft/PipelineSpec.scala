@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipelines.CsvJob
+
+/** Pipeline-level behavior + smoke over the sf0.001 fixtures. */
+class PipelineSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("C6 gate: file missing a required column is rejected") {
+    val df = Seq(("1", "EURUSD")).toDF("Ticket", "Symbol")
+    assert(CsvJob.passesGate(df, Seq("Ticket", "Symbol")))
+    assert(!CsvJob.passesGate(df, Seq("Ticket", "Symbol", "Close time")))
+  }
+
+  test("CsvJob.clean: renames, coerces, placeholders, dedups") {
+    val raw = Seq(
+      ("gs://b/p/acct_1.csv", "11", "EURUSD", "1.5", "2024-01-02 03:04:05", 1),
+      ("gs://b/p/acct_1.csv", "11", "EURUSD", "9.9", "2024-01-02 03:04:05", 2), // dup key, later order
+      ("gs://b/p/acct_1.csv", "12", "GBPUSD", "bad", "2024-01-02 03:04:05", 3))
+      .toDF("__path", "Ticket", "Symbol", "Lots", "Close time", "__ord")
+    val out = CsvJob.clean(raw, "__path", Seq(col("__ord")),
+      renames = Map("Ticket" -> "ticket", "Symbol" -> "symbol",
+        "Lots" -> "lots", "Close time" -> "timestamp"),
+      numericCols = Seq("lots"), gptCols = Seq("gpt_summary"))
+    val rows = out.orderBy("ticket")
+      .select("account_id", "ticket", "lots", "timestamp", "gpt_summary")
+      .as[(String, Long, Option[Double], String, Option[String])].collect()
+    assert(rows.length == 2)
+    assert(rows(0) == (("acct_1", 11L, Some(1.5), "2024-01-02T03:04:05", None))) // kept FIRST
+    assert(rows(1)._3.isEmpty) // "bad" coerced to null
+    assert(out.columns.contains("row_hash"))
+  }
+
+  test("entry smoke: flagship query yields rows on sf0.001 (t1 parity)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all registered queries run and return rows on sf0.001") {
+    // Dup-cluster mining legitimately finds nothing in the 50-doc sample.
+    val mayBeEmpty = Set("q_doc_fingerprint_clusters")
+    val counts = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).count()
+    }
+    val empty = counts.filter { case (n, c) => c == 0 && !mayBeEmpty(n) }
+    assert(empty.isEmpty, s"empty results: ${empty.keys.mkString(", ")}")
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q_simhash_clusters", "q_approx_distinct"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns._
+import graft.functions.VectorFns._
+import graft.operators.{MinHashDedup, Multimodal, SimHash}
+
+class TextVectorSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("tokens: blank → empty array, not ['']") {
+    val r = Seq("", "  ", "a b  c").toDF("x")
+      .select(tokenCount($"x")).as[Int].collect()
+    assert(r.toSeq == Seq(0, 0, 3))
+  }
+
+  test("langId: picks dominant stopword language; CJK wins; und on no evidence") {
+    val r = Seq(
+      "the cat and the dog is in that house for it was",
+      "der hund und die katze ist nicht mit ein zu den",
+      "le chat et la maison les des est une que dans pour",
+      "日本語ではない中文のテキスト",
+      "zzz qqq xxx").toDF("x").select(langId($"x")).as[String].collect()
+    assert(r.toSeq == Seq("en", "de", "fr", "zh", "und"))
+  }
+
+  test("fingerprint: normalization collapses case/punct/whitespace") {
+    val r = Seq("Hello,  World!", "hello world", "HELLO-WORLD").toDF("x")
+      .select(fingerprint($"x")).as[String].collect()
+    assert(r.distinct.length == 1)
+  }
+
+  test("cosine: identical → 1, orthogonal → 0, zero-norm guarded") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    val r = df.select(cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(r(0) - 1.0) < 1e-12 && r(1) == 0.0 && r(2) == 0.0)
+  }
+
+  test("signBucket: bit i set iff v[i] > 0") {
+    val r = Seq(Array(1.0, -1.0, 2.0, 0.0)).toDF("v")
+      .select(signBucket($"v", 4)).as[Int].head()
+    assert(r == (1 | 4))
+  }
+
+  test("minhash near-dup finds identical and near-identical docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark query engines at scale"),
+      (4L, "the quick brown fox jumps over the lazy dog again and AGAIN!"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashDedup.nearDuplicates(docs, "doc_id",
+        normalizeText($"text"), threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // normalization eats case+punct
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical token sets share fingerprints") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val sim = SimHash.withSimhash(docs, "doc_id", split($"text", " "))
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(sim(0) == sim(1) && sim(0) != sim(2))
+  }
+
+  test("multimodal decode stub: deterministic meta from payload bytes") {
+    val df = Seq((7L, "g", "abcd")).toDF("doc_id", "source", "text")
+    val meta = Multimodal.decode(
+      Multimodal.asMedia(spark, df, "doc_id", "source", "text")).collect()
+    assert(meta.head == Multimodal.MediaMeta(7L, "g", 4L, 4L, 28L, 4L))
+  }
+}
