@@ -24,15 +24,30 @@ object Tables {
   private val nanosCols: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"))
 
+  /** Tiny dimension tables: keep single-partition so Catalyst broadcasts
+    * them; never worth a repartition. */
+  private val dims = Set("region", "nation", "supplier", "part", "customer")
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+    val fixed = nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       // Integral `div`, not `/`: ns-epoch longs (~1.7e18) exceed double's
       // exact integer range, so float division would corrupt the low bits.
       if (d.schema(c).dataType == LongType)
         d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
       else d
     }
+    // Small-scan compaction guard: a fact table landed as one parquet
+    // row-group scans as ONE partition, serializing all per-row compute
+    // (hashing, regex, vector math) no matter how many cores exist. If the
+    // scan yields fewer partitions than the session's parallelism, fan it
+    // out once. At real scale (many files / many row groups) the scan
+    // already exceeds core count and this is a no-op — it only triggers
+    // for small landed files, where the round-robin shuffle is cents.
+    val target = spark.sparkContext.defaultParallelism
+    if (!dims(name) && fixed.rdd.getNumPartitions < math.max(target / 2, 1))
+      fixed.repartition(target)
+    else fixed
   }
 }

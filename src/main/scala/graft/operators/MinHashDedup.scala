@@ -9,47 +9,64 @@ import org.apache.spark.sql.functions._
   *
   * The classic pipeline (Broder '97; MMDS ch.3) in pure relational form:
   *  1. k-char shingles of normalized text (distinct set per doc)
-  *  2. n minhashes: min over shingles of a seeded hash; here the hash is
-  *     `md5(seed ‖ shingle)` compared lexicographically, which is
-  *     engine-portable (string min) and collision-adequate for banding
-  *  3. bands of r signatures hashed together → candidate buckets
-  *  4. candidates = self-equi-join on (band, bucket) — this is the scale
-  *     step: no all-pairs comparison, one shuffle on the band hash
-  *  5. verification = exact Jaccard over the distinct shingle sets
+  *  2. minhash signature computed the Spark-shaped way: explode shingles
+  *     and take codegen'd partial-min aggregates — NOT per-row array
+  *     lambdas (higher-order functions are interpreted; a fold of md5s
+  *     inside `transform` serializes on one core and was ~40× slower).
+  *     Seeded md5s per shingle yield four 32-bit signature chunks each.
+  *  3. bands of r chunks hashed together → candidate buckets
+  *  4. candidates = self-equi-join on (band, bucket) — the scale step:
+  *     no all-pairs comparison, one shuffle on uniformly-distributed
+  *     hashes
+  *  5. verification = exact Jaccard over distinct shingle sets, computed
+  *     only for docs that appear in a candidate pair (semi-join prune)
   *
-  * At 100 TB: step 4's join keys are uniformly-distributed hashes, so the
-  * shuffle partitions evenly; mega-buckets (boilerplate docs) are the one
-  * skew risk — cap bucket width or salt. For production throughput swap
-  * md5-string min for `xxhash64` longs (same plan shape, cheaper hash);
-  * the md5 form is kept because it is reproducible in the DuckDB oracle.
+  * At 100 TB: the explode→partial-min shape makes step 2 embarrassingly
+  * parallel with map-side combine (the shuffle carries one signature row
+  * per doc, not shingles). Mega-buckets from boilerplate text are the one
+  * skew risk — cap bucket width or salt. The md5 basis is kept because it
+  * is reproducible in the DuckDB oracle; swap in xxhash64 for cheaper
+  * hashing with the same plan shape.
   */
 object MinHashDedup {
 
   /** Distinct k-char shingles of the first `maxChars` of `c`. */
-  def shingles(c: Column, k: Int = 5, maxChars: Int = 200): Column = {
+  def shingles(c: Column, k: Int = 9, maxChars: Int = 200): Column = {
     val s = substring(c, 1, maxChars)
     array_distinct(transform(
       sequence(lit(1), greatest(length(s) - (k - 1), lit(1))),
       i => s.substr(i, lit(k))))
   }
 
-  /** Minhash j = lexicographic min of md5(j ‖ shingle). */
-  def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$seed|"), x))))
+  /** One row per doc: (id, mh0..mhN) — minhash signature as min over
+    * 32-bit (8-hex-char) chunks of seeded md5s (`md5("<seed>|"+shingle)`,
+    * 4 chunks per md5). */
+  def signatures(docs: DataFrame, idCol: String, textNorm: Column,
+                 k: Int = 9, maxChars: Int = 200, nHashes: Int = 16): DataFrame = {
+    require(nHashes % 4 == 0, "4 chunks per seeded md5")
+    val nSeeds = nHashes / 4
+    val sh = docs
+      .select(col(idCol), explode(shingles(textNorm, k, maxChars)).as("__sh"))
+      .select(col(idCol) +: (0 until nSeeds).map(sd =>
+        md5(concat(lit(s"$sd|"), col("__sh"))).as(s"__h$sd")): _*)
+    val aggs = (0 until nHashes).map { j =>
+      min(substring(col(s"__h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"mh$j")
+    }
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** Candidate pairs via banding. Input must carry `idCol` (orderable,
-    * unique) and `shCol` (distinct shingle array). */
-  def candidatePairs(docs: DataFrame, idCol: String, shCol: String,
-                     nHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val rows = bands
+  /** Candidate pairs via banding over a signature frame (id, mh0..mhN).
+    * With r = nHashes/bands rows per band the s-curve midpoint sits at
+    * ≈ (1/bands)^(1/r); the defaults (16, 4 → r=4) put it at ~0.71, so
+    * sub-threshold background similarity is filtered in the banding step
+    * instead of flooding the verifier with false candidates. */
+  def candidatePairs(sig: DataFrame, idCol: String,
+                     nHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val r = nHashes / bands
-    val sig = docs.select(
-      col(idCol) +: col(shCol) +:
-        (0 until nHashes).map(j => minhash(col(shCol), j).as(s"mh$j")): _*)
     val banded = sig.select(
       col(idCol),
-      explode(array((0 until rows).map { b =>
+      explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bucket"))
       }: _*)).as("bb"))
@@ -68,15 +85,25 @@ object MinHashDedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Full near-dup pipeline: pairs with Jaccard ≥ `threshold`. */
+  /** Full near-dup pipeline: pairs with Jaccard ≥ `threshold`.
+    *
+    * `sig` feeds a self-join and `pairs` feeds three consumers; both are
+    * persisted so the shingle/md5 work runs once, not 3-6× (Catalyst does
+    * not materialize common subplans across self-joins). */
   def nearDuplicates(docs: DataFrame, idCol: String, textNorm: Column,
-                     threshold: Double, k: Int = 5, maxChars: Int = 200,
-                     nHashes: Int = 8, bands: Int = 4): DataFrame = {
-    val withSh = docs.select(col(idCol), shingles(textNorm, k, maxChars).as("__sh"))
-    val pairs = candidatePairs(withSh, idCol, "__sh", nHashes, bands)
+                     threshold: Double, k: Int = 9, maxChars: Int = 200,
+                     nHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = signatures(docs, idCol, textNorm, k, maxChars, nHashes).persist()
+    val pairs = candidatePairs(sig, idCol, nHashes, bands).persist()
+    // Shingle arrays are only materialized for candidate docs (semi-join
+    // prune): the expensive array build never touches non-candidates.
+    val ids = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val shArr = docs.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(textNorm, k, maxChars).as("__sh"))
     pairs
-      .join(withSh.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-      .join(withSh.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .join(shArr.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+      .join(shArr.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -61,21 +61,29 @@ WITH norm AS (
   SELECT doc_id, substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 200) AS s
   FROM documents),
 sh AS (
-  SELECT doc_id, list_distinct([substr(s, i, 5) for i in range(1, greatest(length(s)-4, 1)+1)]) AS shingles
+  SELECT doc_id, list_distinct([substr(s, i, 9) for i in range(1, greatest(length(s)-8, 1)+1)]) AS shingles
   FROM norm),
 sig AS (
   SELECT doc_id, shingles,
-         [list_aggregate(list_transform(shingles, x -> md5(concat('0|', x))), 'min'),
-          list_aggregate(list_transform(shingles, x -> md5(concat('1|', x))), 'min'),
-          list_aggregate(list_transform(shingles, x -> md5(concat('2|', x))), 'min'),
-          list_aggregate(list_transform(shingles, x -> md5(concat('3|', x))), 'min'),
-          list_aggregate(list_transform(shingles, x -> md5(concat('4|', x))), 'min'),
-          list_aggregate(list_transform(shingles, x -> md5(concat('5|', x))), 'min'),
-          list_aggregate(list_transform(shingles, x -> md5(concat('6|', x))), 'min'),
-          list_aggregate(list_transform(shingles, x -> md5(concat('7|', x))), 'min')] AS mh
+         [list_aggregate(list_transform(shingles, x -> substr(md5(concat('0|', x)), 1, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('0|', x)), 9, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('0|', x)), 17, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('0|', x)), 25, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('1|', x)), 1, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('1|', x)), 9, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('1|', x)), 17, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('1|', x)), 25, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('2|', x)), 1, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('2|', x)), 9, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('2|', x)), 17, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('2|', x)), 25, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('3|', x)), 1, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('3|', x)), 9, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('3|', x)), 17, 8)), 'min'),
+          list_aggregate(list_transform(shingles, x -> substr(md5(concat('3|', x)), 25, 8)), 'min')] AS mh
   FROM sh),
 banded AS (
-  SELECT doc_id, b, md5(concat(mh[2*b+1], mh[2*b+2])) AS bucket
+  SELECT doc_id, b, md5(concat(mh[4*b+1], mh[4*b+2], mh[4*b+3], mh[4*b+4])) AS bucket
   FROM sig CROSS JOIN unnest([0,1,2,3]) t(b)),
 cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
