@@ -84,6 +84,79 @@ FROM hashed WHERE rn = 1
 ORDER BY account_id, ticket, "timestamp"
 """
 
+  /** C2 end-to-end: materialize real preamble'd CSV files, read them back
+    * through the offset-based SkipRowsCsv source, and run the C3→C9 clean.
+    * The driver-side fixture write is harness plumbing (deterministic:
+    * fully sorted before writing); the read+clean path is the engine. */
+  def csvSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val staged = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000).select(
+      (col("l_suppkey") % 3).cast("string").as("fno"),
+      col("l_orderkey").cast("string").as("ticket_s"),
+      concat(lit("SYM"), (col("l_partkey") % 7).cast("string")).as("symbol"),
+      col("l_quantity").cast("string").as("lots_s"),
+      when(col("l_linenumber") === 7, lit("N/A"))
+        .otherwise(col("l_extendedprice").cast("string")).as("price_s"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ct_s"))
+    val rows = staged.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5)))
+      .sortBy(r => (r._1, r._2, r._3, r._4, r._5, r._6))
+    val fixDir = java.nio.file.Paths.get("target",
+      "csv_fixture_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(fixDir)
+    rows.groupBy(_._1).foreach { case (fno, rs) =>
+      val sb = new StringBuilder("FXBlue personal export v1\n")
+      sb.append("Ticket,Symbol,Lots,Open price,Close time\n")
+      rs.foreach(r => sb.append(s"${r._2},${r._3},${r._4},${r._5},${r._6}\n"))
+      java.nio.file.Files.writeString(fixDir.resolve(s"acct_$fno.csv"), sb.toString)
+    }
+    val schema = StructType(Seq("Ticket", "Symbol", "Lots", "Open price", "Close time")
+      .map(StructField(_, StringType)))
+    val raw = graft.sources.SkipRowsCsv.read(s,
+      fixDir.toAbsolutePath.toString + "/*.csv", schema)
+    CsvJob.clean(raw, pathCol = "_src_file", orderCols = Seq(col("_src_offset")),
+      renames = Map("Ticket" -> "ticket", "Symbol" -> "symbol", "Lots" -> "lots",
+        "Open price" -> "open_price", "Close time" -> "timestamp"),
+      numericCols = Seq("lots", "open_price"),
+      gptCols = Seq("gpt_summary", "gpt_sentiment"))
+      .select("account_id", "ticket", "symbol", "lots", "open_price",
+        "timestamp", "gpt_summary", "gpt_sentiment", "row_hash")
+      .orderBy("account_id", "ticket", "timestamp")
+  }
+
+  /** In-file byte-offset order restricted to a dedup group reduces to the
+    * (symbol, lots, price) string order the fixture was sorted by. */
+  val csvSourceSql: String = """
+WITH raw AS (
+  SELECT CAST(l_suppkey % 3 AS VARCHAR) AS fno,
+         CAST(l_orderkey AS VARCHAR) AS ticket_s,
+         concat('SYM', CAST(l_partkey % 7 AS VARCHAR)) AS symbol,
+         CAST(l_quantity AS VARCHAR) AS lots_s,
+         CASE WHEN l_linenumber = 7 THEN 'N/A' ELSE CAST(l_extendedprice AS VARCHAR) END AS price_s,
+         strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ct_s
+  FROM lineitem WHERE l_orderkey < 2000),
+cleaned AS (
+  SELECT concat('acct_', fno) AS account_id,
+         TRY_CAST(ticket_s AS BIGINT) AS ticket,
+         symbol,
+         TRY_CAST(lots_s AS DOUBLE) AS lots,
+         TRY_CAST(price_s AS DOUBLE) AS open_price,
+         strftime(TRY_CAST(ct_s AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS "timestamp",
+         CAST(NULL AS VARCHAR) AS gpt_summary,
+         CAST(NULL AS VARCHAR) AS gpt_sentiment,
+         lots_s, price_s
+  FROM raw),
+hashed AS (
+  SELECT *, md5(concat_ws('|', account_id, CAST(ticket AS VARCHAR), "timestamp")) AS row_hash,
+         row_number() OVER (PARTITION BY account_id, ticket, "timestamp"
+                            ORDER BY symbol, lots_s, price_s) AS rn
+  FROM cleaned)
+SELECT account_id, ticket, symbol, lots, open_price, "timestamp", gpt_summary, gpt_sentiment, row_hash
+FROM hashed WHERE rn = 1
+ORDER BY account_id, ticket, "timestamp"
+"""
+
   /** R2 + R6 + R7 scalar cleansing over orders-derived dirty strings. */
   def scalarCleansing(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -265,8 +338,43 @@ WHERE f.event_type = 'purchase'
 ORDER BY position_ticket
 """
 
+  /** R3 end-to-end: synthesize one XML feed document per account (items
+    * in time order, lexicographically sortable ord key), parse through
+    * `from_xml`, flatten with document order preserved as `entry_idx`. */
+  def rssSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val e = t(s, dir, "events")
+    val item = concat(
+      lit("<item><ord>"), format_string("%020d", unix_micros(col("ts"))),
+      format_string("%020d", col("event_id")),
+      lit("</ord><ticket>"), col("event_id"),
+      lit("</ticket><etype>"), col("event_type"),
+      lit("</etype><val>"), col("value").cast("string"),
+      lit("</val></item>"))
+    val feeds = e.select(col("user_id"), item.as("itemx"))
+      .groupBy("user_id")
+      .agg(concat_ws("", sort_array(collect_list(col("itemx")))).as("body"))
+      .select(col("user_id"),
+        concat(lit("<rss>"), col("body"), lit("</rss>")).as("xml"))
+    val itemSchema = StructType(Seq(StructField("item", ArrayType(StructType(Seq(
+      StructField("ord", StringType), StructField("ticket", LongType),
+      StructField("etype", StringType), StructField("val", DoubleType)))))))
+    graft.sources.RssXml.entries(feeds, "xml", "item", itemSchema, Seq("user_id"))
+      .select("user_id", "entry_idx", "ticket", "etype", "val")
+      .orderBy("user_id", "entry_idx")
+  }
+
+  val rssSourceSql: String = """
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS entry_idx,
+       event_id AS ticket, event_type AS etype, value AS val
+FROM events ORDER BY user_id, entry_idx
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_pipeline" -> (csvPipeline _),
+    "q_csv_source" -> (csvSource _),
+    "q_rss_source" -> (rssSource _),
     "q_scalar_cleansing" -> (scalarCleansing _),
     "q_dedup_keepfirst" -> (dedupKeepFirst _),
     "q_merge_preserve" -> (mergePreserve _),
@@ -276,6 +384,8 @@ ORDER BY position_ticket
 
   val oracles: Map[String, String] = Map(
     "q_csv_pipeline" -> csvPipelineSql,
+    "q_csv_source" -> csvSourceSql,
+    "q_rss_source" -> rssSourceSql,
     "q_scalar_cleansing" -> scalarCleansingSql,
     "q_dedup_keepfirst" -> dedupKeepFirstSql,
     "q_merge_preserve" -> mergePreserveSql,

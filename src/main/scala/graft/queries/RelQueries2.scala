@@ -114,6 +114,28 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
 """
 
+  /** GROUPING SETS through the engine's SQL surface (`spark.sql`), the
+    * general form rollup/cube specialize. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n_orders
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")
+  }
+
+  val groupingSetsSql: String = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+"""
+
   /** Analytic windows: lag/lead neighbors + exact running total per user
     * (running sum accumulates in cents so the fold is order-exact). */
   def windowAnalytics(s: SparkSession, dir: String): DataFrame = {
@@ -259,6 +281,7 @@ ORDER BY event_type
     "q_setops" -> (setOps _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
+    "q_grouping_sets" -> (groupingSets _),
     "q_window_analytics" -> (windowAnalytics _),
     "q_range_join" -> (rangeJoin _),
     "q_asof_join" -> (asofJoin _),
@@ -272,6 +295,7 @@ ORDER BY event_type
     "q_setops" -> setOpsSql,
     "q_rollup" -> rollupAggSql,
     "q_cube" -> cubeAggSql,
+    "q_grouping_sets" -> groupingSetsSql,
     "q_window_analytics" -> windowAnalyticsSql,
     "q_range_join" -> rangeJoinSql,
     "q_asof_join" -> asofJoinSql,

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming dedup: duplicate composite keys collapse across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Timestamp, Double)]
+    val df = in.toDF().toDF("account_id", "ticket", "event_time", "profit")
+    val q = StreamingIngest.dedupStream(df, "event_time", "10 minutes",
+        Seq("account_id", "ticket"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData(("a", 1L, ts("2024-01-01 10:00:00"), 5.0),
+      ("a", 1L, ts("2024-01-01 10:00:30"), 5.0), // dup within batch
+      ("a", 2L, ts("2024-01-01 10:01:00"), 7.0))
+    q.processAllAvailable()
+    in.addData(("a", 1L, ts("2024-01-01 10:02:00"), 9.9), // dup across batches
+      ("b", 1L, ts("2024-01-01 10:02:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out")
+      .select("account_id", "ticket").as[(String, Long)].collect().toSeq
+    assert(out.size == 3 && out.toSet == Set(("a", 1L), ("a", 2L), ("b", 1L)))
+  }
+
+  test("streaming windowed totals: event-time tumbling windows, exact cents") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("event_time", "kind", "value")
+    val q = StreamingIngest.windowedTotals(df, "event_time", "value",
+        "5 minutes", "1 minute", Seq("kind"))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    in.addData(
+      (ts("2024-01-01 10:00:10"), "x", 1.25),
+      (ts("2024-01-01 10:02:00"), "x", 2.50),
+      (ts("2024-01-01 10:07:00"), "x", 4.00),
+      (ts("2024-01-01 10:01:00"), "y", 0.75))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("win_out")
+      .select(col("window.start").cast("string"), col("kind"), col("n"), col("total"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01 10:00:00", "x", 2L, 3.75),
+      ("2024-01-01 10:05:00", "x", 1L, 4.0),
+      ("2024-01-01 10:00:00", "y", 1L, 0.75)))
+  }
+
+  test("foreachBatch MERGE sink: update vs insert-only across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+      .resolve("target").toString
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("ticket", "status", "gpt")
+    val q = df.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingIngest.upsertBatch(batch, dir, Seq("ticket"),
+          updateCols = Seq("status"), insertOnlyCols = Seq("gpt"))
+    }.start()
+    in.addData((1L, "open", "enriched"), (2L, "open", "note"))
+    q.processAllAvailable()
+    in.addData((1L, "closed", null: String), (3L, "new", "fresh"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(dir).orderBy("ticket")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, "closed", Some("enriched")), // updated, enrichment preserved
+      (2L, "open", Some("note")),
+      (3L, "new", Some("fresh"))))
+  }
+}
