@@ -19,11 +19,29 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 for zero-norm inputs. */
+  /** Cosine similarity via higher-order functions; 0 for zero-norm
+    * inputs. Reference implementation — interpreted, three array passes. */
   def cosine(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
+
+  /** Cosine similarity via the custom codegen'd Catalyst expression
+    * (`graft.plans.CosineSimilarity`): one fused pass, no lambda
+    * dispatch — numerically identical to `cosine`, ~order-of-magnitude
+    * cheaper in the kNN hot loop. Accepts float or double arrays. */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Register SQL-surface functions on a session (`cosine_sim(a, b)`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => graft.plans.CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
 
   /** Sign-bit LSH bucket over the first `nBits` dimensions: a deterministic
     * coordinate-hyperplane bucketing (bit i set iff v[i] > 0). Turns ANN

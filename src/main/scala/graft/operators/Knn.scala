@@ -37,7 +37,7 @@ object Knn {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val sims = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), truncSim(cosine(col("qe"), col("e"))).as("sim"))
+      .select(col("qid"), col("vec_id"), truncSim(cosineFast(col("qe"), col("e"))).as("sim"))
     rank(sims, k)
   }
 
@@ -49,7 +49,7 @@ object Knn {
     val sims = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("bucket"),
-        truncSim(cosine(col("qe"), col("e"))).as("sim"))
+        truncSim(cosineFast(col("qe"), col("e"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
