@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFns._
+
+/** Relational completeness, part 3: sessionization, pivot, percentiles —
+  * plus the remaining dedup families over embeddings and word n-grams.
+  */
+object RelQueries3 {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Gap-based sessionization (30-min inactivity ⇒ new session): the
+    * classic running-sum-of-boundary-flags window, one shuffle per entity
+    * key. Emits per-session aggregates. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val flagged = e
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))).cast("double") / 1e6).as("duration_sec"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val sessionizeSql: String = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+       CAST(max(us) - min(us) AS DOUBLE) / 1e6 AS duration_sec
+FROM sess GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+  /** Pivot: events wide by type, one row per user. Fixed value list keeps
+    * the single-pass pivoted aggregation (no values-discovery job). */
+  def pivotCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val pivotCountsSql: String = """
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'error') AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS signup,
+  COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+  /** Exact interpolated percentiles over exact cents (sort-based; the
+    * approx ladder for 100 TB is approx_percentile in the rows-only
+    * query). */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    o.groupBy("o_orderstatus")
+      .agg(
+        (percentile(col("cents"), lit(0.5)) / 100.0).as("p50"),
+        (percentile(col("cents"), lit(0.9)) / 100.0).as("p90"),
+        (percentile(col("cents"), lit(0.99)) / 100.0).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  val percentilesSql: String = """
+SELECT o_orderstatus,
+  quantile_cont(cents, 0.5) / 100.0 AS p50,
+  quantile_cont(cents, 0.9) / 100.0 AS p90,
+  quantile_cont(cents, 0.99) / 100.0 AS p99,
+  COUNT(*) AS n
+FROM (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+  /** Approximate percentiles (mergeable KLL-style sketch) — rows-only. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        approx_percentile(col("o_totalprice"), lit(0.99), lit(1000)).as("p99_approx"))
+      .orderBy("o_orderstatus")
+
+  /** Word-bigram Jaccard similarity between documents (the n-gram-Jaccard
+    * dedup family; char-shingle MinHash covers the hashed variant). All
+    * pairs within a bounded id range — the unbounded form goes through
+    * MinHash banding instead of a cross join. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+    val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val bigrams = when(size(words) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(words) - 1),
+        i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+    val g = d.select(col("doc_id"), array_distinct(bigrams).as("bg"))
+    val inter = size(filter(col("a.bg"), x => array_contains(col("b.bg"), x))).cast("double")
+    g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (inter / (size(col("a.bg")) + size(col("b.bg")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val ngramJaccardSql: String = """
+WITH g AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(w) < 2 THEN []
+         ELSE [concat(w[i], ' ', w[i+1]) for i in range(1, len(w))] END) AS bg
+  FROM (SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        FROM documents WHERE doc_id < 100))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) /
+  (len(a.bg) + len(b.bg) - len(list_filter(a.bg, x -> list_contains(b.bg, x)))) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) /
+      (len(a.bg) + len(b.bg) - len(list_filter(a.bg, x -> list_contains(b.bg, x)))) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+  /** Embedding-cosine near-dup: brute-force all-pairs (bounded corpora;
+    * the LSH-bucketed path in Knn is the unbounded variant), canonical =
+    * lowest id. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"),
+        graft.operators.Knn.truncSim(
+          cosineFast(col("a.e"), col("b.e"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("keep_id", "dup_id")
+  }
+
+  val embeddingNearDupSql: String = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000) AS DOUBLE) / 1000000.0 >= 0.4
+ORDER BY keep_id, dup_id
+"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> (sessionize _),
+    "q_pivot" -> (pivotCounts _),
+    "q_percentiles" -> (percentiles _),
+    "q_approx_percentiles" -> (approxPercentiles _),
+    "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_embedding_neardup" -> (embeddingNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sessionize" -> sessionizeSql,
+    "q_pivot" -> pivotCountsSql,
+    "q_percentiles" -> percentilesSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_embedding_neardup" -> embeddingNearDupSql)
+}

@@ -35,13 +35,30 @@ class PipelineSpec extends GraftSuite {
     assert(out.columns.contains("row_hash"))
   }
 
+  test("C12 per-record isolation: malformed CSV line nulls, file survives") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_c12")
+    java.nio.file.Files.writeString(dir.resolve("acct_9.csv"),
+      "preamble title line\nTicket,Lots\n1,2.5\n\"unclosed,quote\n3,4.5\n")
+    val schema = StructType(Seq(StructField("Ticket", StringType),
+      StructField("Lots", StringType)))
+    val out = graft.sources.SkipRowsCsv
+      .read(spark, dir.toString + "/*.csv", schema)
+      .orderBy("_src_offset")
+      .select("Ticket").as[Option[String]].collect()
+    assert(out.length == 3)            // malformed row kept as a row...
+    assert(out(0).contains("1") && out(2).contains("4.5") == false)
+    assert(out(2).contains("3"))       // ...and later rows still parse
+  }
+
   test("entry smoke: flagship query yields rows on sf0.001 (t1 parity)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
   test("all registered queries run and return rows on sf0.001") {
-    // Dup-cluster mining legitimately finds nothing in the 50-doc sample.
-    val mayBeEmpty = Set("q_doc_fingerprint_clusters")
+    // Similarity mining legitimately finds nothing in the tiny sample.
+    val mayBeEmpty = Set("q_doc_fingerprint_clusters", "q_minhash_neardup",
+      "q_ngram_jaccard", "q_embedding_neardup")
     val counts = SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf).count()
     }
@@ -51,7 +68,8 @@ class PipelineSpec extends GraftSuite {
 
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_simhash_clusters", "q_approx_distinct"),
+    assert(rowsOnly == Set("q_simhash_clusters", "q_approx_distinct",
+      "q_approx_percentiles"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }
