@@ -165,7 +165,36 @@ WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000) AS DOUBLE) / 100000
 ORDER BY keep_id, dup_id
 """
 
+  /** Per-group top-k through the typed bounded-heap Aggregator (shuffle
+    * volume k×groups, vs the window form's full-group shuffle). Output
+    * matches the ranking-window oracle exactly. */
+  def topkAggregate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TopKAggregate
+    val c = t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .as[(String, Long, Double)]
+    c.groupByKey(_._1)
+      .mapValues(r => TopKAggregate.Entry(r._2, r._3))
+      .agg(new TopKAggregate.TopKByValue(3).toColumn)
+      .flatMap { case (seg, list) =>
+        list.zipWithIndex.map { case (e, i) => (seg, e.id, e.value, i + 1) }
+      }
+      .toDF("c_mktsegment", "c_custkey", "c_acctbal", "rank")
+      .orderBy("c_mktsegment", "rank")
+  }
+
+  val topkAggregateSql: String = """
+SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rank
+FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+WHERE rn <= 3
+ORDER BY c_mktsegment, rank
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_agg" -> (topkAggregate _),
     "q_sessionize" -> (sessionize _),
     "q_pivot" -> (pivotCounts _),
     "q_percentiles" -> (percentiles _),
@@ -174,6 +203,7 @@ ORDER BY keep_id, dup_id
     "q_embedding_neardup" -> (embeddingNearDup _))
 
   val oracles: Map[String, String] = Map(
+    "q_topk_agg" -> topkAggregateSql,
     "q_sessionize" -> sessionizeSql,
     "q_pivot" -> pivotCountsSql,
     "q_percentiles" -> percentilesSql,
