@@ -49,4 +49,55 @@ object Multimodal {
         col(textCol).cast("binary").as("payload"))
       .as[MediaRow]
   }
+
+  case class ResizedMedia(id: Long, group: String, width: Long, height: Long,
+                          payload: Array[Byte])
+
+  /** STUB resize: a real impl decodes, scales, re-encodes; the fake clamps
+    * the metadata box and truncates the payload proportionally, keeping
+    * byte-level plumbing (binary in, binary out) realistic. */
+  def resizeStub(maxW: Long, maxH: Long)(m: MediaMeta, payload: Array[Byte]): ResizedMedia = {
+    val scale = math.min(1.0,
+      math.min(maxW.toDouble / math.max(m.width, 1),
+        maxH.toDouble / math.max(m.height, 1)))
+    val w = math.max(1L, (m.width * scale).toLong)
+    val h = math.max(1L, (m.height * scale).toLong)
+    ResizedMedia(m.id, m.group, w, h,
+      payload.take(math.max(1, (payload.length * scale).toInt)))
+  }
+
+  def resize(media: Dataset[MediaRow], maxW: Long, maxH: Long): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => resizeStub(maxW, maxH)(decodeStub(r), r.payload)))
+  }
+
+  case class Frame(id: Long, group: String, frameIdx: Long, offset: Long, size: Long)
+
+  /** STUB frame sampling: one output row per sampled frame — the row
+    * explosion pattern (1 video → N frames) that dominates video pipeline
+    * shape. Offsets/sizes derive from payload length deterministically. */
+  def sampleFrames(media: Dataset[MediaRow], everyNth: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val meta = decodeStub(r)
+      val frameSize = math.max(1L, meta.n_bytes / math.max(meta.frames, 1))
+      (0L until meta.frames by everyNth.toLong).map { i =>
+        Frame(r.id, r.group, i, i * frameSize, frameSize)
+      }
+    })
+  }
+
+  case class Features(id: Long, group: String, histogram: Array[Long])
+
+  /** STUB feature extraction: byte-value histogram (16 bins) — a real
+    * extractor would emit an embedding; the histogram keeps the same
+    * fixed-width-vector-per-blob output shape and is cheap + exact. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[Features] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val bins = new Array[Long](16)
+      r.payload.foreach(b => bins((b & 0xff) >> 4) += 1)
+      Features(r.id, r.group, bins)
+    })
+  }
 }

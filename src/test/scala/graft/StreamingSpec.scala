@@ -57,6 +57,31 @@ class StreamingSpec extends GraftSuite {
       ("2024-01-01 10:00:00", "y", 1L, 0.75)))
   }
 
+  test("stateful sessionization: gap closes a session, state carries across batches") {
+    import graft.streaming.SessionizeStream
+    import graft.streaming.SessionizeStream.Event
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val withWm = in.toDS().withWatermark("ts", "0 seconds")
+    val q = SessionizeStream.sessionize(withWm)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // session 1: two events 5 min apart; then a 40-min gap opens session 2
+    in.addData(Event(7L, ts("2024-01-01 10:00:00")),
+      Event(7L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    in.addData(Event(7L, ts("2024-01-01 10:45:00"))) // > 30-min gap
+    q.processAllAvailable()
+    in.addData(Event(7L, ts("2024-01-01 12:00:00"))) // closes session 2 too
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out")
+      .select("userId", "nEvents", "durationSec")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.contains((7L, 2L, 300.0)))  // session 1: 2 events, 5 min
+    assert(out.contains((7L, 1L, 0.0)))    // session 2: the 10:45 singleton
+  }
+
   test("foreachBatch MERGE sink: update vs insert-only across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_merge")

@@ -75,4 +75,19 @@ class TextVectorSpec extends GraftSuite {
       Multimodal.asMedia(spark, df, "doc_id", "source", "text")).collect()
     assert(meta.head == Multimodal.MediaMeta(7L, "g", 4L, 4L, 28L, 4L))
   }
+
+  test("multimodal resize/frame-sample/feature plumbing over partitions") {
+    val df = Seq((1L, "g", "x" * 1000)).toDF("doc_id", "source", "text")
+    val media = Multimodal.asMedia(spark, df, "doc_id", "source", "text")
+    // decode: n=1000 → width 360, height 280, frames 8
+    val resized = Multimodal.resize(media, maxW = 180, maxH = 300).collect().head
+    assert(resized.width == 180 && resized.height == 140) // 0.5 scale
+    assert(resized.payload.length == 500)
+    val frames = Multimodal.sampleFrames(media, everyNth = 2).collect()
+    assert(frames.length == 4 && frames.map(_.frameIdx).toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(frames.forall(_.size == 125))
+    val feats = Multimodal.extractFeatures(media).collect().head
+    assert(feats.histogram.sum == 1000)
+    assert(feats.histogram(('x' & 0xff) >> 4) == 1000)
+  }
 }
