@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   */
 object MinHashDedup {
 
-  /** Distinct k-char shingles of the first `maxChars` of `c`. */
+  /** Distinct k-char shingles of the first `maxChars` of `c` as an array
+    * (verification-side representation; see `shingleRows` for the
+    * signature-side one). */
   def shingles(c: Column, k: Int = 9, maxChars: Int = 200): Column = {
     val s = substring(c, 1, maxChars)
     array_distinct(transform(
@@ -38,15 +40,28 @@ object MinHashDedup {
       i => s.substr(i, lit(k))))
   }
 
+  /** One row per (doc, shingle position) — NOT deduplicated: min over a
+    * multiset equals min over its set, so signatures don't need distinct
+    * shingles, and skipping the dedup keeps the whole phase inside
+    * whole-stage codegen with no per-doc array materialization (the
+    * array+`transform`+`array_distinct` form is interpreted and was the
+    * dominant cost of the pipeline). */
+  def shingleRows(docs: DataFrame, idCol: String, textNorm: Column,
+                  k: Int = 9, maxChars: Int = 200): DataFrame =
+    docs.select(col(idCol), substring(textNorm, 1, maxChars).as("__s"))
+      .select(col(idCol), col("__s"),
+        explode(sequence(lit(1), greatest(length(col("__s")) - (k - 1), lit(1)))).as("__i"))
+      .select(col(idCol), col("__s").substr(col("__i"), lit(k)).as("__sh"))
+
   /** One row per doc: (id, mh0..mhN) — minhash signature as min over
     * 32-bit (8-hex-char) chunks of seeded md5s (`md5("<seed>|"+shingle)`,
-    * 4 chunks per md5). */
+    * 4 chunks per md5). Map-side partial mins; the shuffle carries one
+    * signature row per doc. */
   def signatures(docs: DataFrame, idCol: String, textNorm: Column,
                  k: Int = 9, maxChars: Int = 200, nHashes: Int = 16): DataFrame = {
     require(nHashes % 4 == 0, "4 chunks per seeded md5")
     val nSeeds = nHashes / 4
-    val sh = docs
-      .select(col(idCol), explode(shingles(textNorm, k, maxChars)).as("__sh"))
+    val sh = shingleRows(docs, idCol, textNorm, k, maxChars)
       .select(col(idCol) +: (0 until nSeeds).map(sd =>
         md5(concat(lit(s"$sd|"), col("__sh"))).as(s"__h$sd")): _*)
     val aggs = (0 until nHashes).map { j =>
