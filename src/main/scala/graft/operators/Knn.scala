@@ -41,6 +41,46 @@ object Knn {
     rank(sims, k)
   }
 
+  /** Element-wise cluster centroids with exact scaled-integer sums
+    * (order-independent accumulation → engine-reproducible doubles).
+    * Input: (clusterCol, e: array<double>); output: (clusterCol,
+    * cv: array<double>). Centroid count = cluster count (small →
+    * broadcast downstream). */
+  def centroids(corpus: DataFrame, clusterCol: String): DataFrame =
+    corpus.select(col(clusterCol), posexplode(col("e")))
+      .groupBy(col(clusterCol), col("pos"))
+      .agg(sum(round(col("col") * 1e6).cast("long")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col(clusterCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / 1e6 / col("n")).as("v")))),
+        x => x.getField("v")).as("cv"))
+
+  /** IVF-style ANN: assign each query to its `nprobe` nearest centroids,
+    * then search only those clusters — the inverted-file pattern: at
+    * scale the corpus is partitioned (or bucketed) by cluster id, so a
+    * probe touches nprobe/nlist of the data instead of all of it.
+    * Cluster assignments come from `clusterCol` (here a precomputed
+    * clustering; k-means would produce the same shape). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, clusterCol: String,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = centroids(corpus, clusterCol)
+    val wA = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col(clusterCol))
+    val assign = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"), col(clusterCol),
+        cosineFast(col("qe"), col("cv")).as("csim"))
+      .withColumn("crank", row_number().over(wA))
+      .filter(col("crank") <= nprobe)
+      .select("qid", "qe", clusterCol)
+    val sims = corpus.join(broadcast(assign), Seq(clusterCol))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col(clusterCol),
+        truncSim(cosineFast(col("qe"), col("e"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: candidates restricted to the query's sign bucket. */
   def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     nBits: Int = 8): DataFrame = {

@@ -154,6 +154,45 @@ r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) A
 SELECT qid, vec_id, bucket, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
 """
 
+  /** IVF-style ANN: probe the 2 nearest of 10 label-cluster centroids. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    Knn.ivfTopK(q, e, "label", k = 5, nprobe = 2)
+      .select("qid", "vec_id", "label", "sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfSql: String = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sums AS (
+  SELECT label, i, SUM(CAST(round(v[i] * 1e6) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM e CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / 1e6 / n ORDER BY i) AS cv
+  FROM sums GROUP BY label),
+q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT qid, label FROM (
+    SELECT q.qid, c.label,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(q.qe, c.cv) DESC, c.label) AS crank
+    FROM q CROSS JOIN cent c) x
+  WHERE crank <= 2),
+sims AS (
+  SELECT a.qid, e.vec_id, e.label,
+         CAST(floor(list_cosine_similarity(q.qe, e.v) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+  FROM assign a
+  JOIN e ON e.label = a.label
+  JOIN q ON q.qid = a.qid
+  WHERE e.vec_id <> a.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sims)
+SELECT qid, vec_id, label, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+
   /** Language-ID heuristic vs ground truth: confusion matrix. */
   def langIdConfusion(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -278,6 +317,7 @@ GROUP BY source ORDER BY source
     "q_simhash_clusters" -> (simhashClusters _),
     "q_knn_bruteforce" -> (knnBruteForce _),
     "q_ann_lsh_bucket" -> (annLshBucket _),
+    "q_ann_ivf" -> (annIvf _),
     "q_langid_confusion" -> (langIdConfusion _),
     "q_quality_scores" -> (qualityScores _),
     "q_token_stats" -> (tokenStats _),
@@ -289,6 +329,7 @@ GROUP BY source ORDER BY source
     "q_minhash_neardup" -> minhashNearDupSql,
     "q_knn_bruteforce" -> knnBruteForceSql,
     "q_ann_lsh_bucket" -> annLshBucketSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_langid_confusion" -> langIdConfusionSql,
     "q_quality_scores" -> qualityScoresSql,
     "q_token_stats" -> tokenStatsSql,
