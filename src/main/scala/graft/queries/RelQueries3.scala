@@ -14,6 +14,27 @@ object RelQueries3 {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
+  /** Time-series bucketing: calendar truncation + arbitrary-width epoch
+    * buckets in one pass (partition-pruning-friendly group keys). */
+  def timeBuckets(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(
+        date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(round(col("o_totalprice") * 100).cast("long")).cast("double") / 100.0).as("month_total"))
+      .orderBy("month", "o_orderstatus")
+  }
+
+  val timeBucketsSql: String = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS month_total
+FROM orders
+GROUP BY date_trunc('month', o_orderdate), o_orderstatus
+ORDER BY month, o_orderstatus
+"""
+
   /** Gap-based sessionization (30-min inactivity ⇒ new session): the
     * classic running-sum-of-boundary-flags window, one shuffle per entity
     * key. Emits per-session aggregates. */
@@ -195,6 +216,7 @@ ORDER BY c_mktsegment, rank
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_agg" -> (topkAggregate _),
+    "q_time_buckets" -> (timeBuckets _),
     "q_sessionize" -> (sessionize _),
     "q_pivot" -> (pivotCounts _),
     "q_percentiles" -> (percentiles _),
@@ -204,6 +226,7 @@ ORDER BY c_mktsegment, rank
 
   val oracles: Map[String, String] = Map(
     "q_topk_agg" -> topkAggregateSql,
+    "q_time_buckets" -> timeBucketsSql,
     "q_sessionize" -> sessionizeSql,
     "q_pivot" -> pivotCountsSql,
     "q_percentiles" -> percentilesSql,
