@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by salting: two-phase aggregation for hot keys.
+  *
+  * A plain `groupBy(k)` sends every row of a hot key to one reducer; at
+  * 100 TB a single celebrity key stalls the stage. Salting splits each
+  * key into `buckets` sub-keys for the first (heavy) aggregation, so the
+  * hot key's rows spread across `buckets` reducers; the second phase
+  * combines the per-salt partials — its input is only
+  * `buckets × distinct-keys` rows, trivially cheap.
+  *
+  * Works for any algebraic aggregate (sum/count here). AQE's skew
+  * handling covers joins; salting is the aggregation-side tool, and
+  * explicit salting also works when AQE is off or stats mislead it.
+  * Results are identical to the unsalted plan (oracle-verified) as long
+  * as the partials use exact (integer) accumulation.
+  */
+object Salted {
+
+  /** Salted sum/count: returns (keys…, sums…, count) exactly as the
+    * unsalted `groupBy(keys).agg(...)` would.
+    *
+    * @param sums (outputName → input column) summed; use exact integer
+    *             inputs for cross-engine determinism
+    */
+  def sumCount(df: DataFrame, keys: Seq[String], sums: Seq[(String, Column)],
+               countName: String = "n", buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(spark_partition_id(), monotonically_increasing_id()), lit(buckets)))
+    val pAggs = sums.map { case (n, c) => sum(c).as(s"__p_$n") } :+
+      count(lit(1)).as("__p_cnt")
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(pAggs.head, pAggs.tail: _*)
+    val fAggs = sums.map { case (n, _) => sum(col(s"__p_$n")).as(n) } :+
+      sum(col("__p_cnt")).as(countName)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(fAggs.head, fAggs.tail: _*)
+  }
+}

@@ -35,6 +35,27 @@ GROUP BY date_trunc('month', o_orderdate), o_orderstatus
 ORDER BY month, o_orderstatus
 """
 
+  /** Skew-safe salted aggregation — identical output to the plain
+    * groupBy (the oracle IS the plain groupBy), different physical shape:
+    * hot keys spread over 16 salt buckets in the heavy phase. */
+  def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+    graft.operators.Salted.sumCount(li, Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_cents" -> col("cents")))
+      .withColumn("sum_price", col("sum_cents").cast("double") / 100.0)
+      .drop("sum_cents")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val saltedAggSql: String = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
   /** Gap-based sessionization (30-min inactivity ⇒ new session): the
     * classic running-sum-of-boundary-flags window, one shuffle per entity
     * key. Emits per-session aggregates. */
@@ -217,6 +238,7 @@ ORDER BY c_mktsegment, rank
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_agg" -> (topkAggregate _),
     "q_time_buckets" -> (timeBuckets _),
+    "q_salted_agg" -> (saltedAgg _),
     "q_sessionize" -> (sessionize _),
     "q_pivot" -> (pivotCounts _),
     "q_percentiles" -> (percentiles _),
@@ -227,6 +249,7 @@ ORDER BY c_mktsegment, rank
   val oracles: Map[String, String] = Map(
     "q_topk_agg" -> topkAggregateSql,
     "q_time_buckets" -> timeBucketsSql,
+    "q_salted_agg" -> saltedAggSql,
     "q_sessionize" -> sessionizeSql,
     "q_pivot" -> pivotCountsSql,
     "q_percentiles" -> percentilesSql,
