@@ -35,6 +35,49 @@ GROUP BY date_trunc('month', o_orderdate), o_orderstatus
 ORDER BY month, o_orderstatus
 """
 
+  /** Data-profiling: per-column stats in ONE scan (the generalized form
+    * of the reference's required-column gate C6 — schema plus content
+    * health). Long-format output: one row per profiled column. */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def prof(name: String, c: Column) = struct(
+      lit(name).as("column"),
+      count(lit(1)).as("n_rows"),
+      sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(c).as("n_distinct"),
+      min(c.cast("string")).as("min_s"),
+      max(c.cast("string")).as("max_s"))
+    val wide = o.agg(
+      prof("o_orderstatus", col("o_orderstatus")).as("p1"),
+      prof("o_orderpriority", col("o_orderpriority")).as("p2"),
+      prof("o_custkey", col("o_custkey")).as("p3"))
+    wide.select(explode(array(col("p1"), col("p2"), col("p3"))).as("p"))
+      .select(col("p.*"))
+      .orderBy("column")
+  }
+
+  val profileTableSql: String = """
+WITH p AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null1,
+    COUNT(DISTINCT o_orderstatus) AS dist1,
+    min(CAST(o_orderstatus AS VARCHAR)) AS min1, max(CAST(o_orderstatus AS VARCHAR)) AS max1,
+    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS null2,
+    COUNT(DISTINCT o_orderpriority) AS dist2,
+    min(CAST(o_orderpriority AS VARCHAR)) AS min2, max(CAST(o_orderpriority AS VARCHAR)) AS max2,
+    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null3,
+    COUNT(DISTINCT o_custkey) AS dist3,
+    min(CAST(o_custkey AS VARCHAR)) AS min3, max(CAST(o_custkey AS VARCHAR)) AS max3
+  FROM orders)
+SELECT 'o_orderstatus' AS "column", n_rows, CAST(null1 AS BIGINT) AS n_null, dist1 AS n_distinct, min1 AS min_s, max1 AS max_s FROM p
+UNION ALL
+SELECT 'o_orderpriority', n_rows, CAST(null2 AS BIGINT), dist2, min2, max2 FROM p
+UNION ALL
+SELECT 'o_custkey', n_rows, CAST(null3 AS BIGINT), dist3, min3, max3 FROM p
+ORDER BY "column"
+"""
+
   /** Skew-safe salted aggregation — identical output to the plain
     * groupBy (the oracle IS the plain groupBy), different physical shape:
     * hot keys spread over 16 salt buckets in the heavy phase. */
@@ -239,6 +282,7 @@ ORDER BY c_mktsegment, rank
     "q_topk_agg" -> (topkAggregate _),
     "q_time_buckets" -> (timeBuckets _),
     "q_salted_agg" -> (saltedAgg _),
+    "q_profile" -> (profileTable _),
     "q_sessionize" -> (sessionize _),
     "q_pivot" -> (pivotCounts _),
     "q_percentiles" -> (percentiles _),
@@ -250,6 +294,7 @@ ORDER BY c_mktsegment, rank
     "q_topk_agg" -> topkAggregateSql,
     "q_time_buckets" -> timeBucketsSql,
     "q_salted_agg" -> saltedAggSql,
+    "q_profile" -> profileTableSql,
     "q_sessionize" -> sessionizeSql,
     "q_pivot" -> pivotCountsSql,
     "q_percentiles" -> percentilesSql,
