@@ -28,7 +28,7 @@ object AsOfJoin {
                right: DataFrame, rightKey: String, rightTime: String,
                rightPayload: Seq[String],
                rightTieBreak: Seq[String] = Nil): DataFrame = {
-    val leftStruct = struct(left.columns.map(col): _*)
+    val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val leftType = StructType(left.schema.fields)
     val payloadStruct = struct(rightPayload.map(col): _*)
     val payloadType = StructType(rightPayload.map(c => right.schema(c)))
