@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.functions.Cleansing._
+import graft.operators.{AsOfJoin, Merge}
+import graft.sources.SkipRowsCsv
+
+/** Edge cases beyond the happy paths: simultaneous events, degenerate
+  * files, invalid calendar dates, multi-column keys. */
+class RobustnessSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("as-of: multiple right rows at identical (key, time) — tiebreak wins") {
+    val left = Seq((1, 10)).toDF("k", "t")
+    val right = Seq((1, 10, 101L, "a"), (1, 10, 103L, "c"), (1, 10, 102L, "b"))
+      .toDF("k", "t", "seq", "v")
+    val out = AsOfJoin.backward(left, "k", "t", right, "k", "t",
+      rightPayload = Seq("v"), rightTieBreak = Seq("seq"))
+      .select("v").as[String].head()
+    assert(out == "c") // highest tiebreak = last in window order
+  }
+
+  test("as-of: simultaneous left rows all see the same state") {
+    val left = Seq((1, 10, "x"), (1, 10, "y")).toDF("k", "t", "name")
+    val right = Seq((1, 9, 1.5)).toDF("k", "t", "p")
+    val out = AsOfJoin.backward(left, "k", "t", right, "k", "t", Seq("p"))
+      .select("p").as[Double].collect().toSeq
+    assert(out == Seq(1.5, 1.5))
+  }
+
+  test("merge: multi-column keys match as a tuple, not independently") {
+    val target = Seq((1L, "A", "old"), (1L, "B", "keep")).toDF("k1", "k2", "v")
+    val source = Seq((1L, "A", "new"), (2L, "A", "ins")).toDF("k1", "k2", "v")
+    val out = Merge.upsert(target, source, Seq("k1", "k2"), Seq("v"), Nil)
+      .orderBy("k1", "k2").as[(Long, String, String)].collect().toSeq
+    assert(out == Seq((1L, "A", "new"), (1L, "B", "keep"), (2L, "A", "ins")))
+  }
+
+  test("parseFeedTs: valid day name but impossible calendar date → null") {
+    val r = Seq("Mon 32 Jan 2020 00:00:00", "Mon 29 Feb 2021 00:00:00")
+      .toDF("x").select(parseFeedTs($"x")).as[Option[java.sql.Timestamp]].collect()
+    assert(r.forall(_.isEmpty))
+  }
+
+  test("toPct: negative and fractional percent strings") {
+    val r = Seq("-5%", "0.5%", "-12").toDF("x")
+      .select(toPct($"x")).as[Option[Double]].collect()
+    assert(r.toSeq == Seq(Some(-0.05), Some(0.005), Some(-12.0)))
+  }
+
+  test("SkipRowsCsv: preamble+header-only file yields zero rows, no crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_csv")
+    java.nio.file.Files.writeString(dir.resolve("acct_0.csv"),
+      "title\nTicket,Lots\n")
+    java.nio.file.Files.writeString(dir.resolve("acct_1.csv"),
+      "title\nTicket,Lots\n7,1.5\n")
+    val schema = StructType(Seq(StructField("Ticket", StringType),
+      StructField("Lots", StringType)))
+    val out = SkipRowsCsv.read(spark, dir.toString + "/*.csv", schema)
+    assert(out.count() == 1)
+    assert(out.select("Ticket").as[String].head() == "7")
+  }
+
+  test("keep-first dedup: fully identical duplicate rows collapse to one") {
+    val df = Seq((1, "same", 5), (1, "same", 5), (2, "x", 1)).toDF("k", "v", "ord")
+    val out = graft.operators.Dedup.keepFirst(df, Seq("k"),
+      Seq(col("ord"), col("v")))
+    assert(out.count() == 2)
+  }
+}
