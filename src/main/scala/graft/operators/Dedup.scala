@@ -24,6 +24,22 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Keep-first as a hash AGGREGATION instead of a ranking window:
+    * `min_by(struct(row), struct(order))` per key. Same result as
+    * `keepFirst` when `order` is total within each key group, different
+    * physical shape: map-side partial combine (each map task forwards one
+    * candidate per key — decisive when duplicates are plentiful) and a
+    * hash aggregate instead of a per-key sort. Prefer this for
+    * duplicate-heavy 100 TB dedup. Both forms keep whole rows; in both,
+    * tie-breaking among rows with equal order tuples is arbitrary — the
+    * caller's order must be total for determinism either way. */
+  def keepFirstAgg(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(payload, struct(order: _*)).as("__w"))
+      .select(col("__w.*"))
+  }
+
   /** Arbitrary-row exact dedup — cheapest form (map-side partial
     * aggregation), for when the caller doesn't care which duplicate
     * survives. */

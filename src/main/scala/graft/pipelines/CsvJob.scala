@@ -69,6 +69,9 @@ object CsvJob {
     }
     val hashed = withGpt.withColumn("row_hash",
       rowHash(dedupKeys.map(k => col(k).cast("string")): _*))
-    Dedup.keepFirst(hashed, dedupKeys, orderCols)
+    // min_by aggregation form: map-side combine, no per-key sort (see
+    // Dedup.keepFirstAgg) — identical result to the window form given the
+    // caller's total order, verified by the oracle gate.
+    Dedup.keepFirstAgg(hashed, dedupKeys, orderCols)
   }
 }

@@ -14,6 +14,16 @@ class OperatorsSpec extends GraftSuite {
     assert(out.toSeq == Seq("a", "c"))
   }
 
+  test("keepFirstAgg (min_by form) equals keepFirst (window form) on real data") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val keys = Seq("l_orderkey", "l_shipdate")
+    val order = Seq(col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+      col("l_suppkey"), col("l_extendedprice"))
+    val w = Dedup.keepFirst(li, keys, order).collect().map(_.toSeq).toSet
+    val a = Dedup.keepFirstAgg(li, keys, order).collect().map(_.toSeq).toSet
+    assert(w == a && w.nonEmpty)
+  }
+
   test("keepFirst is idempotent") {
     val df = Seq((1, "b", 2), (1, "a", 1)).toDF("k", "v", "ord")
     val once = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
