@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites share one SparkSession and ExtensionsSpec temporarily swaps the
+// default session — run suites sequentially to keep that deterministic.
+Test / parallelExecution := false
