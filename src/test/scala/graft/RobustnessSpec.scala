@@ -63,6 +63,17 @@ class RobustnessSpec extends GraftSuite {
     assert(out.select("Ticket").as[String].head() == "7")
   }
 
+  test("audit observation: metrics collected in the job's own pass") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("k", "v")
+    val (observed, obs) = graft.operators.Audit.observed(df, "ingest",
+      nullChecked = Seq("v"),
+      extra = Seq(sum(col("k")).as("sum_k")))
+    assert(observed.count() == 3)
+    val m = obs.get
+    assert(m("rows") == 3L && m("null_v") == 1L && m("sum_k") == 6L)
+  }
+
   test("keep-first dedup: fully identical duplicate rows collapse to one") {
     val df = Seq((1, "same", 5), (1, "same", 5), (2, "x", 1)).toDF("k", "v", "ord")
     val out = graft.operators.Dedup.keepFirst(df, Seq("k"),
