@@ -26,6 +26,22 @@ class ScaleTechniquesSpec extends GraftSuite {
     assert(salted == plain)
   }
 
+  test("partitioned layout: partition filter prunes directories at plan time") {
+    import graft.sinks.PartitionedParquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/orders"
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    PartitionedParquet.writePartitioned(o, dir, "order_year", year(col("o_orderdate")))
+    val all = PartitionedParquet.read(spark, dir)
+    val years = all.select("order_year").distinct().count()
+    assert(years > 3) // layout actually split
+    val pruned = all.filter(col("order_year") === 1996)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(order_year"),
+      s"partition filter must reach the scan:\n$scan")
+    // pruned scan reads strictly fewer partitions than the full table
+    assert(pruned.count() > 0 && pruned.count() < all.count())
+  }
+
   test("joining two same-bucketed tables plans zero shuffle exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
