@@ -286,6 +286,36 @@ FROM (
 GROUP BY lang ORDER BY lang
 """
 
+  /** Deterministic hash-based dataset split (train/val/test) — the
+    * reproducible, engine-portable alternative to `sample()`: assignment
+    * is a pure function of the id, so re-runs, different partitionings,
+    * and different engines all agree, and membership is stable as the
+    * corpus grows (no reshuffling rows between splits on append). First
+    * 4 md5 hex chars = 65536 buckets; '0ccd' ≈ 5%, '199a' ≈ 10%. */
+  def datasetSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4)
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(h < "0ccd", lit("val"))
+          .when(h < "199a", lit("test"))
+          .otherwise(lit("train")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
+  val datasetSplitSql: String = """
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT lang, n_chars,
+    CASE WHEN substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 4) < '0ccd' THEN 'val'
+         WHEN substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 4) < '199a' THEN 'test'
+         ELSE 'train' END AS split
+  FROM documents)
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
   /** Multimodal plumbing: binary payloads decoded partition-parallel via
     * the mapPartitions stub, then aggregated. */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
@@ -321,6 +351,7 @@ GROUP BY source ORDER BY source
     "q_langid_confusion" -> (langIdConfusion _),
     "q_quality_scores" -> (qualityScores _),
     "q_token_stats" -> (tokenStats _),
+    "q_dataset_split" -> (datasetSplit _),
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
@@ -333,5 +364,6 @@ GROUP BY source ORDER BY source
     "q_langid_confusion" -> langIdConfusionSql,
     "q_quality_scores" -> qualityScoresSql,
     "q_token_stats" -> tokenStatsSql,
+    "q_dataset_split" -> datasetSplitSql,
     "q_multimodal_meta" -> multimodalMetaSql)
 }
