@@ -36,7 +36,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Driver-parseable twice over: a standalone file AND the final bare
+    // stdout line (run/outputStrategy = StdoutOutput keeps it unprefixed).
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target", "bench.json"), json + "\n")
     spark.stop()
+    System.out.println(json)
+    System.out.flush()
   }
 }

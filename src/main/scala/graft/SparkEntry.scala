@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmQueries, RefQueries, RelQueries, RelQueries2, RelQueries3, SqlQueries}
+import graft.queries.{LlmQueries, RefQueries, RelQueries, RelQueries2, RelQueries3, SqlQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.defs ++ RelQueries.defs ++ RelQueries2.defs ++
-      RelQueries3.defs ++ LlmQueries.defs ++ SqlQueries.defs
+      RelQueries3.defs ++ LlmQueries.defs ++ SqlQueries.defs ++
+      StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RefQueries.oracles ++ RelQueries.oracles ++ RelQueries2.oracles ++
-      RelQueries3.oracles ++ LlmQueries.oracles ++ SqlQueries.oracles
+      RelQueries3.oracles ++ LlmQueries.oracles ++ SqlQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -54,9 +54,10 @@ object TextFns {
     val scores = StopwordPatterns.map { case (l, p) => l -> stopwordScore(c, p) }
     val maxScore = greatest(scores.map(_._2): _*)
     // alphabetical preference on ties: first lang reaching the max wins
-    val byStopwords = scores.foldLeft(lit("und")) { case (acc, (l, sc)) =>
-      when(acc === "und" && maxScore > 0 && sc === maxScore, lit(l)).otherwise(acc)
-    }
+    val byStopwords = coalesce(
+      scores.map { case (l, sc) =>
+        when(maxScore > 0 && sc === maxScore, lit(l))
+      } :+ lit("und"): _*)
     when(cjk > 0, lit("zh")).otherwise(byStopwords)
   }
 

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns._
+
+/** Deterministic Lloyd's k-means over `array<double>` embedding columns —
+  * the clustering half of IVF (`Knn.ivfTopK` consumes the resulting
+  * cluster column), so IVF works on corpora with no precomputed labels.
+  *
+  * Everything is engine-reproducible by construction:
+  *  - init: the k vectors with the smallest `md5("km|" + id)` — a
+  *    deterministic pseudo-random sample, no RNG state;
+  *  - assignment: argmax cosine against the (broadcast) centroids with a
+  *    centroid-id tiebreak — one scan of the corpus per iteration, no
+  *    shuffle of the vectors;
+  *  - update: element-wise means via exact scaled-integer sums
+  *    (order-independent accumulation), the same trick as
+  *    `Knn.centroids`.
+  *
+  * Per iteration the centroid frame is eagerly `localCheckpoint`ed: it is
+  * k rows, and truncating its lineage keeps downstream consumers (the
+  * assignment is used 2-3× in an IVF query) from re-running the whole
+  * iterative chain.
+  *
+  * At 100 TB: each iteration is one corpus scan (map-side cosine against
+  * k broadcast centroids) plus one 64k-row shuffle for the sums — the
+  * textbook distributed Lloyd's shape. Empty clusters drop out (k
+  * shrinks), which is deterministic and mirrored by the oracle.
+  */
+object KMeans {
+
+  /** Nearest-centroid assignment: (idCol, vecCol, cid). `cents` must be
+    * (cid, cv) and small enough to broadcast. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+             cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("__csim").desc, col("cid"))
+    corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol), col("cid"),
+        cosineFast(col(vecCol), col("cv")).as("__csim"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+  }
+
+  /** Element-wise centroid means with exact scaled-int accumulation. */
+  def centroidsOf(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned.select(col("cid"), posexplode(col(vecCol)))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(round(col("col") * 1e6).cast("long")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / 1e6 / col("n")).as("v")))),
+        x => x.getField("v")).as("cv"))
+
+  /** Run `iters` Lloyd's iterations; returns the final centroids
+    * (cid, cv). Feed through `assign` for the corpus clustering. */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int): DataFrame = {
+    val hash = md5(concat(lit("km|"), col(idCol).cast("string")))
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__h", hash)
+      .orderBy("__h").limit(k)
+    var cents = seeds
+      .withColumn("cid", row_number().over(Window.orderBy("__h")) - 1)
+      .select(col("cid"), col(vecCol).as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cents = centroidsOf(assign(corpus, idCol, vecCol, cents), vecCol)
+        .localCheckpoint(true)
+    cents
+  }
+}

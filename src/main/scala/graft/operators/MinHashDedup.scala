@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   * At 100 TB: the explode→partial-min shape makes step 2 embarrassingly
   * parallel with map-side combine (the shuffle carries one signature row
   * per doc, not shingles). Mega-buckets from boilerplate text are the one
-  * skew risk — cap bucket width or salt. The md5 basis is kept because it
-  * is reproducible in the DuckDB oracle; swap in xxhash64 for cheaper
-  * hashing with the same plan shape.
+  * skew risk — handled by `candidatePairs`' bucket-width cap. The md5
+  * basis is kept because it is reproducible in the DuckDB oracle; swap in
+  * xxhash64 for cheaper hashing with the same plan shape.
   */
 object MinHashDedup {
 
@@ -74,9 +74,19 @@ object MinHashDedup {
     * With r = nHashes/bands rows per band the s-curve midpoint sits at
     * ≈ (1/bands)^(1/r); the defaults (16, 4 → r=4) put it at ~0.71, so
     * sub-threshold background similarity is filtered in the banding step
-    * instead of flooding the verifier with false candidates. */
+    * instead of flooding the verifier with false candidates.
+    *
+    * `maxBucket` is the mega-bucket skew cap: buckets wider than it
+    * (boilerplate text — thousands of near-identical docs hashing to one
+    * bucket, which would square inside a single reducer) are dropped
+    * before the self-join. Standard practice: exact-duplicate dedup runs
+    * before MinHash, so a mega-bucket is noise, not signal; members this
+    * similar still pair up via their other bands when genuinely near-dup
+    * below the cap. Width check is a window count — same single shuffle
+    * as the join key, no extra aggregation pass. */
   def candidatePairs(sig: DataFrame, idCol: String,
-                     nHashes: Int = 16, bands: Int = 4): DataFrame = {
+                     nHashes: Int = 16, bands: Int = 4,
+                     maxBucket: Int = 64): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val r = nHashes / bands
     val banded = sig.select(
@@ -86,7 +96,12 @@ object MinHashDedup {
           md5(concat_ws("", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    banded.as("x").join(banded.as("y"),
+    val capped = banded
+      .withColumn("__bw", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("__bw") <= maxBucket)
+      .drop("__bw")
+    capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -102,14 +117,19 @@ object MinHashDedup {
 
   /** Full near-dup pipeline: pairs with Jaccard ≥ `threshold`.
     *
-    * `sig` feeds a self-join and `pairs` feeds three consumers; both are
-    * persisted so the shingle/md5 work runs once, not 3-6× (Catalyst does
-    * not materialize common subplans across self-joins). */
+    * `sig` feeds a self-join and `pairs` feeds three consumers, so the
+    * shingle/md5 work must not recompute per consumer (Catalyst does not
+    * materialize common subplans across self-joins). `sig` is persisted
+    * only for the duration of the candidate join: `pairs` — tiny, just id
+    * pairs — is eagerly localCheckpoint'ed, after which `sig`'s cache is
+    * released. Nothing session-lifetime leaks beyond the id-pair blocks. */
   def nearDuplicates(docs: DataFrame, idCol: String, textNorm: Column,
                      threshold: Double, k: Int = 9, maxChars: Int = 200,
-                     nHashes: Int = 16, bands: Int = 4): DataFrame = {
+                     nHashes: Int = 16, bands: Int = 4,
+                     maxBucket: Int = 64): DataFrame = {
     val sig = signatures(docs, idCol, textNorm, k, maxChars, nHashes).persist()
-    val pairs = candidatePairs(sig, idCol, nHashes, bands).persist()
+    val pairs = candidatePairs(sig, idCol, nHashes, bands, maxBucket).localCheckpoint(true)
+    sig.unpersist()
     // Shingle arrays are only materialized for candidate docs (semi-join
     // prune): the expensive array build never touches non-candidates.
     val ids = pairs.select(col("id_a").as(idCol))

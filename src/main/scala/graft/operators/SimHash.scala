@@ -6,25 +6,28 @@ import org.apache.spark.sql.functions._
 /** SimHash document fingerprinting (Charikar '02, as used for web-scale
   * near-dup detection in Manku et al. WWW'07).
   *
-  * Per doc: hash every token to 64 bits (`xxhash64`, codegen'd); for each
-  * of the low `nBits` bit positions sum +1/−1 votes across tokens; the
-  * sign vector packed into a long is the fingerprint. Near-dups share
-  * fingerprints (or differ in ≤ k bits — the equality form here clusters
-  * exact-simhash matches, the cheapest variant).
+  * Per doc: hash every token to `nBits` bits; for each bit position sum
+  * +1/−1 votes across tokens; the sign vector packed into a long is the
+  * fingerprint. The token hash is the first 8 hex chars of md5 parsed as
+  * an unsigned 32-bit value — md5 (not xxhash64) so a DuckDB oracle can
+  * reproduce the fingerprints bit-for-bit (same trick as
+  * MinHashDedup.signatures; xxhash64 has no cross-engine twin).
   *
   * Shape at scale: explode(tokens) → groupBy(doc) is one shuffle keyed by
   * doc id; the per-bit votes are map-side partial sums. No all-pairs
-  * anything. (xxhash64 has no DuckDB twin, so queries built on this are
-  * rows-only checked.)
+  * anything. `hammingPairs` adds the Manku pigeonhole-block candidate
+  * join for near-fingerprint (Hamming ≤ k) matches — equi-join on block
+  * values, never a cross join.
   */
 object SimHash {
 
   /** Adds `simhash` to one-row-per-doc input. `tokensCol` must be an
-    * array<string> column. */
+    * array<string> column; docs with no tokens drop out (no votes). */
   def withSimhash(docs: DataFrame, idCol: String, tokensCol: Column,
                   nBits: Int = 32): DataFrame = {
+    require(nBits >= 1 && nBits <= 32, "token hash is 32 bits (8 md5 hex chars)")
     val tok = docs.select(col(idCol), explode(tokensCol).as("__tok"))
-      .withColumn("__h", xxhash64(col("__tok")))
+      .withColumn("__h", conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long"))
     val votes = (0 until nBits).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__v$i")
     }
@@ -39,5 +42,38 @@ object SimHash {
   def clusters(withSim: DataFrame, idCol: String): DataFrame = {
     val counts = withSim.groupBy("simhash").agg(count(lit(1)).as("cluster_size"))
     withSim.join(counts, "simhash").select(col(idCol), col("simhash"), col("cluster_size"))
+  }
+
+  /** Pairs within Hamming distance ≤ `maxDist` of each other, via the
+    * Manku WWW'07 pigeonhole split: `nBits` split into `maxDist + 1`
+    * contiguous blocks — a pair differing in ≤ maxDist bits must agree
+    * exactly on at least one whole block. Candidates = equi-join per
+    * (block index, block value); verification = popcount of the XOR.
+    * At scale this is one shuffle on uniformly-distributed block values;
+    * the all-pairs form never appears.
+    *
+    * Input must carry (`idCol`, `simhash`); output (id_a, id_b, hamming).
+    */
+  def hammingPairs(withSim: DataFrame, idCol: String, nBits: Int = 32,
+                   maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0 && maxDist + 1 <= nBits, "need at least one bit per block")
+    val nBlocks = maxDist + 1
+    val blocks = (0 until nBlocks).map { b =>
+      val lo = b * nBits / nBlocks
+      val hi = (b + 1) * nBits / nBlocks
+      val mask = (1L << (hi - lo)) - 1
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bval"))
+    }
+    val blocked = withSim
+      .select(col(idCol), col("simhash"), explode(array(blocks: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.blk").as("blk"), col("bb.bval").as("bval"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
   }
 }

@@ -85,9 +85,13 @@ sig AS (
 banded AS (
   SELECT doc_id, b, md5(concat(mh[4*b+1], mh[4*b+2], mh[4*b+3], mh[4*b+4])) AS bucket
   FROM sig CROSS JOIN unnest([0,1,2,3]) t(b)),
+capped AS (
+  SELECT doc_id, b, bucket
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY b, bucket) AS bw FROM banded)
+  WHERE bw <= 64),
 cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM banded x JOIN banded y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+  FROM capped x JOIN capped y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
 j AS (
   SELECT id_a, id_b,
          CAST(len(list_filter(a.shingles, v -> list_contains(b.shingles, v))) AS DOUBLE) /
@@ -96,11 +100,92 @@ j AS (
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b
 """
 
-  /** SimHash clusters — xxhash64-based, no DuckDB twin → rows-only. */
+  /** SimHash clusters over md5-derived 32-bit token hashes (exact
+    * cross-engine twin below decodes the same bits from md5 hex). */
   def simhashClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val withSim = SimHash.withSimhash(docs, "doc_id", tokens(normalizeText(col("text"))))
     SimHash.clusters(withSim, "doc_id").orderBy("doc_id")
+  }
+
+  /** Shared oracle CTE chain ending in `sim(doc_id, simhash)` — the
+    * DuckDB twin of `SimHash.withSimhash` at 32 bits: token hash = first
+    * 8 md5 hex chars; bit j lives in hex char 8 − j/4 (big-endian), at
+    * in-nibble position j%4. Vote/pack expressions are generated so both
+    * engines agree bit-for-bit. */
+  private val simhashBaseSql: String = {
+    val nibbles = (0 until 8).map { i =>
+      s"strpos('0123456789abcdef', substr(hx, ${8 - i}, 1)) - 1 AS n$i"
+    }.mkString(",\n    ")
+    val votes = (0 until 32).map { j =>
+      s"SUM(CASE WHEN ((n${j / 4} >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n    ")
+    val pack = (0 until 32).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(s, ' ')) AS tk FROM norm WHERE length(s) > 0),
+nib AS (
+  SELECT doc_id,
+    $nibbles
+  FROM (SELECT doc_id, substr(md5(tk), 1, 8) AS hx FROM tok)),
+votes AS (
+  SELECT doc_id,
+    $votes
+  FROM nib GROUP BY doc_id),
+sim AS (
+  SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes)
+"""
+  }
+
+  val simhashClustersSql: String = simhashBaseSql + """
+SELECT s.doc_id, s.simhash, c.cluster_size
+FROM sim s
+JOIN (SELECT simhash, COUNT(*) AS cluster_size FROM sim GROUP BY simhash) c USING (simhash)
+ORDER BY doc_id
+"""
+
+  /** Hamming-≤2 near-fingerprint pairs (Manku pigeonhole blocks) over the
+    * corpus plus planted 1-bit-flip copies — the case exact-equality
+    * clustering can never find. Copies live at doc_id + 1,000,000 with
+    * bit (doc_id % 32) toggled. */
+  def simhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = SimHash.withSimhash(docs, "doc_id", tokens(normalizeText(col("text"))))
+    val planted = base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      col("simhash").bitwiseXOR(
+        expr("shiftleft(bigint(1), int(doc_id % 32))")).as("simhash"))
+    SimHash.hammingPairs(base.union(planted), "doc_id", nBits = 32, maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val simhashHammingSql: String = {
+    val nBits = 32; val nBlocks = 3
+    val blockSelects = (0 until nBlocks).map { b =>
+      val lo = b * nBits / nBlocks
+      val hi = (b + 1) * nBits / nBlocks
+      val mask = (1L << (hi - lo)) - 1
+      s"SELECT doc_id, simhash, $b AS blk, (simhash >> $lo) & $mask AS bval FROM allsim"
+    }.mkString("\n  UNION ALL\n  ")
+    simhashBaseSql + s""",
+pert AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         xor(simhash, CAST(1 AS BIGINT) << CAST(doc_id % 32 AS INTEGER)) AS simhash
+  FROM sim),
+allsim AS (SELECT * FROM sim UNION ALL SELECT * FROM pert),
+blocked AS (
+  $blockSelects),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+  FROM blocked x JOIN blocked y
+    ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 2 ORDER BY id_a, id_b
+"""
   }
 
   /** Exact brute-force cosine top-10 for a small query batch. */
@@ -192,6 +277,74 @@ sims AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sims)
 SELECT qid, vec_id, label, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
 """
+
+  /** IVF over k-means clusters learned in-query (no precomputed labels):
+    * deterministic Lloyd's (k=4, 2 iterations, md5-seeded init), then the
+    * same probe-2-clusters search as q_ann_ivf. The 100 TB path for an
+    * unclustered corpus. */
+  def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeans
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    val cents = KMeans.fit(e, "vec_id", "e", k = 4, iters = 2)
+    val clustered = KMeans.assign(e, "vec_id", "e", cents)
+      .withColumnRenamed("cid", "cluster")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    Knn.ivfTopK(q, clustered, "cluster", k = 5, nprobe = 2)
+      .select("qid", "vec_id", "cluster", "sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin of annIvfKmeans: the two Lloyd's iterations unrolled as
+    * CTE pairs (assign → scaled-int centroid recompute), then the final
+    * assignment and the IVF probe — generated so both engines share the
+    * exact expression shapes (raw cosine for argmax ranks, floor-trunc
+    * for reported sims). */
+  val annIvfKmeansSql: String = {
+    val seedOrder = "md5(concat('km|', CAST(vec_id AS VARCHAR)))"
+    def assignCte(out: String, cents: String) =
+      s"""$out AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS r
+    FROM e CROSS JOIN $cents c) x
+  WHERE r = 1)"""
+    def centCte(out: String, src: String) =
+      s"""$out AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / 1e6 / n ORDER BY i) AS cv
+  FROM (SELECT cid, i, SUM(CAST(round(v[i] * 1e6) AS BIGINT)) AS s, COUNT(*) AS n
+        FROM $src CROSS JOIN range(1, 65) t(i)
+        GROUP BY cid, i)
+  GROUP BY cid)"""
+    s"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seed AS (SELECT vec_id, v FROM e ORDER BY $seedOrder LIMIT 4),
+c0 AS (SELECT row_number() OVER (ORDER BY $seedOrder) - 1 AS cid, v AS cv FROM seed),
+${assignCte("a1", "c0")},
+${centCte("c1", "a1")},
+${assignCte("a2", "c1")},
+${centCte("c2", "a2")},
+${assignCte("af", "c2")},
+${centCte("cf", "af")},
+q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 8),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(q.qe, c.cv) DESC, c.cid) AS crank
+    FROM q CROSS JOIN cf c) x
+  WHERE crank <= 2),
+sims AS (
+  SELECT p.qid, a.vec_id, a.cid AS cluster,
+         CAST(floor(list_cosine_similarity(q.qe, a.v) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+  FROM probe p JOIN af a ON a.cid = p.cid JOIN q ON q.qid = p.qid
+  WHERE a.vec_id <> p.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sims)
+SELECT qid, vec_id, cluster, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+  }
 
   /** Language-ID heuristic vs ground truth: confusion matrix. */
   def langIdConfusion(s: SparkSession, dir: String): DataFrame =
@@ -345,9 +498,11 @@ GROUP BY source ORDER BY source
     "q_doc_fingerprint_clusters" -> (docFingerprintClusters _),
     "q_minhash_neardup" -> (minhashNearDup _),
     "q_simhash_clusters" -> (simhashClusters _),
+    "q_simhash_hamming" -> (simhashHamming _),
     "q_knn_bruteforce" -> (knnBruteForce _),
     "q_ann_lsh_bucket" -> (annLshBucket _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_kmeans" -> (annIvfKmeans _),
     "q_langid_confusion" -> (langIdConfusion _),
     "q_quality_scores" -> (qualityScores _),
     "q_token_stats" -> (tokenStats _),
@@ -358,9 +513,12 @@ GROUP BY source ORDER BY source
     "q_doc_exact_dedup" -> docExactDedupSql,
     "q_doc_fingerprint_clusters" -> docFingerprintClustersSql,
     "q_minhash_neardup" -> minhashNearDupSql,
+    "q_simhash_clusters" -> simhashClustersSql,
+    "q_simhash_hamming" -> simhashHammingSql,
     "q_knn_bruteforce" -> knnBruteForceSql,
     "q_ann_lsh_bucket" -> annLshBucketSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_kmeans" -> annIvfKmeansSql,
     "q_langid_confusion" -> langIdConfusionSql,
     "q_quality_scores" -> qualityScoresSql,
     "q_token_stats" -> tokenStatsSql,

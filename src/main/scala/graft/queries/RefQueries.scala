@@ -20,6 +20,12 @@ object RefQueries {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
+  /** Scale-independent ceiling on the CSV fixture size (q_csv_source):
+    * well above the l_orderkey<2000 selection at any SF (orderkey space
+    * scales with SF, so that predicate selects a near-constant row
+    * count), and a hard driver-memory guard if it didn't. */
+  val FixtureRowCap: Int = 100000
+
   /** Flagship: the full CSV-job pipeline C3→C9 on lineitem. */
   def csvPipeline(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
@@ -98,19 +104,35 @@ ORDER BY account_id, ticket, "timestamp"
       when(col("l_linenumber") === 7, lit("N/A"))
         .otherwise(col("l_extendedprice").cast("string")).as("price_s"),
       date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ct_s"))
-    val rows = staged.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getString(4), r.getString(5)))
-      .sortBy(r => (r._1, r._2, r._3, r._4, r._5, r._6))
+    // Fixture write without a driver collect(): the sort+limit is a
+    // distributed TakeOrdered, and toLocalIterator streams rows in order
+    // — driver memory is bounded by FixtureRowCap regardless of SF (the
+    // l_orderkey predicate pins the logical row count; the cap is the
+    // hard guard if the predicate were ever widened). Rows arrive sorted
+    // by file number first, so files are written sequentially, one open
+    // writer at a time.
     val fixDir = java.nio.file.Paths.get("target",
       "csv_fixture_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     java.nio.file.Files.createDirectories(fixDir)
-    rows.groupBy(_._1).foreach { case (fno, rs) =>
-      val sb = new StringBuilder("FXBlue personal export v1\n")
-      sb.append("Ticket,Symbol,Lots,Open price,Close time\n")
-      rs.foreach(r => sb.append(s"${r._2},${r._3},${r._4},${r._5},${r._6}\n"))
-      java.nio.file.Files.writeString(fixDir.resolve(s"acct_$fno.csv"), sb.toString)
+    import scala.jdk.CollectionConverters._
+    val it = staged
+      .orderBy("fno", "ticket_s", "symbol", "lots_s", "price_s", "ct_s")
+      .limit(FixtureRowCap)
+      .toLocalIterator().asScala
+    var curFno: String = null
+    var w: java.io.BufferedWriter = null
+    for (r <- it) {
+      val fno = r.getString(0)
+      if (fno != curFno) {
+        if (w != null) w.close()
+        w = java.nio.file.Files.newBufferedWriter(fixDir.resolve(s"acct_$fno.csv"))
+        w.write("FXBlue personal export v1\n")
+        w.write("Ticket,Symbol,Lots,Open price,Close time\n")
+        curFno = fno
+      }
+      w.write(s"${r.getString(1)},${r.getString(2)},${r.getString(3)},${r.getString(4)},${r.getString(5)}\n")
     }
+    if (w != null) w.close()
     val schema = StructType(Seq("Ticket", "Symbol", "Lots", "Open price", "Close time")
       .map(StructField(_, StringType)))
     val raw = graft.sources.SkipRowsCsv.read(s,
@@ -338,12 +360,23 @@ WHERE f.event_type = 'purchase'
 ORDER BY position_ticket
 """
 
+  /** Cap on synthesized feed entries per account: RSS feeds are bounded
+    * documents by nature, and the per-key string aggregate below must
+    * never build an unbounded row (2 GB string ceiling, one-task parse).
+    * 4096 items ≈ 500 KB of XML — ample for a feed, safe for a task. */
+  val FeedEntryCap: Int = 4096
+
   /** R3 end-to-end: synthesize one XML feed document per account (items
-    * in time order, lexicographically sortable ord key), parse through
-    * `from_xml`, flatten with document order preserved as `entry_idx`. */
+    * in time order, lexicographically sortable ord key, first
+    * `FeedEntryCap` entries per account), parse through `from_xml`,
+    * flatten with document order preserved as `entry_idx`. */
   def rssSource(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val e = t(s, dir, "events")
+      .withColumn("__rn", row_number().over(wUser))
+      .filter(col("__rn") <= FeedEntryCap)
     val item = concat(
       lit("<item><ord>"), format_string("%020d", unix_micros(col("ts"))),
       format_string("%020d", col("event_id")),
@@ -365,10 +398,13 @@ ORDER BY position_ticket
   }
 
   val rssSourceSql: String = """
-SELECT user_id,
-       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS entry_idx,
+SELECT user_id, CAST(rn - 1 AS INTEGER) AS entry_idx,
        event_id AS ticket, event_type AS etype, value AS val
-FROM events ORDER BY user_id, entry_idx
+FROM (SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn <= 4096
+ORDER BY user_id, entry_idx
 """
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

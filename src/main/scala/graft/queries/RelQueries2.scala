@@ -245,16 +245,38 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
-  /** Approximate distinct (HLL++) — sketch results are engine-specific,
-    * so this is a rows-only entry (no oracle). At 100 TB this replaces
-    * exact distinct wherever a ±2% answer is acceptable: no shuffle of
-    * the distinct keys, just mergeable sketches. */
+  /** Approximate distinct (HLL++). Sketch estimates are engine-specific,
+    * so the oracle contract is a tolerance gate: the query emits the
+    * exact counts plus booleans asserting |approx − exact| ≤ 10% · exact
+    * (rsd = 0.02, so 10% is a ≥5σ bound); the DuckDB twin emits the same
+    * exact counts with literal TRUE. An out-of-tolerance sketch flips the
+    * boolean and fails the hash-compare — a real check, not rows-only.
+    * At 100 TB HLL replaces exact distinct wherever a ±2% answer is
+    * acceptable: no shuffle of the distinct keys, just mergeable
+    * sketches. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("__ap"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("__as"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+        (abs(col("__ap") - col("n_parts")).cast("double") <=
+          col("n_parts").cast("double") * 0.10).as("parts_ok"),
+        (abs(col("__as") - col("n_supps")).cast("double") <=
+          col("n_supps").cast("double") * 0.10).as("supps_ok"))
       .orderBy("l_returnflag")
+
+  val approxDistinctSql: String = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       TRUE AS parts_ok, TRUE AS supps_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
   /** Semi-structured JSON column: schema-on-read extraction + aggregate. */
   def jsonProps(s: SparkSession, dir: String): DataFrame = {
@@ -300,5 +322,6 @@ ORDER BY event_type
     "q_range_join" -> rangeJoinSql,
     "q_asof_join" -> asofJoinSql,
     "q_distinct_agg" -> distinctAggSql,
+    "q_approx_distinct" -> approxDistinctSql,
     "q_json_props" -> jsonPropsSql)
 }

@@ -183,13 +183,35 @@ FROM (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents F
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
-  /** Approximate percentiles (mergeable KLL-style sketch) — rows-only. */
-  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .groupBy("o_orderstatus")
-      .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
-        approx_percentile(col("o_totalprice"), lit(0.99), lit(1000)).as("p99_approx"))
+  /** Approximate percentiles (mergeable sketch). Oracle contract is a
+    * tolerance gate (same pattern as q_approx_distinct): exact exact-cents
+    * percentiles plus booleans asserting the sketch lands within 5% of
+    * exact (accuracy 10000 → rank error ≤ n/10000, far inside 5% value
+    * error here); the DuckDB twin emits literal TRUE. An out-of-tolerance
+    * sketch fails the hash-compare. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    o.groupBy("o_orderstatus")
+      .agg(
+        (percentile(col("cents"), lit(0.5)) / 100.0).as("p50"),
+        (percentile(col("cents"), lit(0.99)) / 100.0).as("p99"),
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("__a50"),
+        approx_percentile(col("o_totalprice"), lit(0.99), lit(10000)).as("__a99"))
+      .select(col("o_orderstatus"), col("p50"), col("p99"),
+        (abs(col("__a50") - col("p50")) <= col("p50") * 0.05).as("p50_ok"),
+        (abs(col("__a99") - col("p99")) <= col("p99") * 0.05).as("p99_ok"))
       .orderBy("o_orderstatus")
+  }
+
+  val approxPercentilesSql: String = """
+SELECT o_orderstatus,
+  quantile_cont(cents, 0.5) / 100.0 AS p50,
+  quantile_cont(cents, 0.99) / 100.0 AS p99,
+  TRUE AS p50_ok, TRUE AS p99_ok
+FROM (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
 
   /** Word-bigram Jaccard similarity between documents (the n-gram-Jaccard
     * dedup family; char-shingle MinHash covers the hashed variant). All
@@ -227,13 +249,18 @@ WHERE CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) /
 ORDER BY id_a, id_b
 """
 
-  /** Embedding-cosine near-dup: brute-force all-pairs (bounded corpora;
-    * the LSH-bucketed path in Knn is the unbounded variant), canonical =
-    * lowest id. */
+  /** Embedding-cosine near-dup, sign-bucket LSH form: candidates come
+    * from an equi-join on the 8-bit sign bucket (both sides hash-partition
+    * on it), never a theta self-join — the shape that survives an
+    * unbounded corpus. Approximate by construction: a near-dup pair in
+    * different buckets is unreported, the standard LSH recall tradeoff
+    * (probe neighbor buckets to raise recall). Canonical = lowest id. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("bucket", signBucket(col("e"), 8))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("dup_id"),
         graft.operators.Knn.truncSim(
           cosineFast(col("a.e"), col("b.e"))).as("sim"))
@@ -242,11 +269,17 @@ ORDER BY id_a, id_b
   }
 
   val embeddingNearDupSql: String = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-       CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000) AS DOUBLE) / 1000000.0 AS sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000) AS DOUBLE) / 1000000.0 >= 0.4
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+        (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END) +
+        (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) +
+        (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) +
+        (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM e)
+SELECT a.vec_id AS keep_id, b2.vec_id AS dup_id,
+       CAST(floor(list_cosine_similarity(a.v, b2.v) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE CAST(floor(list_cosine_similarity(a.v, b2.v) * 1000000) AS DOUBLE) / 1000000.0 >= 0.4
 ORDER BY keep_id, dup_id
 """
 
@@ -298,6 +331,7 @@ ORDER BY c_mktsegment, rank
     "q_sessionize" -> sessionizeSql,
     "q_pivot" -> pivotCountsSql,
     "q_percentiles" -> percentilesSql,
+    "q_approx_percentiles" -> approxPercentilesSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_embedding_neardup" -> embeddingNearDupSql)
 }

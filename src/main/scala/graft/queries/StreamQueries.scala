@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.StreamingIngest
+
+/** CORRECTNESS coverage for the streaming path (SURVEY §7 stretch):
+  * drives the `foreachBatch` MERGE sink through a real `MemoryStream`
+  * query and checks batch-equivalence — the streaming result must equal
+  * what one batch MERGE cascade over the same data produces, which is
+  * exactly what the DuckDB twin computes.
+  *
+  * Three deterministic micro-batches over a bounded orders slice:
+  * batch 0 carries keys with ticket%2=0, batch 1 %3=0, batch 2 %5=0
+  * (overlapping on purpose). `batch_tag`/`price` are update columns —
+  * last writer wins; `prio` is insert-only — first writer wins. Both
+  * rules are closed-form per key, so the oracle is plain SQL.
+  */
+object StreamQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Bound on rows fed through the driver-side MemoryStream harness
+    * (orderkey space scales with SF, so the predicate itself selects a
+    * near-constant count; the cap is the hard guard). The production
+    * entry point is `readStream` over files/queues — MemoryStream is the
+    * deterministic test harness the correctness gate needs. */
+  val StreamRowCap: Int = 10000
+
+  def streamingMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = t(s, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey").as("ticket"), col("o_totalprice").as("price"),
+        col("o_orderpriority").as("prio"))
+      .orderBy("ticket").limit(StreamRowCap)
+      .as[(Long, Double, String)].collect()
+    val batches = Seq(
+      rows.toSeq.filter(_._1 % 2 == 0)
+        .map { case (k, p, pr) => (k, "B0", p, s"B0:$pr") },
+      rows.toSeq.filter(_._1 % 3 == 0)
+        .map { case (k, p, pr) => (k, "B1", p * 2, s"B1:$pr") },
+      rows.toSeq.filter(_._1 % 5 == 0)
+        .map { case (k, p, pr) => (k, "B2", p * 3, s"B2:$pr") })
+    val tgt = java.nio.file.Paths.get("target",
+      "stream_merge_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    // clean slate: the query must be a pure function of the input dir
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tgt), true)
+    fs.delete(new org.apache.hadoop.fs.Path(tgt + "__staged"), true)
+    val in = MemoryStream[(Long, String, Double, String)]
+    val df = in.toDF().toDF("ticket", "batch_tag", "price", "prio")
+    val q = df.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        StreamingIngest.upsertBatch(batch, tgt, keys = Seq("ticket"),
+          updateCols = Seq("batch_tag", "price"), insertOnlyCols = Seq("prio"))
+    }.start()
+    try {
+      batches.foreach { data => in.addData(data); q.processAllAvailable() }
+    } finally q.stop()
+    s.read.parquet(tgt).orderBy("ticket")
+  }
+
+  /** Closed form of the three-batch MERGE cascade: update columns take
+    * the LAST batch containing the key, insert-only columns the FIRST. */
+  val streamingMergeSql: String = """
+WITH o AS (
+  SELECT o_orderkey AS ticket, o_totalprice AS price, o_orderpriority AS prio
+  FROM orders WHERE o_orderkey < 2000)
+SELECT ticket,
+  CASE WHEN ticket % 5 = 0 THEN 'B2'
+       WHEN ticket % 3 = 0 THEN 'B1'
+       ELSE 'B0' END AS batch_tag,
+  CASE WHEN ticket % 5 = 0 THEN price * 3
+       WHEN ticket % 3 = 0 THEN price * 2
+       ELSE price END AS price,
+  CASE WHEN ticket % 2 = 0 THEN concat('B0:', prio)
+       WHEN ticket % 3 = 0 THEN concat('B1:', prio)
+       ELSE concat('B2:', prio) END AS prio
+FROM o
+WHERE ticket % 2 = 0 OR ticket % 3 = 0 OR ticket % 5 = 0
+ORDER BY ticket
+"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaming_merge" -> (streamingMerge _))
+
+  val oracles: Map[String, String] = Map(
+    "q_streaming_merge" -> streamingMergeSql)
+}

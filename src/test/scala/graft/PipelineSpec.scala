@@ -66,10 +66,8 @@ class PipelineSpec extends GraftSuite {
     assert(empty.isEmpty, s"empty results: ${empty.keys.mkString(", ")}")
   }
 
-  test("every query has an oracle or is explicitly rows-only") {
+  test("every query has an oracle") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_simhash_clusters", "q_approx_distinct",
-      "q_approx_percentiles"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 }
