@@ -38,10 +38,16 @@ object SimHash {
     agg.select(col(idCol), packed.as("simhash"))
   }
 
-  /** Cluster docs sharing a simhash; `cluster_size` > 1 ⇒ near-dup set. */
+  /** Cluster docs sharing a simhash; `cluster_size` > 1 ⇒ near-dup set.
+    *
+    * The input feeds two consumers (rows + counts) and Catalyst does not
+    * share subplans across a self-join, so the signature frame — tiny,
+    * one (id, long) row per doc — is eagerly materialized first; the
+    * token-hash aggregation behind it runs once, not twice. */
   def clusters(withSim: DataFrame, idCol: String): DataFrame = {
-    val counts = withSim.groupBy("simhash").agg(count(lit(1)).as("cluster_size"))
-    withSim.join(counts, "simhash").select(col(idCol), col("simhash"), col("cluster_size"))
+    val sim = withSim.localCheckpoint(true)
+    val counts = sim.groupBy("simhash").agg(count(lit(1)).as("cluster_size"))
+    sim.join(counts, "simhash").select(col(idCol), col("simhash"), col("cluster_size"))
   }
 
   /** Pairs within Hamming distance ≤ `maxDist` of each other, via the
@@ -57,6 +63,9 @@ object SimHash {
   def hammingPairs(withSim: DataFrame, idCol: String, nBits: Int = 32,
                    maxDist: Int = 2): DataFrame = {
     require(maxDist >= 0 && maxDist + 1 <= nBits, "need at least one bit per block")
+    // Same self-join recompute guard as `clusters`: materialize the
+    // (id, simhash) frame once before fanning out to x/y sides.
+    val sim = withSim.localCheckpoint(true)
     val nBlocks = maxDist + 1
     val blocks = (0 until nBlocks).map { b =>
       val lo = b * nBits / nBlocks
@@ -65,7 +74,7 @@ object SimHash {
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bval"))
     }
-    val blocked = withSim
+    val blocked = sim
       .select(col(idCol), col("simhash"), explode(array(blocks: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.blk").as("blk"), col("bb.bval").as("bval"))
     blocked.as("x").join(blocked.as("y"),

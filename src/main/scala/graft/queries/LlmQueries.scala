@@ -154,7 +154,10 @@ ORDER BY doc_id
     * bit (doc_id % 32) toggled. */
   def simhashHamming(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // base feeds both union branches — materialize the tiny signature
+    // frame so the token-hash aggregation runs once, not per branch.
     val base = SimHash.withSimhash(docs, "doc_id", tokens(normalizeText(col("text"))))
+      .localCheckpoint(true)
     val planted = base.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       col("simhash").bitwiseXOR(
