@@ -113,7 +113,7 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b
     * 8 md5 hex chars; bit j lives in hex char 8 − j/4 (big-endian), at
     * in-nibble position j%4. Vote/pack expressions are generated so both
     * engines agree bit-for-bit. */
-  private val simhashBaseSql: String = {
+  private[queries] val simhashBaseSql: String = {
     val nibbles = (0 until 8).map { i =>
       s"strpos('0123456789abcdef', substr(hx, ${8 - i}, 1)) - 1 AS n$i"
     }.mkString(",\n    ")

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+import graft.operators.{ConnectedComponents, SimHash}
+
+/** Second batch of LLM-training-data pipeline operators: transitive
+  * dedup clustering (connected components over the near-dup pair graph)
+  * and TF-IDF term scoring.
+  */
+object LlmQueries2 {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Transitive dedup clusters: edges = exact-fingerprint duplicate pairs
+    * ∪ SimHash Hamming-≤2 near-dup pairs; components via alternating
+    * large-star/small-star (O(log n) shuffle rounds, no driver-side
+    * graph). One row per clustered doc with its canonical (min) id — the
+    * doc a deduplicating pipeline would keep — and the cluster size.
+    * Docs in no pair (the vast majority) are untouched singletons and do
+    * not appear. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+    val fpMin = fp.groupBy("fingerprint").agg(min(col("doc_id")).as("src"))
+    val fpEdges = fp.join(fpMin, "fingerprint")
+      .filter(col("doc_id") =!= col("src"))
+      .select(col("src"), col("doc_id").as("dst"))
+    val sim = SimHash.withSimhash(docs, "doc_id", tokens(normalizeText(col("text"))))
+    val hamEdges = SimHash.hammingPairs(sim, "doc_id", nBits = 32, maxDist = 2)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents.components(fpEdges.union(hamEdges))
+    comp.join(ConnectedComponents.clusterSizes(comp), "component")
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: same edge set, components via recursive-CTE transitive
+    * closure (min reachable id). Closure is O(n·m) rows — fine for the
+    * oracle's small data, and exactly why the engine side uses
+    * large-star/small-star instead. */
+  val dedupClustersSql: String = {
+    val nBits = 32; val nBlocks = 3
+    val blockSelects = (0 until nBlocks).map { b =>
+      val lo = b * nBits / nBlocks
+      val hi = (b + 1) * nBits / nBlocks
+      val mask = (1L << (hi - lo)) - 1
+      s"SELECT doc_id, simhash, $b AS blk, (simhash >> $lo) & $mask AS bval FROM sim"
+    }.mkString("\n  UNION ALL\n  ")
+    LlmQueries.simhashBaseSql.replaceFirst("WITH", "WITH RECURSIVE") + s""",
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+  FROM documents),
+fpe AS (
+  SELECT m.src, f.doc_id AS dst
+  FROM fp f
+  JOIN (SELECT fingerprint, min(doc_id) AS src FROM fp GROUP BY fingerprint) m USING (fingerprint)
+  WHERE f.doc_id <> m.src),
+blocked AS (
+  $blockSelects),
+hp AS (
+  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+  FROM blocked x JOIN blocked y
+    ON x.blk = y.blk AND x.bval = y.bval AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2),
+edges AS (SELECT src, dst FROM fpe UNION SELECT src, dst FROM hp),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT c.doc_id, c.component, s.cluster_size
+FROM comp c JOIN sizes s USING (component)
+ORDER BY doc_id
+"""
+  }
+
+  /** TF-IDF top-5 terms per doc (linear-ratio idf variant: score =
+    * tf · N / df). The ratio form keeps the score an exact integer
+    * quotient — one IEEE division, bitwise reproducible cross-engine —
+    * where ln-based idf would hinge on libm agreement in the last ulp.
+    * tf and df come from one explode→groupBy cascade: the explode output
+    * never shuffles twice (tf aggregates map-side per (doc, term); df
+    * reuses the tf frame, not the token rows). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(normalizeText(col("text")))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("doc_id") < 50)
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopTermsSql: String = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(s, ' ')) AS term FROM norm WHERE length(s) > 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df.df,
+         CAST(tf * n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE doc_id < 50),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored)
+SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> (dedupClusters _),
+    "q_tfidf_topterms" -> (tfidfTopTerms _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_tfidf_topterms" -> tfidfTopTermsSql)
+}
