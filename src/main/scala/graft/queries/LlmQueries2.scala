@@ -126,11 +126,116 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term
 SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 5 ORDER BY doc_id, rank
 """
 
+  /** Training-sequence packing (concat-and-chunk): per language, docs
+    * concatenate in doc_id order and split into 4096-token context
+    * windows; a doc's chunk is where its first token lands. The running
+    * total is a window cumsum over exact longs — deterministic, and at
+    * scale one shuffle keyed by the pack partition (lang), the same key
+    * the output is written by. */
+  def seqPacking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), bpeTokenCount(col("text")).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("chunk_id", ((col("cum") - col("toks")) / lit(4096L)).cast("long"))
+      .groupBy("lang", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("chunk_tokens"))
+      .orderBy("lang", "chunk_id")
+  }
+
+  val seqPackingSql: String = """
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+  FROM documents),
+c AS (
+  SELECT lang, doc_id, toks,
+         SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d)
+SELECT lang, (cum - toks) // 4096 AS chunk_id, COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS chunk_tokens
+FROM c GROUP BY lang, chunk_id ORDER BY lang, chunk_id
+"""
+
+  /** Repetition signal (Gopher-style quality filter): fraction of
+    * duplicate word 3-grams per doc. The n-grams come from lead() windows
+    * over exploded token rows — fully codegen'd relational ops, no
+    * higher-order array lambdas — so the shape survives fact-table scale:
+    * one shuffle keyed by doc. */
+  def dupNgramRatio(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(normalizeText(col("text")))).as(Seq("pos", "tk")))
+    val ng = tok
+      .withColumn("t2", lead(col("tk"), 2).over(w))
+      .withColumn("ng", concat_ws(" ",
+        col("tk"), lead(col("tk"), 1).over(w), col("t2")))
+      .filter(col("t2").isNotNull)
+    ng.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("ng")).as("n_distinct"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val dupNgramRatioSql: String = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+tok AS (
+  SELECT doc_id, u.i - 1 AS pos, u.tk FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts) + 1),
+                                 i -> struct_pack(i := i, tk := ts[i]))) AS u
+    FROM (SELECT doc_id, string_split(s, ' ') AS ts FROM norm WHERE length(s) > 0) x) y),
+ng AS (
+  SELECT doc_id,
+         concat_ws(' ', tk,
+                   lead(tk, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                   lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS ng,
+         lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM tok)
+SELECT doc_id, COUNT(*) AS n_ngrams, COUNT(DISTINCT ng) AS n_distinct,
+       1.0 - CAST(COUNT(DISTINCT ng) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+FROM ng WHERE t2 IS NOT NULL
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+  /** Corpus vocabulary head: global top-20 tokens by frequency with a
+    * deterministic tiebreak. explode → partial-agg count → TakeOrdered:
+    * the shuffle carries one row per distinct token, the driver sees 20
+    * rows. */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(tokens(normalizeText(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val vocabTopKSql: String = """
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s FROM documents),
+tok AS (SELECT unnest(string_split(s, ' ')) AS token FROM norm WHERE length(s) > 0)
+SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+ORDER BY n DESC, token LIMIT 20
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (dedupClusters _),
-    "q_tfidf_topterms" -> (tfidfTopTerms _))
+    "q_tfidf_topterms" -> (tfidfTopTerms _),
+    "q_seq_packing" -> (seqPacking _),
+    "q_dup_ngram_ratio" -> (dupNgramRatio _),
+    "q_vocab_topk" -> (vocabTopK _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" -> dedupClustersSql,
-    "q_tfidf_topterms" -> tfidfTopTermsSql)
+    "q_tfidf_topterms" -> tfidfTopTermsSql,
+    "q_seq_packing" -> seqPackingSql,
+    "q_dup_ngram_ratio" -> dupNgramRatioSql,
+    "q_vocab_topk" -> vocabTopKSql)
 }

@@ -407,9 +407,57 @@ WHERE rn <= 4096
 ORDER BY user_id, entry_idx
 """
 
+  /** R1 end-to-end: land the customer dim as a real ECMA-376 workbook
+    * (bounded: the key predicate pins it to dim size, like q_csv_source's
+    * cap), read it back through the JDK-only Xlsx source (executor-side
+    * parse, schema-on-read strings), cast, and broadcast-join order
+    * counts onto it — the reference's `pd.read_excel` → join flow
+    * (`RSS PARSER/gcp_rss.py:24-28,49-63`). Doubles round-trip exactly:
+    * shortest-repr toString parses back to the identical bits. */
+  def xlsxDim(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val cust = t(s, dir, "customer").filter(col("c_custkey") < 200)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val fixture = new java.io.File("target",
+      "xlsx_fixture_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "/customers.xlsx")
+    val rows = cust.orderBy("c_custkey").limit(FixtureRowCap)
+      .toLocalIterator().asScala
+      .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSeq
+    graft.sources.Xlsx.write(
+      Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"), rows, fixture)
+    val dim = graft.sources.Xlsx.read(s, fixture.getAbsolutePath)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("c_acctbal"), col("c_mktsegment"))
+    // Dim-preserving join at fact scale: a left-outer can only broadcast
+    // its non-preserved side, so prune the fact scan with a broadcast
+    // semi-join on the dim keys FIRST — the aggregation then runs over
+    // only matching orders and its result is small enough to broadcast
+    // back onto the preserved dim.
+    val dimKeys = dim.select(col("c_custkey").as("k"))
+    val counts = t(s, dir, "orders")
+      .join(broadcast(dimKeys), col("o_custkey") === col("k"), "left_semi")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    dim.join(broadcast(counts), dim("c_custkey") === counts("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val xlsxDimSql: String = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+       COALESCE(o.n, 0) AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) o
+  ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey < 200
+ORDER BY c_custkey
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_pipeline" -> (csvPipeline _),
     "q_csv_source" -> (csvSource _),
+    "q_xlsx_dim" -> (xlsxDim _),
     "q_rss_source" -> (rssSource _),
     "q_scalar_cleansing" -> (scalarCleansing _),
     "q_dedup_keepfirst" -> (dedupKeepFirst _),
@@ -421,6 +469,7 @@ ORDER BY user_id, entry_idx
   val oracles: Map[String, String] = Map(
     "q_csv_pipeline" -> csvPipelineSql,
     "q_csv_source" -> csvSourceSql,
+    "q_xlsx_dim" -> xlsxDimSql,
     "q_rss_source" -> rssSourceSql,
     "q_scalar_cleansing" -> scalarCleansingSql,
     "q_dedup_keepfirst" -> dedupKeepFirstSql,

@@ -42,6 +42,51 @@ class ScaleTechniquesSpec extends GraftSuite {
     assert(pruned.count() > 0 && pruned.count() < all.count())
   }
 
+  test("runtime bloom filter injected on the fact side of a selective shuffle join") {
+    // The Spark-native semi-join reduction: a selective dim-side filter
+    // spawns a bloom-filter subquery that prunes fact rows BEFORE the
+    // join shuffle — at 100 TB that's the difference between shuffling
+    // the whole fact table and shuffling the ~matching slice.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    try {
+      // Raw scans, not Tables(): the small-file Repartition guard sits
+      // between filter and scan and defeats InjectRuntimeFilter's
+      // selective-filter-over-scan pattern. At real scale there is no
+      // such guard node and injection applies as here.
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter must be injected:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    }
+  }
+
+  test("range-sorted parquet layout yields pairwise-disjoint file ranges") {
+    import graft.sinks.RangeSortedParquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString + "/orders"
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    RangeSortedParquet.write(o, dir, col("o_orderkey"), nFiles = 8)
+    val ranges = RangeSortedParquet.fileRanges(spark, dir, "o_orderkey")
+      .orderBy("lo").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length == 8, s"expected 8 files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: hi=$hi1 vs next lo=$lo2")
+      case _ =>
+    }
+  }
+
   test("joining two same-bucketed tables plans zero shuffle exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")

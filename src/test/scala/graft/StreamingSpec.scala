@@ -57,6 +57,32 @@ class StreamingSpec extends GraftSuite {
       ("2024-01-01 10:00:00", "y", 1L, 0.75)))
   }
 
+  test("streaming state on RocksDB provider: same dedup semantics, spill-safe state") {
+    // The 100 TB state-store choice: RocksDB keeps streaming state on
+    // disk with incremental checkpoints instead of exhausting executor
+    // heap. Same query semantics as the HDFS-backed default — asserted
+    // by rerunning the dedup scenario against the swapped provider.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Timestamp, Double)]
+    val df = in.toDF().toDF("account_id", "ticket", "event_time", "profit")
+    val q = StreamingIngest.dedupStream(df, "event_time", "10 minutes",
+        Seq("account_id", "ticket"))
+      .writeStream.format("memory").queryName("rocks_out")
+      .option("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .outputMode("append").start()
+    in.addData(("a", 1L, ts("2024-01-01 10:00:00"), 5.0),
+      ("a", 1L, ts("2024-01-01 10:00:30"), 5.0))
+    q.processAllAvailable()
+    in.addData(("a", 1L, ts("2024-01-01 10:02:00"), 9.9),
+      ("c", 9L, ts("2024-01-01 10:02:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("rocks_out")
+      .select("account_id", "ticket").as[(String, Long)].collect().toSeq
+    assert(out.size == 2 && out.toSet == Set(("a", 1L), ("c", 9L)))
+  }
+
   test("stateful sessionization: gap closes a session, state carries across batches") {
     import graft.streaming.SessionizeStream
     import graft.streaming.SessionizeStream.Event
