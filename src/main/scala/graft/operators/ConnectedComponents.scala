@@ -73,11 +73,13 @@ object ConnectedComponents {
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val mins = sym.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+    // No distinct here: smallStar dedups its output, so an extra exchange
+    // per round buys nothing (duplicate edges only inflate the round's
+    // own groupBy input, which map-side combine absorbs).
     sym.join(mins, "src")
       .filter(col("dst") > col("src"))
       .select(col("m").as("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** Small-star: every node connects its strictly-smaller neighbors (and

@@ -61,11 +61,53 @@ WHERE o_totalprice > 2 * (
 ORDER BY o_orderkey
 """
 
+  /** Recursive CTE (hierarchical query surface, Spark ≥ 4.0): walk a
+    * key-derived tree — parent(c) = c div 10, roots under 10 — and
+    * aggregate subtree population and balance per (root, depth). Each
+    * recursion step is a distributed join of the frontier against the
+    * table; depth is O(log₁₀ N) so the step count stays bounded at any
+    * scale. (For data-dependent graphs with unknown depth, the
+    * ConnectedComponents operator is the scale path; this exercises the
+    * SQL front end.) */
+  def recursiveCte(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "customer")
+    s.sql("""
+      WITH RECURSIVE h(id, root, depth, bal_cents) AS (
+        SELECT c_custkey, c_custkey, 0,
+               CAST(round(c_acctbal * 100) AS BIGINT)
+        FROM customer_v WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, h.root, h.depth + 1,
+               CAST(round(c.c_acctbal * 100) AS BIGINT)
+        FROM customer_v c JOIN h ON c.c_custkey div 10 = h.id
+        WHERE c.c_custkey >= 10)
+      SELECT root, depth, COUNT(*) AS n_nodes,
+             CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS total_bal
+      FROM h GROUP BY root, depth
+      ORDER BY root, depth""")
+  }
+
+  val recursiveCteSql: String = """
+WITH RECURSIVE h(id, root, depth, bal_cents) AS (
+  SELECT c_custkey, c_custkey, 0, CAST(round(c_acctbal * 100) AS BIGINT)
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, h.root, h.depth + 1, CAST(round(c.c_acctbal * 100) AS BIGINT)
+  FROM customer c JOIN h ON c.c_custkey // 10 = h.id
+  WHERE c.c_custkey >= 10)
+SELECT root, depth, COUNT(*) AS n_nodes,
+       CAST(SUM(bal_cents) AS DOUBLE) / 100.0 AS total_bal
+FROM h GROUP BY root, depth
+ORDER BY root, depth
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lateral_topn" -> (lateralTopN _),
-    "q_correlated_scalar" -> (correlatedScalar _))
+    "q_correlated_scalar" -> (correlatedScalar _),
+    "q_recursive_cte" -> (recursiveCte _))
 
   val oracles: Map[String, String] = Map(
     "q_lateral_topn" -> lateralTopNSql,
-    "q_correlated_scalar" -> correlatedScalarSql)
+    "q_correlated_scalar" -> correlatedScalarSql,
+    "q_recursive_cte" -> recursiveCteSql)
 }

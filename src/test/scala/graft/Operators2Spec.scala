@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, DataQuality, FuzzyJoin, SnapshotDiff}
+
+class Operators2Spec extends GraftSuite {
+  import spark.implicits._
+
+  private val quotes = Seq(
+    ("k", 10L, 1.0), ("k", 20L, 2.0), ("k", 30L, 3.0)).toDF("qk", "qt", "px")
+
+  test("asof forward picks earliest right at-or-after; equal time matches") {
+    val trades = Seq(("k", 5L), ("k", 20L), ("k", 25L), ("k", 31L)).toDF("tk", "tt")
+    val out = AsOfJoin.forward(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"))
+      .orderBy("tt").select("tt", "px").as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq((5L, Some(1.0)), (20L, Some(2.0)), (25L, Some(3.0)), (31L, None)))
+  }
+
+  test("asof nearest prefers closer side, backward on exact tie, honors tolerance") {
+    val trades = Seq(("k", 14L), ("k", 15L), ("k", 29L), ("k", 100L)).toDF("tk", "tt")
+    val near = AsOfJoin.nearest(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"))
+      .orderBy("tt").select("tt", "px").as[(Long, Option[Double])].collect().toSeq
+    // 14 → 10 closer than 20; 15 → equidistant, backward (10) wins; 29 → 30
+    assert(near == Seq((14L, Some(1.0)), (15L, Some(1.0)), (29L, Some(3.0)), (100L, Some(3.0))))
+    val tol = AsOfJoin.nearest(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"),
+        tolerance = Some(lit(5.0)))
+      .orderBy("tt").select("tt", "px").as[(Long, Option[Double])].collect().toSeq
+    assert(tol == Seq((14L, Some(1.0)), (15L, Some(1.0)), (29L, Some(3.0)), (100L, None)))
+  }
+
+  test("data-quality suite: one pass, per-check verdicts") {
+    val df = Seq((1, Some("a"), "O"), (2, None, "F"), (3, Some("c"), "X"))
+      .toDF("id", "opt", "status")
+    val out = DataQuality.run(df, Seq(
+      DataQuality.Check("id_unique", DataQuality.uniqueness(col("id")), _ >= 1.0),
+      DataQuality.Check("opt_complete", DataQuality.completeness(col("opt")), _ >= 1.0),
+      DataQuality.Check("status_domain", DataQuality.domain(col("status"), Seq("O", "F")), _ >= 1.0)))
+      .as[(String, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("id_unique") == ((1.0, true)))
+    assert(out("opt_complete")._2 == false)
+    assert(math.abs(out("status_domain")._1 - 2.0 / 3.0) < 1e-15 && !out("status_domain")._2)
+  }
+
+  test("snapshot diff classifies insert/delete/update/unchanged; null transitions are updates") {
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]), (4L, Some("d")))
+      .toDF("k", "v")
+    val cur = Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("c")), (5L, Some("e")))
+      .toDF("k", "v")
+    val out = SnapshotDiff.diff(old, cur, Seq("k"), Seq("v"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "updated", 3L -> "updated",
+      4L -> "deleted", 5L -> "inserted"))
+  }
+
+  test("fuzzy bestMatch resolves to minimum distance with deterministic tiebreak") {
+    val probe = Seq((1L, "b", "hallo"), (2L, "b", "zzz")).toDF("pid", "pb", "ps")
+    val target = Seq((10L, "b", "hello"), (11L, "b", "hallo"), (12L, "b", "help"))
+      .toDF("tid", "tb", "ts")
+    val out = FuzzyJoin.bestMatch(probe, target, col("pb"), col("tb"),
+        col("ps"), col("ts"), col("pid"), col("tid"), maxDist = 2)
+      .select("pid", "tid", "edit_dist").as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 11L, 0))) // exact match beats dist-1; "zzz" unmatched
+  }
+}
