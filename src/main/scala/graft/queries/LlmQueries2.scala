@@ -91,7 +91,11 @@ ORDER BY doc_id
     val docs = t(s, dir, "documents")
     val tok = docs.select(col("doc_id"),
       explode(tokens(normalizeText(col("text")))).as("term"))
+    // tf feeds two consumers (df derivation + the scoring join) and
+    // Catalyst does not share subplans across them — materialize once so
+    // the explode→groupBy cascade runs a single time.
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")

@@ -57,6 +57,30 @@ class StreamingSpec extends GraftSuite {
       ("2024-01-01 10:00:00", "y", 1L, 0.75)))
   }
 
+  test("stream-stream interval join: clicks attribute to impressions within the window") {
+    // Both sides watermarked, join bounded by an event-time interval —
+    // the state store holds only rows inside watermark + interval, so
+    // state is bounded no matter how long the streams run.
+    implicit val sqlCtx = spark.sqlContext
+    val imp = MemoryStream[(Long, Timestamp)]
+    val clk = MemoryStream[(Long, Timestamp)]
+    val i = imp.toDF().toDF("ad_id", "imp_time").withWatermark("imp_time", "10 minutes")
+    val c = clk.toDF().toDF("click_ad_id", "click_time").withWatermark("click_time", "10 minutes")
+    val joined = i.join(c,
+      expr("ad_id = click_ad_id AND " +
+        "click_time BETWEEN imp_time AND imp_time + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    imp.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    clk.addData((1L, ts("2024-01-01 10:03:00")),  // within 5 min → joins
+      (2L, ts("2024-01-01 10:09:00")))            // outside → dropped
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attr_out").select("ad_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
   test("streaming state on RocksDB provider: same dedup semantics, spill-safe state") {
     // The 100 TB state-store choice: RocksDB keeps streaming state on
     // disk with incremental checkpoints instead of exhausting executor
