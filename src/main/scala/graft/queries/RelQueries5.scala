@@ -166,13 +166,36 @@ r AS (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY edit_dist, t_id) A
 SELECT p_id, t_id AS matched_id, edit_dist FROM r WHERE rn = 1 ORDER BY p_id
 """
 
+  /** Native per-group top-k through the whole-operator extension
+    * (`plans/TopKPerGroup`: LogicalPlan → injected strategy → two-phase
+    * bounded-heap SparkPlan — no sort exec, k·groups rows cross the
+    * exchange). Total order (price desc, key) keeps the boundary
+    * deterministic; oracle is the ranking-window twin. */
+  def nativeTopK(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup.topK(t(s, dir, "orders"),
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 5)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+
+  val nativeTopKSql: String = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) x
+WHERE rn <= 5
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_native_topk" -> (nativeTopK _),
     "q_asof_nearest" -> (asofNearest _),
     "q_dq_checks" -> (dqChecks _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_fuzzy_match" -> (fuzzyMatch _))
 
   val oracles: Map[String, String] = Map(
+    "q_native_topk" -> nativeTopKSql,
     "q_asof_nearest" -> asofNearestSql,
     "q_dq_checks" -> dqChecksSql,
     "q_snapshot_diff" -> snapshotDiffSql,
