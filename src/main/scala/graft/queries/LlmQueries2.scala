@@ -229,17 +229,51 @@ SELECT token, COUNT(*) AS n FROM tok GROUP BY token
 ORDER BY n DESC, token LIMIT 20
 """
 
+  /** RAG/window chunking: overlapping fixed-width character chunks
+    * (size 200, stride 150) per doc — the retrieval-prep twin of
+    * q_seq_packing's training-prep. The chunk starts come from
+    * `explode(sequence(...))`, so chunking is a codegen'd generator in
+    * the scan stage: no shuffle until (and unless) something aggregates.
+    * Chunk text is fingerprinted, not carried — the id/offset/hash tuple
+    * is what an index ingest needs, and it keeps the result narrow. */
+  def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+    docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - 49, lit(1)), lit(150))).as("start"))
+      .select(col("doc_id"),
+        (((col("start") - 1) / 150).cast("long")).as("chunk_idx"),
+        col("start"),
+        length(col("text").substr(col("start").cast("int"), lit(200))).as("chunk_len"),
+        md5(col("text").substr(col("start").cast("int"), lit(200))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val docChunksSql: String = """
+SELECT doc_id,
+       CAST((u.start - 1) // 150 AS BIGINT) AS chunk_idx,
+       u.start AS start,
+       length(substr(text, CAST(u.start AS INTEGER), 200)) AS chunk_len,
+       md5(substr(text, CAST(u.start AS INTEGER), 200)) AS chunk_md5
+FROM (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 49, 1) + 1, 150)) AS start
+  FROM documents WHERE doc_id < 100) u
+ORDER BY doc_id, chunk_idx
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_clusters" -> (dedupClusters _),
     "q_tfidf_topterms" -> (tfidfTopTerms _),
     "q_seq_packing" -> (seqPacking _),
     "q_dup_ngram_ratio" -> (dupNgramRatio _),
-    "q_vocab_topk" -> (vocabTopK _))
+    "q_vocab_topk" -> (vocabTopK _),
+    "q_doc_chunks" -> (docChunks _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" -> dedupClustersSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_seq_packing" -> seqPackingSql,
     "q_dup_ngram_ratio" -> dupNgramRatioSql,
-    "q_vocab_topk" -> vocabTopKSql)
+    "q_vocab_topk" -> vocabTopKSql,
+    "q_doc_chunks" -> docChunksSql)
 }

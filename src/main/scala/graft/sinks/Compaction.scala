@@ -1,0 +1,50 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the table-maintenance op every long-lived
+  * ingest needs: streaming/incremental writers accrete many small files,
+  * and each file costs a task, a footer read, and namespace pressure at
+  * plan time (one million 1 MB files is a catastrophe a 1000-executor
+  * cluster cannot scan efficiently; the same data in 8 GB files is
+  * routine).
+  *
+  * Strategy: size the output by bytes, not file count — target file
+  * count = ceil(totalBytes / targetBytes) — and rewrite with a
+  * round-robin repartition (uniform by construction; compaction must fix
+  * skew, not inherit it). The rewrite lands write-aside and swaps in
+  * atomically-enough for a single writer (same pattern as
+  * `StreamingIngest.upsertBatch`), so readers never see a half-compacted
+  * directory. For range-clustered tables, recluster with
+  * `RangeSortedParquet.write` instead — this operator is for
+  * order-agnostic fact data.
+  */
+object Compaction {
+
+  /** Parquet data file count + total bytes under `path`. */
+  def stats(spark: SparkSession, path: String): (Int, Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter { f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet")
+    }
+    (files.length, files.map(_.getLen).sum)
+  }
+
+  /** Rewrite `path` into ceil(totalBytes / targetBytes) files.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
+    val (before, totalBytes) = stats(spark, path)
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new Path(tmp), p)
+    (before, stats(spark, path)._1)
+  }
+}

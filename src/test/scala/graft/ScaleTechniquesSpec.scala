@@ -87,6 +87,22 @@ class ScaleTechniquesSpec extends GraftSuite {
     }
   }
 
+  test("compaction rewrites many small files into byte-sized targets, content intact") {
+    import graft.sinks.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/orders"
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    o.repartition(40).write.parquet(dir) // simulate incremental-writer debris
+    val before = Compaction.stats(spark, dir)
+    assert(before._1 == 40)
+    val sumBefore = spark.read.parquet(dir)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0)
+    val (b, a) = Compaction.compact(spark, dir, targetBytes = before._2 / 4)
+    assert(b == 40 && a <= 5 && a >= 4, s"expected ~4 files, got $a")
+    val sumAfter = spark.read.parquet(dir)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0)
+    assert(sumAfter == sumBefore)
+  }
+
   test("joining two same-bucketed tables plans zero shuffle exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
