@@ -152,6 +152,44 @@ ORDER BY status, priority
       .orderBy("event_id")
   }
 
+  /** The remaining window surface: distribution ranks (ntile,
+    * percent_rank, cume_dist — exact integer-quotient doubles), bounded
+    * sliding ROW frames (4-row moving sum over exact cents), value-range
+    * RANGE frames (peers within 5.00 below), and first_value. One
+    * shuffle on the partition key serves every frame. */
+  def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wSlide = w.rowsBetween(-3, Window.currentRow)
+    val wRange = Window.partitionBy("user_id").orderBy(col("vcents"))
+      .rangeBetween(-500, Window.currentRow)
+    e.withColumn("vcents", round(col("value") * 100).cast("long"))
+      .select(
+        col("event_id"), col("user_id"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        (sum(col("vcents")).over(wSlide).cast("double") / 100.0).as("moving_sum"),
+        count(lit(1)).over(wRange).as("n_within_5"),
+        first(col("vcents")).over(w).as("first_cents"))
+      .orderBy("event_id")
+  }
+
+  val windowFramesSql: String = """
+SELECT event_id, user_id,
+  ntile(4) OVER w AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume,
+  CAST(SUM(vcents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS moving_sum,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY vcents
+       RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_within_5,
+  first_value(vcents) OVER w AS first_cents
+FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS vcents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
   val windowAnalyticsSql: String = """
 SELECT event_id, user_id, event_type,
   lag(vcents, 1) OVER w AS prev_cents,
@@ -305,6 +343,7 @@ ORDER BY event_type
     "q_cube" -> (cubeAgg _),
     "q_grouping_sets" -> (groupingSets _),
     "q_window_analytics" -> (windowAnalytics _),
+    "q_window_frames" -> (windowFrames _),
     "q_range_join" -> (rangeJoin _),
     "q_asof_join" -> (asofJoin _),
     "q_distinct_agg" -> (distinctAgg _),
@@ -319,6 +358,7 @@ ORDER BY event_type
     "q_cube" -> cubeAggSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_analytics" -> windowAnalyticsSql,
+    "q_window_frames" -> windowFramesSql,
     "q_range_join" -> rangeJoinSql,
     "q_asof_join" -> asofJoinSql,
     "q_distinct_agg" -> distinctAggSql,
