@@ -87,6 +87,27 @@ class ScaleTechniquesSpec extends GraftSuite {
     }
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    import graft.sinks.PartitionedParquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/orders"
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    PartitionedParquet.writePartitioned(o, dir, "order_year", year(col("o_orderdate")))
+    val fact = PartitionedParquet.read(spark, dir)
+    // The dim filter must hit a NON-join column, or Catalyst constant-
+    // folds it into a static partition filter (good, but not DPP): a
+    // label column only a scan can resolve forces the runtime subquery.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString + "/years"
+    spark.range(1992, 1999).select(col("id").cast("int").as("dim_year"))
+      .withColumn("label", concat(lit("y"), col("dim_year")))
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("label") === "y1996")
+    val j = fact.join(dim, fact("order_year") === dim("dim_year"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a runtime pruning subquery:\n$plan")
+    assert(j.count() > 0)
+  }
+
   test("compaction rewrites many small files into byte-sized targets, content intact") {
     import graft.sinks.Compaction
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/orders"
