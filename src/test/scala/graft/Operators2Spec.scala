@@ -53,6 +53,42 @@ class Operators2Spec extends GraftSuite {
       4L -> "deleted", 5L -> "inserted"))
   }
 
+  test("snapshot diff invariants: self-diff all unchanged; empty-old all inserted") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val self = SnapshotDiff.diff(df, df, Seq("k"), Seq("v"))
+      .select("change_type").distinct().as[String].collect().toSeq
+    assert(self == Seq("unchanged"))
+    val empty = df.filter(col("k") < 0)
+    val ins = SnapshotDiff.diff(empty, df, Seq("k"), Seq("v"))
+      .select("change_type").distinct().as[String].collect().toSeq
+    assert(ins == Seq("inserted"))
+  }
+
+  test("connected components invariants on a random-ish graph") {
+    import graft.operators.ConnectedComponents
+    // Deterministic pseudo-random edges: (i*7 % 40, i*13 % 40)
+    val edges = (0 until 60).map(i => ((i * 7 % 40).toLong, (i * 13 % 40).toLong))
+      .filter { case (a, b) => a != b }
+    val m = ConnectedComponents.components(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    // component id is a member and the minimum of its own component
+    assert(m.values.toSet.subsetOf(m.keySet))
+    m.values.foreach(root => assert(m(root) == root))
+    m.foreach { case (id, comp) => assert(comp <= id) }
+    // invariant under edge reversal
+    val rev = ConnectedComponents.components(
+      edges.map(_.swap).toDF("src", "dst")).as[(Long, Long)].collect().toMap
+    assert(rev == m)
+  }
+
+  test("asof nearest with zero tolerance keeps only exact-time matches") {
+    val trades = Seq(("k", 10L), ("k", 11L)).toDF("tk", "tt")
+    val out = AsOfJoin.nearest(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"),
+        tolerance = Some(lit(0.0)))
+      .orderBy("tt").select("tt", "px").as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq((10L, Some(1.0)), (11L, None)))
+  }
+
   test("fuzzy bestMatch resolves to minimum distance with deterministic tiebreak") {
     val probe = Seq((1L, "b", "hallo"), (2L, "b", "zzz")).toDF("pid", "pb", "ps")
     val target = Seq((10L, "b", "hello"), (11L, "b", "hallo"), (12L, "b", "help"))
