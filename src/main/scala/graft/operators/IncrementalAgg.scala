@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for keyed count/sum aggregates — the
+  * materialized-view play at 100 TB: when a snapshot changes by a CDC
+  * delta, the aggregate table updates from the DELTA's size, not the
+  * snapshot's. A 100 TB fact with a 10 GB daily delta re-aggregates
+  * 10 GB.
+  *
+  * Algebra (counts and sums are the self-maintainable aggregates):
+  * per group g, Δcount(g) = inserts − deletes; Δsum(g) = Σ new − Σ old
+  * (an update contributes new − old). The maintained table is
+  * old ⟗ Δ with addition, dropping groups whose count reaches zero.
+  * Sums ride exact scaled integers (cents) — the same determinism
+  * discipline as every other aggregate here, and what makes "maintained
+  * == recomputed" a bitwise statement instead of an approximate one.
+  * Min/max are NOT maintainable this way (a deleted max needs a rescan);
+  * keep those in a recompute path.
+  */
+object IncrementalAgg {
+
+  /** Aggregate `snapshot` to the maintainable shape:
+    * (groupKeys…, n, sum_cents). */
+  def sumCount(snapshot: DataFrame, groupKeys: Seq[String],
+               measure: Column, scale: Int = 2): DataFrame =
+    snapshot.groupBy(groupKeys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(round(measure * math.pow(10, scale).toLong).cast("long")).as("sum_cents"))
+
+  /** Maintain a `sumCount` table under a wide CDC delta
+    * (`SnapshotDiff.diffWide` output whose compare cols include the
+    * grouping keys and the measure). `groupKeys` must be stable under
+    * the delta's row key — i.e. the delta's old_/new_ group columns are
+    * used per side, so group migrations (an update moving a row between
+    * groups) are handled as leave + arrive. */
+  def applyDelta(agg: DataFrame, wideDelta: DataFrame, groupKeys: Seq[String],
+                 measureCol: String, scale: Int = 2): DataFrame = {
+    val factor = math.pow(10, scale).toLong
+    // Leave/arrive contributions: one row per (side, group) via a union —
+    // old side subtracts, new side adds; unchanged rows cancel exactly.
+    val oldSide = wideDelta
+      .filter(col("change_type") =!= "inserted")
+      .select(groupKeys.map(k => col(s"old_$k").as(k)) :+
+        lit(-1L).as("dn") :+
+        (-round(col(s"old_$measureCol") * factor).cast("long")).as("dc"): _*)
+    val newSide = wideDelta
+      .filter(col("change_type") =!= "deleted")
+      .select(groupKeys.map(k => col(s"new_$k").as(k)) :+
+        lit(1L).as("dn") :+
+        round(col(s"new_$measureCol") * factor).cast("long").as("dc"): _*)
+    val delta = oldSide.unionByName(newSide)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    val a = agg.select(
+      groupKeys.map(col) :+ col("n").as("__n") :+ col("sum_cents").as("__s"): _*)
+    a.join(delta, groupKeys, "full_outer")
+      .select(
+        groupKeys.map(col) :+
+          (coalesce(col("__n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n") :+
+          (coalesce(col("__s"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sum_cents"): _*)
+      .filter(col("n") > 0)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, DataQuality, Dedup, FuzzyJoin, SnapshotDiff}
+import graft.operators.{AsOfJoin, DataQuality, Dedup, FuzzyJoin, IncrementalAgg, SnapshotDiff}
 
 /** Fifth relational batch: nearest as-of join, declarative data-quality
   * gates, CDC snapshot diffing, and blocked fuzzy (edit-distance)
@@ -126,6 +126,43 @@ SELECT change_type, COUNT(*) AS n,
 FROM d GROUP BY change_type ORDER BY change_type
 """
 
+  /** Incremental view maintenance: the per-customer (n, sum) aggregate
+    * of orders v1 is MAINTAINED under the v1→v2 CDC delta (same
+    * deterministic mutation as q_snapshot_diff) — the oracle recomputes
+    * from v2 directly, so a hash match proves maintained == recomputed
+    * bit-for-bit. Work scales with the delta (one diff join + one delta
+    * agg + one merge join), never the snapshot. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val v2 = v1.filter(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(v1.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+    val base = IncrementalAgg.sumCount(v1, Seq("o_custkey"), col("o_totalprice"))
+    val wide = SnapshotDiff.diffWide(v1, v2, Seq("o_orderkey"),
+      Seq("o_custkey", "o_totalprice"))
+    IncrementalAgg.applyDelta(base, wide, Seq("o_custkey"), "o_totalprice")
+      .select(col("o_custkey"), col("n"),
+        (col("sum_cents").cast("double") / 100.0).as("total_price"))
+      .orderBy("o_custkey")
+  }
+
+  val incrementalAggSql: String = """
+WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+v2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice
+  FROM v1 WHERE o_orderkey % 89 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_totalprice FROM v1 WHERE o_orderkey % 101 = 0)
+SELECT o_custkey, COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+FROM v2 GROUP BY o_custkey ORDER BY o_custkey
+"""
+
   /** Entity resolution: customer names corrupted by a deterministic
     * one-character deletion, re-matched to the clean dim by blocked
     * levenshtein (block = nation) and resolved to the single best
@@ -192,6 +229,7 @@ ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
     "q_asof_nearest" -> (asofNearest _),
     "q_dq_checks" -> (dqChecks _),
     "q_snapshot_diff" -> (snapshotDiff _),
+    "q_incremental_agg" -> (incrementalAgg _),
     "q_fuzzy_match" -> (fuzzyMatch _))
 
   val oracles: Map[String, String] = Map(
@@ -199,5 +237,6 @@ ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
     "q_asof_nearest" -> asofNearestSql,
     "q_dq_checks" -> dqChecksSql,
     "q_snapshot_diff" -> snapshotDiffSql,
+    "q_incremental_agg" -> incrementalAggSql,
     "q_fuzzy_match" -> fuzzyMatchSql)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, DataQuality, FuzzyJoin, SnapshotDiff}
+import graft.operators.{AsOfJoin, DataQuality, FuzzyJoin, IncrementalAgg, SnapshotDiff}
 
 class Operators2Spec extends GraftSuite {
   import spark.implicits._
@@ -87,6 +87,21 @@ class Operators2Spec extends GraftSuite {
         tolerance = Some(lit(0.0)))
       .orderBy("tt").select("tt", "px").as[(Long, Option[Double])].collect().toSeq
     assert(out == Seq((10L, Some(1.0)), (11L, None)))
+  }
+
+  test("incremental agg handles group migration and group emptying") {
+    // v1: g1 = {r1: 10.0, r2: 20.0}, g2 = {r3: 5.0}
+    // v2: r1 moves g1→g2 with new value, r2 deleted (g1 empties), r4 inserted in g3
+    val v1 = Seq((1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g2", 5.0)).toDF("k", "g", "m")
+    val v2 = Seq((1L, "g2", 11.0), (3L, "g2", 5.0), (4L, "g3", 7.0)).toDF("k", "g", "m")
+    val base = IncrementalAgg.sumCount(v1, Seq("g"), col("m"))
+    val wide = SnapshotDiff.diffWide(v1, v2, Seq("k"), Seq("g", "m"))
+    val maintained = IncrementalAgg.applyDelta(base, wide, Seq("g"), "m")
+      .as[(String, Long, Long)].collect().toSet
+    val recomputed = IncrementalAgg.sumCount(v2, Seq("g"), col("m"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(maintained == recomputed)
+    assert(maintained == Set(("g2", 2L, 1600L), ("g3", 1L, 700L))) // g1 gone
   }
 
   test("fuzzy bestMatch resolves to minimum distance with deterministic tiebreak") {
