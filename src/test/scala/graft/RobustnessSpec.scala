@@ -80,4 +80,22 @@ class RobustnessSpec extends GraftSuite {
       Seq(col("ord"), col("v")))
     assert(out.count() == 2)
   }
+
+  test("minhash mega-bucket cap drops boilerplate buckets, keeps genuine pairs") {
+    import graft.operators.MinHashDedup
+    // 200 identical boilerplate docs → every band bucket has width 200;
+    // uncapped, the band self-join squares to ~19,900 candidate pairs in
+    // one reducer. The width cap (64) drops those buckets entirely while
+    // the two genuine near-dup docs (unique text, bucket width 2) pair up.
+    val boiler = (0 until 200).map(i =>
+      (i.toLong, "subscribe to our newsletter terms and conditions apply all rights reserved"))
+    val realA = (1000L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    val realB = (1001L, "the quick brown fox jumps over the lazy dog near the river bank")
+    val docs = (boiler :+ realA :+ realB).toDF("doc_id", "text")
+    val pairs = MinHashDedup.nearDuplicates(docs, "doc_id",
+        graft.functions.TextFns.normalizeText(col("text")), threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1000L, 1001L)),
+      s"expected only the genuine pair, got ${pairs.size} pairs")
+  }
 }
