@@ -224,7 +224,28 @@ WHERE rn <= 5
 ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
 """
 
+  /** Frequent-items sketch (`approx_top_k`, DataSketches frequent-items
+    * under the hood — completes the sketch family next to HLL distinct
+    * and approx percentiles). Tracked capacity (default 10k) exceeds the
+    * column's cardinality, so counts are exact and k ≥ distinct leaves
+    * no tie-boundary — the result is deterministic and hash-oracled
+    * against the exact GROUP BY twin. At real cardinality the sketch is
+    * mergeable map-side state, no key shuffle. */
+  def approxTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .agg(expr("approx_top_k(o_orderpriority, 5)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("count"))
+      .orderBy(col("count").desc, col("item"))
+
+  val approxTopKSql: String = """
+SELECT o_orderpriority AS item, COUNT(*) AS count
+FROM orders GROUP BY o_orderpriority
+ORDER BY count DESC, item
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_topk" -> (approxTopK _),
     "q_native_topk" -> (nativeTopK _),
     "q_asof_nearest" -> (asofNearest _),
     "q_dq_checks" -> (dqChecks _),
@@ -233,6 +254,7 @@ ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
     "q_fuzzy_match" -> (fuzzyMatch _))
 
   val oracles: Map[String, String] = Map(
+    "q_approx_topk" -> approxTopKSql,
     "q_native_topk" -> nativeTopKSql,
     "q_asof_nearest" -> asofNearestSql,
     "q_dq_checks" -> dqChecksSql,
