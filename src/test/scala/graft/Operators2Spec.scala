@@ -29,6 +29,14 @@ class Operators2Spec extends GraftSuite {
     assert(tol == Seq((14L, Some(1.0)), (15L, Some(1.0)), (29L, Some(3.0)), (100L, None)))
   }
 
+  test("asof nearest plans one hash exchange (both window orderings share it)") {
+    val trades = Seq(("k", 14L), ("k", 29L)).toDF("tk", "tt")
+    val j = AsOfJoin.nearest(trades, "tk", "tt", quotes, "qk", "qt", Seq("px"))
+    val plan = j.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"union+window must shuffle once:\n$plan")
+  }
+
   test("data-quality suite: one pass, per-check verdicts") {
     val df = Seq((1, Some("a"), "O"), (2, None, "F"), (3, Some("c"), "X"))
       .toDF("id", "opt", "status")
