@@ -45,23 +45,8 @@ object SnapshotDiff {
     * keys…, change_type ∈ {inserted, deleted, updated, unchanged},
     * plus `compareCols` from the NEW side (null for deletes). */
   def diff(old: DataFrame, cur: DataFrame,
-           keys: Seq[String], compareCols: Seq[String]): DataFrame = {
-    val o = old.select((keys ++ compareCols).map(c => col(c).as(s"__o_$c")): _*)
-    val c = cur.select((keys ++ compareCols).map(cn => col(cn).as(s"__c_$cn")): _*)
-    val cond = keys.map(k => col(s"__o_$k") === col(s"__c_$k")).reduce(_ && _)
-    val changed = compareCols.map(cc => !(col(s"__o_$cc") <=> col(s"__c_$cc")))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val oldKey = col(s"__o_${keys.head}")
-    val curKey = col(s"__c_${keys.head}")
-    o.join(c, cond, "full_outer")
-      .withColumn("change_type",
-        when(oldKey.isNull, lit("inserted"))
-          .when(curKey.isNull, lit("deleted"))
-          .when(changed, lit("updated"))
-          .otherwise(lit("unchanged")))
-      .select(
-        keys.map(k => coalesce(col(s"__c_$k"), col(s"__o_$k")).as(k)) ++
-          Seq(col("change_type")) ++
-          compareCols.map(cc => col(s"__c_$cc").as(cc)): _*)
-  }
+           keys: Seq[String], compareCols: Seq[String]): DataFrame =
+    diffWide(old, cur, keys, compareCols).select(
+      keys.map(col) ++ Seq(col("change_type")) ++
+        compareCols.map(cc => col(s"new_$cc").as(cc)): _*)
 }
