@@ -87,6 +87,39 @@ class ScaleTechniquesSpec extends GraftSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // One hot key dominates the build of a shuffled join; with the skew
+    // thresholds lowered to test scale, AQE's runtime re-plan must mark
+    // and split the skewed partition — the automatic complement to the
+    // manual salting path (`Salted`).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val hot = (1 to 200000).map(i => (1L, s"payload_$i")) ++
+        (1 to 50).map(i => (i.toLong + 1, s"p$i"))
+      val left = hot.toDF("k", "v").repartition(8)
+      val right = (1 to 60).map(i => (i.toLong, i * 10)).toDF("k", "w").repartition(8)
+      val j = left.join(right, "k")
+      // Execute j's OWN QueryExecution (count() would plan a separate
+      // tree and leave this one un-finalized by AQE).
+      assert(j.collect().length > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join side:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     import graft.sinks.PartitionedParquet
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/orders"
