@@ -264,7 +264,80 @@ SELECT l_returnflag, n,
 FROM st ORDER BY l_returnflag
 """
 
+  // ------------------------------------------------------------- array ops
+
+  /** Collection-function surface over key-derived int arrays (pure
+    * functions of the row key — engine-portable): intersect, union,
+    * except, slice, containment. Outputs are sorted before comparison
+    * because set-operation element order is engine-specific. */
+  def arrayOps(s: SparkSession, dir: String): DataFrame = {
+    val a = sequence(col("o_orderkey") % 5, col("o_orderkey") % 5 + 4)
+    val b = sequence(col("o_orderkey") % 3, col("o_orderkey") % 3 + 5)
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        sort_array(array_intersect(a, b)).as("inter"),
+        sort_array(array_union(a, b)).as("uni"),
+        sort_array(array_except(a, b)).as("diff"),
+        slice(a, 2, 3).as("sl"),
+        array_contains(b, lit(4L)).as("has4"),
+        size(array_distinct(concat(a, b))).as("n_distinct"))
+      .orderBy("o_orderkey")
+  }
+
+  val arrayOpsSql: String = """
+WITH x AS (
+  SELECT o_orderkey,
+         range(o_orderkey % 5, o_orderkey % 5 + 5) AS a,
+         range(o_orderkey % 3, o_orderkey % 3 + 6) AS b
+  FROM orders WHERE o_orderkey < 500)
+SELECT o_orderkey,
+       list_sort(list_filter(a, v -> list_contains(b, v))) AS inter,
+       list_sort(list_distinct(list_concat(a, b))) AS uni,
+       list_sort(list_filter(a, v -> NOT list_contains(b, v))) AS diff,
+       a[2:4] AS sl,
+       list_contains(b, 4) AS has4,
+       len(list_distinct(list_concat(a, b))) AS n_distinct
+FROM x ORDER BY o_orderkey
+"""
+
+  // -------------------------------------------------------- date arithmetic
+
+  /** Calendar arithmetic with engine-portable semantics: day adds, day
+    * diffs, month truncation, end-of-month, and integer date parts.
+    * (Fractional `months_between` and day-of-week numbering are
+    * deliberately avoided — both differ across engines.) */
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
+        datediff(to_date(lit("1998-12-31")), to_date(col("o_orderdate"))).as("days_to_end"),
+        trunc(to_date(col("o_orderdate")), "month").as("month_start"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+      .orderBy("o_orderkey")
+
+  val dateArithSql: String = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+       date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(day(o_orderdate) AS INTEGER) AS dom
+FROM orders WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_ops" -> (arrayOps _),
+    "q_date_arith" -> (dateArith _),
     "q_unpivot" -> (unpivot _),
     "q_posexplode_split" -> (posexplodeSplit _),
     "q_map_ops" -> (mapOps _),
@@ -275,6 +348,8 @@ FROM st ORDER BY l_returnflag
     "q_corr_grouped" -> (corrGrouped _))
 
   val oracles: Map[String, String] = Map(
+    "q_array_ops" -> arrayOpsSql,
+    "q_date_arith" -> dateArithSql,
     "q_unpivot" -> unpivotSql,
     "q_posexplode_split" -> posexplodeSplitSql,
     "q_map_ops" -> mapOpsSql,
