@@ -14,6 +14,12 @@ run / fork := true
 // Forked run output passes through raw (no [info] prefix) so Bench's
 // final JSON line lands bare on stdout for the driver's parser.
 run / outputStrategy := Some(StdoutOutput)
+// sbt otherwise appends "[success] Total time: ..." AFTER the program's
+// last stdout line, so a last-line JSON parse picks up the success banner
+// instead of Bench's JSON (BENCH_r02 "parsed": null). Suppress it: the
+// program's own final line is then genuinely last on stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

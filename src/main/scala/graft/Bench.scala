@@ -46,11 +46,15 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the JSON line compact (~2 KB for the
+    // full suite) so it survives bounded tail captures on the driver side.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Driver-parseable twice over: a standalone file AND the final bare
     // stdout line (run/outputStrategy = StdoutOutput keeps it unprefixed).
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))

@@ -159,7 +159,7 @@ c AS (
          SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM d)
-SELECT lang, (cum - toks) // 4096 AS chunk_id, COUNT(*) AS n_docs,
+SELECT lang, CAST((cum - toks) // 4096 AS BIGINT) AS chunk_id, COUNT(*) AS n_docs,
        CAST(SUM(toks) AS BIGINT) AS chunk_tokens
 FROM c GROUP BY lang, chunk_id ORDER BY lang, chunk_id
 """
