@@ -55,9 +55,15 @@ object IncrementalAgg {
       .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
     val a = agg.select(
       groupKeys.map(col) :+ col("n").as("__n") :+ col("sum_cents").as("__s"): _*)
-    a.join(delta, groupKeys, "full_outer")
+    // Null-safe key equality: a NULL group (a legal grouping value) must
+    // match itself across base and delta, or the maintained table forks
+    // it into two rows. <=> keys still plan as a hash join.
+    val d = delta.select(
+      groupKeys.map(k => col(k).as(s"__d_$k")) :+ col("dn") :+ col("dc"): _*)
+    val cond = groupKeys.map(k => col(k) <=> col(s"__d_$k")).reduce(_ && _)
+    a.join(d, cond, "full_outer")
       .select(
-        groupKeys.map(col) :+
+        groupKeys.map(k => coalesce(col(k), col(s"__d_$k")).as(k)) :+
           (coalesce(col("__n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n") :+
           (coalesce(col("__s"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sum_cents"): _*)
       .filter(col("n") > 0)

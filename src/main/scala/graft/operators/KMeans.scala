@@ -13,9 +13,10 @@ import graft.functions.VectorFns._
   * Everything is engine-reproducible by construction:
   *  - init: the k vectors with the smallest `md5("km|" + id)` — a
   *    deterministic pseudo-random sample, no RNG state;
-  *  - assignment: argmax cosine against the (broadcast) centroids with a
-  *    centroid-id tiebreak — one scan of the corpus per iteration, no
-  *    shuffle of the vectors;
+  *  - assignment: argmax cosine against the centroids (inlined as
+  *    literals — the k-row equivalent of a broadcast) with a centroid-id
+  *    tiebreak — one scan of the corpus per iteration, no shuffle of the
+  *    vectors;
   *  - update: element-wise means via exact scaled-integer sums
   *    (order-independent accumulation), the same trick as
   *    `Knn.centroids`.
@@ -33,16 +34,24 @@ import graft.functions.VectorFns._
 object KMeans {
 
   /** Nearest-centroid assignment: (idCol, vecCol, cid). `cents` must be
-    * (cid, cv) and small enough to broadcast. */
+    * (cid, cv) with `cv: array<double>`, and small (k rows): it is pulled
+    * to the driver and inlined as literals, so the argmax is a single
+    * map-side projection over the corpus — no cross-join row blowup, no
+    * exchange. (A ranking window here would hash-shuffle corpus×k rows,
+    * each carrying both vectors, every iteration.) Ties break to the
+    * smallest cid, same as the oracle's `ORDER BY csim DESC, cid`. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy(col("__csim").desc, col("cid"))
-    corpus.crossJoin(broadcast(cents))
-      .select(col(idCol), col(vecCol), col("cid"),
-        cosineFast(col(vecCol), col("cv")).as("__csim"))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("cid"))
+    val cidType = cents.schema("cid").dataType
+    val centRows = cents.select(col("cid").cast("long"), col("cv")).collect()
+    require(centRows.nonEmpty, "assign needs at least one centroid")
+    val scored = array(centRows.map { r =>
+      struct(
+        cosineFast(col(vecCol), typedLit(r.getSeq[Double](1))).as("csim"),
+        lit(-r.getLong(0)).as("ncid"))
+    }.toIndexedSeq: _*)
+    corpus.select(col(idCol), col(vecCol),
+      (-array_max(scored).getField("ncid")).cast(cidType).as("cid"))
   }
 
   /** Element-wise centroid means with exact scaled-int accumulation. */
