@@ -78,12 +78,16 @@ object MinHashDedup {
     *
     * `maxBucket` is the mega-bucket skew cap: buckets wider than it
     * (boilerplate text — thousands of near-identical docs hashing to one
-    * bucket, which would square inside a single reducer) are dropped
-    * before the self-join. Standard practice: exact-duplicate dedup runs
-    * before MinHash, so a mega-bucket is noise, not signal; members this
-    * similar still pair up via their other bands when genuinely near-dup
-    * below the cap. Width check is a window count — same single shuffle
-    * as the join key, no extra aggregation pass. */
+    * bucket) would square inside a single reducer if self-joined. Instead
+    * of dropping them (which would disconnect a genuine cluster wider
+    * than the cap — ALL its buckets are over the cap, so no other band
+    * rescues it), wide buckets degrade to star pairing: every member
+    * pairs with the bucket's min-id representative. That keeps the
+    * candidate count linear in bucket width while transitive clustering
+    * (see `ConnectedComponents`) still connects the whole cluster through
+    * the hub. Width and representative come from one window over the
+    * band/bucket key — the same single shuffle as the join, no extra
+    * aggregation pass. */
   def candidatePairs(sig: DataFrame, idCol: String,
                      nHashes: Int = 16, bands: Int = 4,
                      maxBucket: Int = 64): DataFrame = {
@@ -96,17 +100,21 @@ object MinHashDedup {
           md5(concat_ws("", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val capped = banded
-      .withColumn("__bw", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("__bw") <= maxBucket)
-      .drop("__bw")
-    capped.as("x").join(capped.as("y"),
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val widths = banded
+      .withColumn("__bw", count(lit(1)).over(w))
+      .withColumn("__rep", min(col(idCol)).over(w))
+    val narrow = widths.filter(col("__bw") <= maxBucket)
+      .select(col(idCol), col("band"), col("bucket"))
+    val narrowPairs = narrow.as("x").join(narrow.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
+    val starPairs = widths
+      .filter(col("__bw") > maxBucket && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    narrowPairs.union(starPairs).distinct()
   }
 
   /** Exact Jaccard over distinct shingle arrays (verification step). */

@@ -85,13 +85,18 @@ sig AS (
 banded AS (
   SELECT doc_id, b, md5(concat(mh[4*b+1], mh[4*b+2], mh[4*b+3], mh[4*b+4])) AS bucket
   FROM sig CROSS JOIN unnest([0,1,2,3]) t(b)),
-capped AS (
-  SELECT doc_id, b, bucket
-  FROM (SELECT *, COUNT(*) OVER (PARTITION BY b, bucket) AS bw FROM banded)
-  WHERE bw <= 64),
+wb AS (
+  SELECT doc_id, b, bucket,
+         COUNT(*) OVER (PARTITION BY b, bucket) AS bw,
+         MIN(doc_id) OVER (PARTITION BY b, bucket) AS rep
+  FROM banded),
 cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM capped x JOIN capped y ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+  FROM (SELECT doc_id, b, bucket FROM wb WHERE bw <= 64) x
+  JOIN (SELECT doc_id, b, bucket FROM wb WHERE bw <= 64) y
+    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  UNION
+  SELECT rep AS id_a, doc_id AS id_b FROM wb WHERE bw > 64 AND doc_id <> rep),
 j AS (
   SELECT id_a, id_b,
          CAST(len(list_filter(a.shingles, v -> list_contains(b.shingles, v))) AS DOUBLE) /

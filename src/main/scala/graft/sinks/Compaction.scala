@@ -34,17 +34,30 @@ object Compaction {
   }
 
   /** Rewrite `path` into ceil(totalBytes / targetBytes) files.
-    * Returns (filesBefore, filesAfter). */
+    * Returns (filesBefore, filesAfter).
+    *
+    * Swap order is rename-aside, not delete-then-rename: the original
+    * moves to `path__old`, the rewrite renames into place, and only then
+    * is the old copy deleted. A crash mid-swap therefore always leaves a
+    * complete copy of the data on disk (either still at `path`, or intact
+    * at `path__old` ready for manual recovery), and the no-directory
+    * window shrinks to the instant between the two renames. Contract:
+    * single writer, no concurrent readers during the swap — same as
+    * `StreamingIngest.upsertBatch`. */
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
     val (before, totalBytes) = stats(spark, path)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = path.stripSuffix("/") + "__compacting"
+    val base = path.stripSuffix("/")
+    val tmp = base + "__compacting"
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp)
     val p = new Path(path)
+    val old = new Path(base + "__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
+    fs.delete(old, true) // stale leftover from a previous crashed swap
+    fs.rename(p, old)
     fs.rename(new Path(tmp), p)
+    fs.delete(old, true)
     (before, stats(spark, path)._1)
   }
 }

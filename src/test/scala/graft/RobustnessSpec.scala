@@ -81,12 +81,16 @@ class RobustnessSpec extends GraftSuite {
     assert(out.count() == 2)
   }
 
-  test("minhash mega-bucket cap drops boilerplate buckets, keeps genuine pairs") {
+  test("minhash mega-bucket star pairing: linear pairs, cluster stays connected") {
     import graft.operators.MinHashDedup
     // 200 identical boilerplate docs → every band bucket has width 200;
     // uncapped, the band self-join squares to ~19,900 candidate pairs in
-    // one reducer. The width cap (64) drops those buckets entirely while
-    // the two genuine near-dup docs (unique text, bucket width 2) pair up.
+    // one reducer. Over the width cap (64) the bucket degrades to star
+    // pairing — each member pairs only with the min-id representative —
+    // so the candidate count is linear (199 pairs, all anchored at doc 0)
+    // and transitive clustering still connects the whole cluster, while
+    // the two genuine near-dup docs (unique text, width-2 bucket) pair up
+    // through the normal self-join path.
     val boiler = (0 until 200).map(i =>
       (i.toLong, "subscribe to our newsletter terms and conditions apply all rights reserved"))
     val realA = (1000L, "the quick brown fox jumps over the lazy dog near the river bank today")
@@ -95,7 +99,8 @@ class RobustnessSpec extends GraftSuite {
     val pairs = MinHashDedup.nearDuplicates(docs, "doc_id",
         graft.functions.TextFns.normalizeText(col("text")), threshold = 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs == Set((1000L, 1001L)),
-      s"expected only the genuine pair, got ${pairs.size} pairs")
+    val expected = (1L until 200L).map(i => (0L, i)).toSet + ((1000L, 1001L))
+    assert(pairs == expected,
+      s"expected 199 star pairs + the genuine pair, got ${pairs.size} pairs")
   }
 }

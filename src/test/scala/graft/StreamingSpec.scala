@@ -86,25 +86,42 @@ class StreamingSpec extends GraftSuite {
     // disk with incremental checkpoints instead of exhausting executor
     // heap. Same query semantics as the HDFS-backed default — asserted
     // by rerunning the dedup scenario against the swapped provider.
-    implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(String, Long, Timestamp, Double)]
-    val df = in.toDF().toDF("account_id", "ticket", "event_time", "profit")
-    val q = StreamingIngest.dedupStream(df, "event_time", "10 minutes",
-        Seq("account_id", "ticket"))
-      .writeStream.format("memory").queryName("rocks_out")
-      .option("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .outputMode("append").start()
-    in.addData(("a", 1L, ts("2024-01-01 10:00:00"), 5.0),
-      ("a", 1L, ts("2024-01-01 10:00:30"), 5.0))
-    q.processAllAvailable()
-    in.addData(("a", 1L, ts("2024-01-01 10:02:00"), 9.9),
-      ("c", 9L, ts("2024-01-01 10:02:00"), 1.0))
-    q.processAllAvailable()
-    q.stop()
-    val out = spark.table("rocks_out")
-      .select("account_id", "ticket").as[(String, Long)].collect().toSeq
-    assert(out.size == 2 && out.toSet == Set(("a", 1L), ("c", 9L)))
+    // The provider is a SQL conf captured at query start, NOT a sink
+    // option — it must be set on the session, and we assert it actually
+    // took effect via RocksDB-specific state-operator metrics.
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, Long, Timestamp, Double)]
+      val df = in.toDF().toDF("account_id", "ticket", "event_time", "profit")
+      val q = StreamingIngest.dedupStream(df, "event_time", "10 minutes",
+          Seq("account_id", "ticket"))
+        .writeStream.format("memory").queryName("rocks_out")
+        .outputMode("append").start()
+      in.addData(("a", 1L, ts("2024-01-01 10:00:00"), 5.0),
+        ("a", 1L, ts("2024-01-01 10:00:30"), 5.0))
+      q.processAllAvailable()
+      in.addData(("a", 1L, ts("2024-01-01 10:02:00"), 9.9),
+        ("c", 9L, ts("2024-01-01 10:02:00"), 1.0))
+      q.processAllAvailable()
+      val rocksMetrics = q.lastProgress.stateOperators.headOption
+        .map(_.customMetrics.keySet().toArray.map(_.toString).toSeq)
+        .getOrElse(Seq.empty)
+      q.stop()
+      assert(rocksMetrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"RocksDB provider did not take effect; state metrics: $rocksMetrics")
+      val out = spark.table("rocks_out")
+        .select("account_id", "ticket").as[(String, Long)].collect().toSeq
+      assert(out.size == 2 && out.toSet == Set(("a", 1L), ("c", 9L)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
   }
 
   test("stateful sessionization: gap closes a session, state carries across batches") {
