@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmQueries, LlmQueries2, RefQueries, RelQueries, RelQueries2, RelQueries3, RelQueries4, RelQueries5, SqlQueries, StreamQueries}
+import graft.queries.{LlmQueries, LlmQueries2, LlmQueries3, RefQueries, RelQueries, RelQueries2, RelQueries3, RelQueries4, RelQueries5, SqlQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,14 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.defs ++ RelQueries.defs ++ RelQueries2.defs ++
       RelQueries3.defs ++ RelQueries4.defs ++ RelQueries5.defs ++
-      LlmQueries.defs ++ LlmQueries2.defs ++ SqlQueries.defs ++
-      StreamQueries.defs
+      LlmQueries.defs ++ LlmQueries2.defs ++ LlmQueries3.defs ++
+      SqlQueries.defs ++ StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RefQueries.oracles ++ RelQueries.oracles ++ RelQueries2.oracles ++
       RelQueries3.oracles ++ RelQueries4.oracles ++ RelQueries5.oracles ++
-      LlmQueries.oracles ++ LlmQueries2.oracles ++ SqlQueries.oracles ++
-      StreamQueries.oracles
+      LlmQueries.oracles ++ LlmQueries2.oracles ++ LlmQueries3.oracles ++
+      SqlQueries.oracles ++ StreamQueries.oracles
 }

@@ -78,4 +78,22 @@ object TextFns {
     val sw = least(stopwordRatio(c) * 4.0, lit(1.0))
     lenScore * 0.3 + sw * 0.5 + (lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))) * 0.2
   }
+
+  /** PII patterns kept RE2-safe (no lookaround/backreferences) so the
+    * same pattern string runs under Java regex here and RE2 in the
+    * DuckDB oracle. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Scrub emails, then URLs, then phone numbers (email first so the
+    * URL pattern never swallows a mailto-looking tail; phone last so a
+    * URL's digit runs are already gone). Pure codegen'd regexp_replace
+    * chain — one projection pass over the corpus, no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      PhonePattern, "<PHONE>")
 }

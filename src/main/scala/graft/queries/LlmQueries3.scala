@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Third batch of LLM-training-data pipeline operators: PII redaction,
+  * Gopher-style quality gates, cross-corpus line dedup, benchmark
+  * decontamination, and character-distribution concentration.
+  *
+  * All five are single-pass relational shapes — explode → map-side
+  * partial aggregation, or pure projections — with no UDFs, no
+  * collect_list order dependence, and no floating-point accumulation
+  * (every double in an output column is a single scalar op over exact
+  * integers, which is bitwise reproducible cross-engine).
+  */
+object LlmQueries3 {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** The testdata corpus carries no PII, so the query plants it
+    * deterministically from doc_id (same expression in the oracle):
+    * every 3rd doc gains an email, every 5th a URL, every 7th a phone
+    * number. What's tested is the redaction chain, not the fixture. */
+  private def plantedPii(text: org.apache.spark.sql.Column,
+                         id: org.apache.spark.sql.Column) = {
+    val idStr = id.cast("string")
+    concat(
+      when(id % 3 === 0,
+        concat(text, lit(" contact user"), idStr, lit("@example.com now")))
+        .otherwise(text),
+      when(id % 5 === 0,
+        concat(lit(" visit https://site"), idStr, lit(".example.org/p?id="), idStr))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" call 555-123-"), lpad(idStr, 4, "0")))
+        .otherwise(lit("")))
+  }
+
+  /** PII scrub over the corpus: per doc, how many of each PII class were
+    * found (counted pre-redaction) and the md5 of the scrubbed text —
+    * narrow output, full-fidelity check that both engines redacted
+    * byte-identically. Pure projection: zero shuffles until the sort. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val aug = plantedPii(col("text"), col("doc_id"))
+    docs.select(
+        col("doc_id"),
+        regexp_count(aug, lit(EmailPattern)).as("n_emails"),
+        regexp_count(aug, lit(UrlPattern)).as("n_urls"),
+        regexp_count(aug, lit(PhonePattern)).as("n_phones"),
+        length(redactPii(aug)).as("red_len"),
+        md5(redactPii(aug)).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String = """
+WITH aug AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               ELSE text END)
+         || (CASE WHEN doc_id % 5 = 0
+                  THEN ' visit https://site' || CAST(doc_id AS VARCHAR) || '.example.org/p?id=' || CAST(doc_id AS VARCHAR)
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN ' call 555-123-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                  ELSE '' END) AS a
+  FROM documents),
+red AS (
+  SELECT doc_id, a,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS r
+  FROM aug)
+SELECT doc_id,
+       len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(a, 'https?://[^\s]+')) AS n_urls,
+       len(regexp_extract_all(a, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+       length(r) AS red_len,
+       md5(r) AS red_md5
+FROM red ORDER BY doc_id
+"""
+
+  /** Gopher-style quality gate (Rae et al. 2021, table A1 shape): word
+    * count, mean word length, distinct-word ratio, and stopword evidence
+    * per doc, plus the combined keep/drop flag. One explode → groupBy
+    * with map-side combine; the scalar signals ride along via exact
+    * integer sums, each ratio is a single IEEE division. */
+  def gopherFilters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(normalizeText(col("text")))).as("tk"))
+    val st = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n_words"),
+      countDistinct(col("tk")).as("n_distinct"),
+      sum(length(col("tk"))).as("sum_len"))
+    docs.select(col("doc_id"),
+        stopwordScore(col("text"), StopwordPatterns.toMap.apply("en")).as("sw_hits"))
+      .join(st, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("sum_len").cast("double") / col("n_words").cast("double")).as("mean_word_len"),
+        (col("n_distinct").cast("double") / col("n_words").cast("double")).as("distinct_ratio"),
+        col("sw_hits"),
+        (col("n_words").between(20, 100000) &&
+          (col("sum_len") * 10 >= col("n_words") * 30) &&
+          (col("sum_len") * 10 <= col("n_words") * 100) &&
+          (col("n_distinct") * 10 > col("n_words") * 3) &&
+          col("sw_hits") >= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val gopherFiltersSql: String = """
+WITH norm AS (
+  SELECT doc_id, text, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(s, ' ')) AS tk FROM norm WHERE length(s) > 0),
+st AS (
+  SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT tk) AS n_distinct,
+         SUM(length(tk)) AS sum_len
+  FROM tok GROUP BY doc_id),
+sw AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|was)\b')) AS sw_hits
+  FROM norm)
+SELECT st.doc_id, st.n_words,
+       CAST(st.sum_len AS DOUBLE) / CAST(st.n_words AS DOUBLE) AS mean_word_len,
+       CAST(st.n_distinct AS DOUBLE) / CAST(st.n_words AS DOUBLE) AS distinct_ratio,
+       sw.sw_hits,
+       (st.n_words BETWEEN 20 AND 100000
+        AND st.sum_len * 10 >= st.n_words * 30
+        AND st.sum_len * 10 <= st.n_words * 100
+        AND st.n_distinct * 10 > st.n_words * 3
+        AND sw.sw_hits >= 2) AS keep
+FROM st JOIN sw ON st.doc_id = sw.doc_id
+ORDER BY st.doc_id
+"""
+
+  /** Cross-corpus line dedup (CCNet-style, adapted to the newline-free
+    * corpus: a "line" is a 3-token window at stride 3). Lines whose hash
+    * appears in more than `maxDocs` distinct docs are boilerplate and
+    * dropped; the per-doc removal ratio is the quality signal. The line
+    * frequency table aggregates map-side on the hash — the only wide
+    * exchange is keyed by a uniform md5, and the doc-side join is a
+    * broadcast at any realistic boilerplate-table size. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val maxDocs = 2
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(normalizeText(col("text")))).as(Seq("pos", "tk")))
+    val lines = tok
+      .withColumn("t2", lead(col("tk"), 2).over(w))
+      .withColumn("line", concat_ws(" ", col("tk"), lead(col("tk"), 1).over(w), col("t2")))
+      .filter(col("t2").isNotNull && col("pos") % 3 === 0)
+      .select(col("doc_id"), md5(col("line")).as("lh"))
+    val freq = lines.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+    lines.join(broadcast(freq), Seq("lh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("n_docs")).as("n_removed"))
+      .withColumn("removed_ratio",
+        col("n_removed").cast("double") / col("n_lines").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val lineDedupSql: String = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+tok AS (
+  SELECT doc_id, u.i - 1 AS pos, u.tk FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts) + 1),
+                                 i -> struct_pack(i := i, tk := ts[i]))) AS u
+    FROM (SELECT doc_id, string_split(s, ' ') AS ts FROM norm WHERE length(s) > 0) x) y),
+ln AS (
+  SELECT doc_id, pos,
+         concat_ws(' ', tk,
+                   lead(tk, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                   lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS line,
+         lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM tok),
+lines AS (
+  SELECT doc_id, md5(line) AS lh FROM ln WHERE t2 IS NOT NULL AND pos % 3 = 0),
+freq AS (
+  SELECT lh, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY lh
+  HAVING COUNT(DISTINCT doc_id) > 2)
+SELECT l.doc_id, COUNT(*) AS n_lines, COUNT(f.n_docs) AS n_removed,
+       CAST(COUNT(f.n_docs) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS removed_ratio
+FROM lines l LEFT JOIN freq f ON l.lh = f.lh
+GROUP BY l.doc_id ORDER BY l.doc_id
+"""
+
+  /** Benchmark decontamination (the n-gram-overlap check run before
+    * training, cf. GPT-3 appendix C / PaLM sec. 8): the holdout is the
+    * deterministic slice doc_id % 97 = 0; a training doc is contaminated
+    * when it shares ≥ 3 distinct token 3-grams with any holdout doc.
+    * The holdout gram set is tiny by construction → broadcast join; the
+    * training side streams through in one pass. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(normalizeText(col("text")))).as(Seq("pos", "tk")))
+    val grams = tok
+      .withColumn("t2", lead(col("tk"), 2).over(w))
+      .withColumn("ng", md5(concat_ws(" ", col("tk"), lead(col("tk"), 1).over(w), col("t2"))))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("ng"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("ng")).distinct()
+    val train = grams.filter(col("doc_id") % 97 =!= 0)
+    train.join(broadcast(bench), Seq("ng"), "left_semi")
+      .groupBy("doc_id").agg(countDistinct(col("ng")).as("n_overlap"))
+      .join(train.select("doc_id").distinct(), Seq("doc_id"), "right_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= 3).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+tok AS (
+  SELECT doc_id, u.i - 1 AS pos, u.tk FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts) + 1),
+                                 i -> struct_pack(i := i, tk := ts[i]))) AS u
+    FROM (SELECT doc_id, string_split(s, ' ') AS ts FROM norm WHERE length(s) > 0) x) y),
+g AS (
+  SELECT doc_id,
+         md5(concat_ws(' ', tk,
+                       lead(tk, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos))) AS ng,
+         lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM tok),
+grams AS (SELECT doc_id, ng FROM g WHERE t2 IS NOT NULL),
+bench AS (SELECT DISTINCT ng FROM grams WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, ng FROM grams WHERE doc_id % 97 <> 0),
+ov AS (
+  SELECT doc_id, COUNT(DISTINCT ng) AS n_overlap
+  FROM train WHERE ng IN (SELECT ng FROM bench)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) >= 3 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM train) d
+LEFT JOIN ov ON d.doc_id = ov.doc_id
+ORDER BY d.doc_id
+"""
+
+  /** Character-distribution concentration per doc: distinct characters
+    * and Gini impurity (1 − Σ pᵢ²) over non-space characters — the
+    * log-free twin of character entropy (a Σ p·ln p across engines hinges
+    * on libm ulp agreement; Σ c² over exact longs does not). Low gini =
+    * degenerate character soup, a standard junk-text signal. */
+  def charGini(s: SparkSession, dir: String): DataFrame = {
+    val ch = t(s, dir, "documents")
+      .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("cs"))
+      .select(col("doc_id"), col("cs"),
+        explode(sequence(lit(1), greatest(length(col("cs")), lit(1)))).as("i"))
+      .select(col("doc_id"), col("cs").substr(col("i"), lit(1)).as("c"))
+      .filter(length(col("c")) > 0)
+    ch.groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        sum(col("n")).as("n_chars"),
+        sum(col("n") * col("n")).as("ssq"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        (lit(1.0) - col("ssq").cast("double") /
+          (col("n_chars") * col("n_chars")).cast("double")).as("gini"))
+      .orderBy("doc_id")
+  }
+
+  val charGiniSql: String = """
+WITH cs AS (
+  SELECT doc_id, replace(text, ' ', '') AS cs FROM documents),
+ch AS (
+  SELECT doc_id, substr(cs, CAST(i AS INTEGER), 1) AS c
+  FROM cs, unnest(range(1, greatest(length(cs), 1) + 1)) t(i)
+  WHERE length(substr(cs, CAST(i AS INTEGER), 1)) > 0),
+cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars, COUNT(*) AS n_distinct_chars,
+       1.0 - CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE) AS gini
+FROM cc GROUP BY doc_id ORDER BY doc_id
+"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact" -> (piiRedact _),
+    "q_gopher_filters" -> (gopherFilters _),
+    "q_line_dedup" -> (lineDedup _),
+    "q_decontaminate" -> (decontaminate _),
+    "q_char_gini" -> (charGini _))
+
+  val oracles: Map[String, String] = Map(
+    "q_pii_redact" -> piiRedactSql,
+    "q_gopher_filters" -> gopherFiltersSql,
+    "q_line_dedup" -> lineDedupSql,
+    "q_decontaminate" -> decontaminateSql,
+    "q_char_gini" -> charGiniSql)
+}
