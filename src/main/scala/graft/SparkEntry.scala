@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmQueries, LlmQueries2, LlmQueries3, RefQueries, RelQueries, RelQueries2, RelQueries3, RelQueries4, RelQueries5, RelQueries6, SqlQueries, StreamQueries}
+import graft.queries.{LlmQueries, LlmQueries2, LlmQueries3, RefQueries, RelQueries, RelQueries2, RelQueries3, RelQueries4, RelQueries5, RelQueries6, ScaleQueries, SqlQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
       RelQueries3.defs ++ RelQueries4.defs ++ RelQueries5.defs ++
       RelQueries6.defs ++
       LlmQueries.defs ++ LlmQueries2.defs ++ LlmQueries3.defs ++
-      SqlQueries.defs ++ StreamQueries.defs
+      ScaleQueries.defs ++ SqlQueries.defs ++ StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -32,5 +32,5 @@ object SparkEntry {
       RelQueries3.oracles ++ RelQueries4.oracles ++ RelQueries5.oracles ++
       RelQueries6.oracles ++
       LlmQueries.oracles ++ LlmQueries2.oracles ++ LlmQueries3.oracles ++
-      SqlQueries.oracles ++ StreamQueries.oracles
+      ScaleQueries.oracles ++ SqlQueries.oracles ++ StreamQueries.oracles
 }

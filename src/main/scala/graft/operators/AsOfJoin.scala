@@ -93,6 +93,37 @@ object AsOfJoin {
       .select(col("__l.*") +: rightPayload.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** Broadcast backward as-of — the small-right-side variant. The union
+    * + window form (`backward`) shuffles BOTH sides on the join key; when
+    * the right side is dim-sized (rate tables, daily rollups) that wastes
+    * a fact-table shuffle on a skew-prone key. Here the right side
+    * broadcasts, the fact side equi-joins with the `rightTime <=
+    * leftTime` residual, and one aggregation keyed by the left row id
+    * (uniform by construction — no key skew) picks the latest match via
+    * `max_by`, which combines map-side. Left rows with no match keep
+    * null payloads (max_by ignores null-ordered rows).
+    *
+    * @param leftId unique left row id (the aggregation key) */
+  def backwardBroadcast(left: DataFrame, leftId: String, leftKey: String,
+                        leftTime: String, right: DataFrame, rightKey: String,
+                        rightTime: String, rightPayload: Seq[String],
+                        rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val leftStruct = struct(left.columns.toIndexedSeq.map(col): _*)
+    val pCols = (rightPayload ++ rightTieBreak).distinct
+    val r2 = right.select(
+      col(rightKey).as("__rk"), col(rightTime).as("__rt"),
+      struct(pCols.map(col) :+ col(rightTime).as("__ort"): _*).as("__p"))
+    val ord = struct(
+      col("__p.__ort") +: rightTieBreak.map(c => col(s"__p.$c")): _*)
+    left.select(col(leftId).as("__lid"), col(leftKey).as("__lk"),
+        col(leftTime).as("__lt"), leftStruct.as("__l"))
+      .join(broadcast(r2),
+        col("__lk") === col("__rk") && col("__rt") <= col("__lt"), "left_outer")
+      .groupBy("__lid")
+      .agg(first(col("__l")).as("__l"), max_by(col("__p"), ord).as("__asof"))
+      .select(col("__l.*") +: rightPayload.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
   /** Nearest as-of join — whichever of the backward and forward matches
     * is closer in time wins; exact ties prefer backward. `tolerance`
     * (same units as seconds-as-double, i.e. timestamps cast to double)

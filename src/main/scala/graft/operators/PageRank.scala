@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank (Brin & Page '98) with exact integer arithmetic, so ranks
+  * are bit-identical across engines, partitionings, and reruns.
+  *
+  * All mass is scaled to `scale` integer units; per-edge contributions
+  * use truncating integer division (`DIV` here, `//` in the DuckDB
+  * twin), and the damping step is `base + (85 · Σcontrib) DIV 100`.
+  * Floating-point PageRank sums doubles in shuffle arrival order —
+  * irreproducible; integer sums are associative-commutative exact.
+  * Dangling nodes simply leak their mass (no redistribution) — both
+  * engines leak identically, and ranking order is unaffected for the
+  * connected bulk.
+  *
+  * Shape per iteration: contributions = edges ⋈ ranks (shuffle keyed by
+  * src) → groupBy(dst) sum (map-side combine) → left join back onto the
+  * node list. Lineage is cut per round with an eager localCheckpoint —
+  * same pattern as `ConnectedComponents` — so the plan does not grow
+  * exponentially with iterations. Node count comes from one count()
+  * action up front (the only driver-side value; it parameterizes the
+  * base rank).
+  */
+object PageRank {
+
+  /** @param edges (src, dst) directed edge list; duplicates are deduped
+    * @return (id, rank) with Σrank ≤ scale (truncation + dangling leak) */
+  def ranks(edges: DataFrame, iters: Int = 3,
+            scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = 15L * scale / (100L * n)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var r = nodes.select(col("id"), lit(scale / n).as("rank"))
+    for (_ <- 0 until iters) {
+      val m = e.join(r.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      r = nodes.join(m.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(m, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+}

@@ -41,4 +41,22 @@ object Salted {
       .groupBy(keys.map(col): _*)
       .agg(fAggs.head, fAggs.tail: _*)
   }
+
+  /** Salted equi-join — the join-side twin of `sumCount` for when AQE's
+    * skew split can't kick in (disabled, or stats mislead it): the big
+    * side gets a uniform salt, the small side is replicated once per
+    * salt bucket, and the join key becomes (keys…, salt). A hot key's
+    * rows thereby spread over `buckets` reducers instead of one. Result
+    * set is byte-identical to the unsalted join (every big-side row
+    * still meets every matching small-side row exactly once). Cost: the
+    * small side shuffles ×`buckets` — only pay it when the small side
+    * is genuinely small and the big side genuinely skewed. */
+  def join(big: DataFrame, small: DataFrame, keys: Seq[String],
+           buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(hash(spark_partition_id(), monotonically_increasing_id()), lit(buckets)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    bigS.join(smallS, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

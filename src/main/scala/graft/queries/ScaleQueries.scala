@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, PageRank, Salted}
+import graft.sinks.ZOrderedParquet
+
+/** Scale-technique surface: each query exercises an operator whose
+  * whole point is behavior at 100 TB (skew-safe joins, broadcast as-of,
+  * z-order layout, columnar-format round trips, iterative graph rank)
+  * while producing an exactly-oracled result at test scale.
+  */
+object ScaleQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Skew-safe salted equi-join: lineitem ⋈ supplier on suppkey with the
+    * key salted 8 ways, aggregated to per-nation revenue. The oracle is
+    * the PLAIN join — proving the salted plan is result-identical while
+    * no single reducer ever sees a whole hot key. */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), cents(col("l_extendedprice")).as("c"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Salted.join(li, sup, Seq("suppkey"), buckets = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"))
+      .select(col("s_nationkey"), col("n"), (col("sum_cents") / 100.0).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  val saltedJoinSql: String = """
+SELECT s.s_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+"""
+
+  /** Broadcast backward as-of: every event looks up the latest per-type
+    * daily rollup at-or-before its timestamp. The rollup is dim-sized →
+    * broadcast; the only exchange is the max_by aggregation keyed by
+    * event_id (uniform — contrast with the union+window as-of, which
+    * shuffles the facts on the skewable join key). DuckDB's native
+    * ASOF JOIN is the oracle. */
+  def asofBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val daily = ev.groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day_ts"))
+      .agg(sum(cents(col("value"))).as("day_cents"))
+    AsOfJoin.backwardBroadcast(
+        ev.select("event_id", "event_type", "ts"), "event_id", "event_type", "ts",
+        daily, "event_type", "day_ts", Seq("day_cents"))
+      .select(col("event_id"), col("event_type"),
+        (col("day_cents") / 100.0).as("day_total"))
+      .orderBy("event_id")
+  }
+
+  val asofBroadcastSql: String = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day_ts,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events GROUP BY event_type, date_trunc('day', ts))
+SELECT e.event_id, e.event_type, d.day_cents / 100.0 AS day_total
+FROM events e ASOF LEFT JOIN daily d
+  ON e.event_type = d.event_type AND d.day_ts <= e.ts
+ORDER BY e.event_id
+"""
+
+  /** Morton z-values over (partkey, suppkey) buckets — the expression
+    * behind `ZOrderedParquet.write`'s clustered layout, checked
+    * bit-for-bit cross-engine. Top-20 curve positions with a total-order
+    * tiebreak. */
+  def zorder(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+      (col("l_partkey") % 1024).as("xb"),
+      (col("l_suppkey") % 1024).as("yb"),
+      col("l_orderkey"), col("l_linenumber"))
+    base.withColumn("z", ZOrderedParquet.interleave(col("xb"), col("yb"), 10))
+      .orderBy(col("z").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  val zorderSql: String = s"""
+SELECT xb, yb, l_orderkey, l_linenumber,
+       ${ZOrderedParquet.interleaveSql("xb", "yb", 10)} AS z
+FROM (SELECT l_partkey % 1024 AS xb, l_suppkey % 1024 AS yb, l_orderkey, l_linenumber
+      FROM lineitem) b
+ORDER BY z DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+  /** ORC round trip: a filtered orders slice is written to ORC, read
+    * back, and aggregated; the oracle aggregates the original parquet.
+    * Equality proves type fidelity (decimal-ish doubles, dates) through
+    * the second columnar format the engine supports. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val path = "target/orc_fixture_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    src.write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+      .select(col("o_orderstatus"), col("n"),
+        (col("sum_cents") / 100.0).as("total"), col("first_date"), col("last_date"))
+      .orderBy("o_orderstatus")
+  }
+
+  val orcRoundtripSql: String = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total,
+       min(o_orderdate) AS first_date, max(o_orderdate) AS last_date
+FROM orders WHERE o_orderkey < 5000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+  /** Integer PageRank (3 damped iterations) over the part→supplier
+    * co-occurrence graph. The oracle unrolls the same three iterations
+    * as CTEs with `//` floor division — ranks match exactly because
+    * every operation is integer. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "lineitem").select(
+      (col("l_partkey") % 200).as("src"), (col("l_suppkey") % 200).as("dst"))
+    PageRank.ranks(e, iters = 3)
+      .orderBy(col("rank").desc, col("id"))
+  }
+
+  val pagerankSql: String = {
+    val scale = 1000000000000L
+    def iter(k: Int): String = s"""
+r$k AS (
+  SELECT nd.id,
+         ((15 * $scale) // (100 * (SELECT c FROM n)))
+           + ((85 * COALESCE(m.m, 0)) // 100) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst, CAST(SUM(r.rank // d.deg) AS BIGINT) AS m
+    FROM e JOIN r${k - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) m ON nd.id = m.dst)"""
+    s"""
+WITH e AS (
+  SELECT DISTINCT l_partkey % 200 AS src, l_suppkey % 200 AS dst FROM lineitem),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+n AS (SELECT COUNT(*) AS c FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT id, ($scale // (SELECT c FROM n)) AS rank FROM nodes),${iter(1)},${iter(2)},${iter(3)}
+SELECT id, rank FROM r3 ORDER BY rank DESC, id
+"""
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (saltedJoin _),
+    "q_asof_broadcast" -> (asofBroadcast _),
+    "q_zorder" -> (zorder _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_pagerank" -> (pagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_join" -> saltedJoinSql,
+    "q_asof_broadcast" -> asofBroadcastSql,
+    "q_zorder" -> zorderSql,
+    "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_pagerank" -> pagerankSql)
+}

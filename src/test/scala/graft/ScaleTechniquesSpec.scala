@@ -178,4 +178,53 @@ class ScaleTechniquesSpec extends GraftSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("salted equi-join equals the plain join exactly") {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_linenumber"))
+    val sup = Tables(spark, "/root/testdata/sf0.001", "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    val salted = Salted.join(li, sup, Seq("suppkey"), buckets = 8)
+      .select("suppkey", "l_orderkey", "l_linenumber", "s_nationkey")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val plain = li.join(sup, "suppkey")
+      .select("suppkey", "l_orderkey", "l_linenumber", "s_nationkey")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("z-ordered layout localizes BOTH dimensions' per-file ranges") {
+    // Sorting by x alone makes every file span y's full range; the
+    // Morton curve must shrink the average per-file span of BOTH
+    // columns well below the global span.
+    import graft.sinks.{RangeSortedParquet, ZOrderedParquet}
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/li"
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select((col("l_partkey") % 1024).as("xb"),
+        (col("l_suppkey") % 1024).as("yb"), col("l_quantity"))
+    ZOrderedParquet.write(li, dir, "xb", "yb", nFiles = 16, bits = 10)
+    def avgSpanFrac(key: String): Double = {
+      val r = RangeSortedParquet.fileRanges(spark, dir, key)
+        .agg(avg(col("hi") - col("lo")).as("s")).head().getDouble(0)
+      r / 1023.0
+    }
+    val (fx, fy) = (avgSpanFrac("xb"), avgSpanFrac("yb"))
+    assert(fx < 0.6 && fy < 0.6,
+      s"z-order should localize both dims: x span frac=$fx, y span frac=$fy")
+  }
+
+  test("pagerank: exact integer ranks on a known graph, sinks rank highest") {
+    import graft.operators.PageRank
+    // Star into node 0 plus a 2-cycle; node 0 must out-rank everything,
+    // and reruns must be bit-identical (exact integer arithmetic).
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val r1 = PageRank.ranks(edges, iters = 3).orderBy(col("rank").desc, col("id"))
+      .as[(Long, Long)].collect().toSeq
+    val r2 = PageRank.ranks(edges, iters = 3).orderBy(col("rank").desc, col("id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(r1 == r2, "integer pagerank must be rerun-identical")
+    assert(r1.head._1 == 0L, s"hub node should rank first, got ${r1.head}")
+    assert(r1.map(_._2).sum <= 1000000000000L, "mass can only leak, never grow")
+  }
 }
