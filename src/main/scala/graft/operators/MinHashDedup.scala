@@ -85,9 +85,11 @@ object MinHashDedup {
     * pairs with the bucket's min-id representative. That keeps the
     * candidate count linear in bucket width while transitive clustering
     * (see `ConnectedComponents`) still connects the whole cluster through
-    * the hub. Width and representative come from one window over the
-    * band/bucket key — the same single shuffle as the join, no extra
-    * aggregation pass. */
+    * the hub. Width and representative come from one map-side-combined
+    * aggregation whose output is one row per DISTINCT bucket — broadcast
+    * back onto the banded rows, so the wide/narrow split costs no sort
+    * and no extra wide shuffle (a ranking window here would sort the
+    * whole banded frame once per consumer). */
   def candidatePairs(sig: DataFrame, idCol: String,
                      nHashes: Int = 16, bands: Int = 4,
                      maxBucket: Int = 64): DataFrame = {
@@ -100,19 +102,23 @@ object MinHashDedup {
           md5(concat_ws("", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val widths = banded
-      .withColumn("__bw", count(lit(1)).over(w))
-      .withColumn("__rep", min(col(idCol)).over(w))
-    val narrow = widths.filter(col("__bw") <= maxBucket)
-      .select(col(idCol), col("band"), col("bucket"))
+    // Over-cap buckets only (rarities by construction): aggregated
+    // map-side to one row per distinct bucket, then broadcast — the
+    // narrow/wide split is an anti/equi broadcast join, costing the
+    // banded frame no sort and no shuffle.
+    val wide = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bw"), min(col(idCol)).as("__rep"))
+      .filter(col("__bw") > maxBucket)
+    val narrow = banded.join(broadcast(wide.select("band", "bucket")),
+      Seq("band", "bucket"), "left_anti")
     val narrowPairs = narrow.as("x").join(narrow.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-    val starPairs = widths
-      .filter(col("__bw") > maxBucket && col(idCol) =!= col("__rep"))
+    val starPairs = banded
+      .join(broadcast(wide), Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
     narrowPairs.union(starPairs).distinct()
   }

@@ -24,7 +24,10 @@ object LlmQueries2 {
     * not appear. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // fp feeds itself (rows + group-mins) across a self-join — checkpoint
+    // the tiny (id, md5) frame so the documents scan and md5 run once.
     val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      .localCheckpoint(true)
     val fpMin = fp.groupBy("fingerprint").agg(min(col("doc_id")).as("src"))
     val fpEdges = fp.join(fpMin, "fingerprint")
       .filter(col("doc_id") =!= col("src"))
