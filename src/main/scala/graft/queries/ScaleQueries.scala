@@ -153,17 +153,82 @@ SELECT id, rank FROM r3 ORDER BY rank DESC, id
 """
   }
 
+  /** Calendar gap-fill: one row per (user, day) across each user's
+    * active span, the day's closing value carried forward through
+    * gap days. Exercises `GapFill.dailyFfill` — two shuffles keyed by
+    * the entity, spine generated not joined. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") < 50)
+      .select(col("user_id"), col("ts"), col("event_id"), cents(col("value")).as("c"))
+    graft.operators.GapFill.dailyFfill(ev, "user_id", "ts",
+        col("c"), Seq(col("event_id")))
+      .select(col("user_id"), col("day"), (col("value") / 100.0).as("close"))
+      .orderBy("user_id", "day")
+  }
+
+  val gapFillSql: String = """
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE user_id < 50),
+daily AS (
+  SELECT user_id, day, c AS close FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day, c,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e) x WHERE rn = 1),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span),
+filled AS (
+  SELECT s.user_id, s.day,
+         last_value(d.close IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_c
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+SELECT user_id, day, close_c / 100.0 AS close FROM filled
+ORDER BY user_id, day
+"""
+
+  /** JSON-lines round trip (format-matrix completion alongside parquet /
+    * csv / xlsx / xml / orc): a typed slice lands as JSON, reads back
+    * under an explicit schema, aggregates; oracle reads the parquet
+    * original. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+      .select(col("o_orderkey"), col("o_orderstatus"), cents(col("o_totalprice")).as("c"))
+    val path = "target/json_fixture_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    src.write.mode("overwrite").json(path)
+    s.read.schema("o_orderkey LONG, o_orderstatus STRING, c LONG").json(path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_c"))
+      .select(col("o_orderstatus"), col("n"), (col("sum_c") / 100.0).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val jsonRoundtripSql: String = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
+FROM orders WHERE o_orderkey < 5000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join" -> (saltedJoin _),
     "q_asof_broadcast" -> (asofBroadcast _),
     "q_zorder" -> (zorder _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
-    "q_pagerank" -> (pagerank _))
+    "q_pagerank" -> (pagerank _),
+    "q_gap_fill" -> (gapFill _),
+    "q_json_source" -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q_salted_join" -> saltedJoinSql,
     "q_asof_broadcast" -> asofBroadcastSql,
     "q_zorder" -> zorderSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
-    "q_pagerank" -> pagerankSql)
+    "q_pagerank" -> pagerankSql,
+    "q_gap_fill" -> gapFillSql,
+    "q_json_source" -> jsonRoundtripSql)
 }

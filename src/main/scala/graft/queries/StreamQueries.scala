@@ -86,9 +86,94 @@ WHERE ticket % 2 = 0 OR ticket % 3 = 0 OR ticket % 5 = 0
 ORDER BY ticket
 """
 
+  /** Streaming gap sessionization driven end-to-end: a bounded, time-
+    * ordered events slice flows through `SessionizeStream.sessionize`
+    * (flatMapGroupsWithState, event-time timeout) in three chronological
+    * micro-batches plus a far-future sentinel event per user that closes
+    * every still-open real session inline. Sentinel sessions themselves
+    * stay open and are never emitted, so the output is exactly the
+    * batch gap-sessionization of the slice — which is what the oracle
+    * computes (on millisecond-truncated times; the streaming path clocks
+    * state in ms). */
+  def streamingSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.streaming.SessionizeStream
+    import graft.streaming.SessionizeStream.Event
+    val rows = t(s, dir, "events").filter(col("user_id") < 30)
+      .select(col("user_id"), col("ts"))
+      .orderBy("ts", "user_id").limit(StreamRowCap)
+      .as[(Long, java.sql.Timestamp)].collect()
+    require(rows.nonEmpty, "empty slice")
+    // Chronological halves split on a timestamp VALUE (never by row
+    // position): equal-timestamp rows can't straddle the batch boundary,
+    // so with watermark(0s) the second batch's rows are strictly newer
+    // than the first batch's watermark — nothing is dropped as late.
+    val t1 = rows(rows.length / 2)._2.getTime
+    val batches = Seq(
+      rows.filter(_._2.getTime < t1),
+      rows.filter(_._2.getTime >= t1))
+      .filter(_.nonEmpty)
+      .map(_.map { case (u, t) => Event(u, t) }.toSeq)
+    val maxMs = rows.map(_._2.getTime).max
+    val sentinel = rows.map(_._1).distinct.sorted.toSeq
+      .map(u => Event(u, new java.sql.Timestamp(maxMs + 48L * 3600 * 1000)))
+    // A rerun in the same session must not collide with the previous
+    // run's memory-sink view.
+    s.catalog.dropTempView("q_stream_sess_out")
+    // The stateful triggers' cost here is per-partition task overhead,
+    // not data: run the micro-batches on a few state partitions and
+    // restore the session conf after (result is partition-count
+    // independent).
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    val in = MemoryStream[Event]
+    val q = SessionizeStream.sessionize(in.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("q_stream_sess_out")
+      .outputMode("append").start()
+    try {
+      (batches :+ sentinel).foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    s.table("q_stream_sess_out")
+      .select(col("userId"), col("startUs"), col("endUs"), col("nEvents"), col("durationSec"))
+      .orderBy("userId", "startUs")
+  }
+
+  /** Batch twin of the streamed gap sessions, on ms-truncated epochs. */
+  val streamingSessionizeSql: String = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms
+  FROM (SELECT user_id, ts FROM events WHERE user_id < 30
+        ORDER BY ts, user_id LIMIT 10000) x),
+b AS (
+  SELECT user_id, ms,
+         CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+                   OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+              THEN 1 ELSE 0 END AS brk
+  FROM e),
+g AS (
+  SELECT user_id, ms,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM b)
+SELECT user_id AS "userId",
+       CAST(min(ms) * 1000 AS BIGINT) AS "startUs",
+       CAST(max(ms) * 1000 AS BIGINT) AS "endUs",
+       COUNT(*) AS "nEvents",
+       CAST(max(ms) - min(ms) AS BIGINT) * 1000 / 1000000.0 AS "durationSec"
+FROM g GROUP BY user_id, sid
+ORDER BY "userId", "startUs"
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_streaming_merge" -> (streamingMerge _))
+    "q_streaming_merge" -> (streamingMerge _),
+    "q_stream_sessionize" -> (streamingSessionize _))
 
   val oracles: Map[String, String] = Map(
-    "q_streaming_merge" -> streamingMergeSql)
+    "q_streaming_merge" -> streamingMergeSql,
+    "q_stream_sessionize" -> streamingSessionizeSql)
 }
