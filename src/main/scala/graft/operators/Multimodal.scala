@@ -87,6 +87,49 @@ object Multimodal {
     })
   }
 
+  case class MediaDims(id: Long, format: String, width: Long, height: Long)
+
+  /** REAL container-header parsing — pure JVM byte inspection, no codec
+    * libraries: PNG IHDR (big-endian dims at fixed offsets), BMP
+    * BITMAPINFOHEADER (little-endian), and a JPEG marker-segment walk to
+    * the SOF frame header. Pixel decode stays stubbed (no image libs in
+    * this environment), but header triage is the real first pass of a
+    * 100 TB media pipeline anyway — dimensions/format filters run before
+    * any expensive decode is worth scheduling. Returns None for
+    * unrecognized payloads (callers route those to quarantine). */
+  def parseDims(p: Array[Byte]): Option[(String, Long, Long)] = {
+    def u(i: Int): Long = p(i) & 0xffL
+    def be32(o: Int) = (u(o) << 24) | (u(o + 1) << 16) | (u(o + 2) << 8) | u(o + 3)
+    def le32(o: Int) = (u(o + 3) << 24) | (u(o + 2) << 16) | (u(o + 1) << 8) | u(o)
+    def be16(o: Int) = (u(o) << 8) | u(o + 1)
+    if (p.length >= 24 && u(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some(("png", be32(16), be32(20)))
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+      Some(("bmp", le32(18), le32(22)))
+    else if (p.length >= 4 && u(0) == 0xff && u(1) == 0xd8) {
+      // walk marker segments to the first start-of-frame (C0–CF minus
+      // C4/C8/CC, which are tables, not frames)
+      var i = 2
+      while (i + 9 <= p.length && u(i) == 0xff) {
+        val m = u(i + 1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        i += 2 + be16(i + 2).toInt
+      }
+      None
+    } else None
+  }
+
+  /** Partition-parallel header triage over binary payloads: (id, format,
+    * width, height); unparseable payloads are dropped (the filter is the
+    * point — schedule decodes only for media worth decoding). */
+  def headerDims(media: Dataset[MediaRow]): Dataset[MediaDims] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseDims(r.payload).map { case (f, w, h) => MediaDims(r.id, f, w, h) }
+    })
+  }
+
   case class Features(id: Long, group: String, histogram: Array[Long])
 
   /** STUB feature extraction: byte-value histogram (16 bins) — a real

@@ -295,17 +295,61 @@ SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars, COUNT(*) AS n_distinct_chars,
 FROM cc GROUP BY doc_id ORDER BY doc_id
 """
 
+  /** Real media-header triage: valid PNG / BMP / JPEG headers are
+    * synthesized in-engine (dimensions a closed-form function of doc_id,
+    * bytes built with hex/unhex — no driver loop), then parsed back by
+    * `Multimodal.parseDims`' actual byte-offset/marker-walk logic in a
+    * partition-parallel pass. The oracle knows only the arithmetic — so
+    * a parse that didn't truly invert the binary encoding fails the
+    * hash compare. */
+  def mediaDims(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+    val w = (lit(16L) + col("doc_id") % 1920).cast("long")
+    val h = (lit(16L) + (col("doc_id") * 7) % 1080).cast("long")
+    def beHex(c: org.apache.spark.sql.Column, n: Int) = lpad(hex(c), n, "0")
+    def leHex(c: org.apache.spark.sql.Column) = {
+      val b = beHex(c, 8)
+      concat(substring(b, 7, 2), substring(b, 5, 2), substring(b, 3, 2), substring(b, 1, 2))
+    }
+    val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"), beHex(w, 8), beHex(h, 8))
+    val bmpHex = concat(lit("424D" + "00" * 16), leHex(w), leHex(h))
+    val jpgHex = concat(lit("FFD8FFC0001108"), beHex(h, 4), beHex(w, 4), lit("00"))
+    val payload = unhex(
+      when(col("doc_id") % 3 === 0, pngHex)
+        .when(col("doc_id") % 3 === 1, bmpHex)
+        .otherwise(jpgHex))
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), lit("m").as("group"),
+        payload.as("payload"))
+      .as[MediaRow]
+    Multimodal.headerDims(media)
+      .select(col("id").as("doc_id"), col("format"), col("width"), col("height"))
+      .orderBy("doc_id")
+  }
+
+  val mediaDimsSql: String = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+       16 + doc_id % 1920 AS width,
+       16 + (doc_id * 7) % 1080 AS height
+FROM documents ORDER BY doc_id
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_redact" -> (piiRedact _),
     "q_gopher_filters" -> (gopherFilters _),
     "q_line_dedup" -> (lineDedup _),
     "q_decontaminate" -> (decontaminate _),
-    "q_char_gini" -> (charGini _))
+    "q_char_gini" -> (charGini _),
+    "q_media_dims" -> (mediaDims _))
 
   val oracles: Map[String, String] = Map(
     "q_pii_redact" -> piiRedactSql,
     "q_gopher_filters" -> gopherFiltersSql,
     "q_line_dedup" -> lineDedupSql,
     "q_decontaminate" -> decontaminateSql,
-    "q_char_gini" -> charGiniSql)
+    "q_char_gini" -> charGiniSql,
+    "q_media_dims" -> mediaDimsSql)
 }

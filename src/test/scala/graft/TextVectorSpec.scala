@@ -90,4 +90,22 @@ class TextVectorSpec extends GraftSuite {
     assert(feats.histogram.sum == 1000)
     assert(feats.histogram(('x' & 0xff) >> 4) == 1000)
   }
+
+  test("media header parsing: real byte offsets, JPEG marker walk, quarantine") {
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG 640×480: signature + IHDR length/type + BE dims
+    val png = hex("89504E470D0A1A0A0000000D49484452" + "00000280" + "000001E0")
+    assert(Multimodal.parseDims(png).contains(("png", 640L, 480L)))
+    // BMP 320×200: 'BM' + 16 filler bytes + LE dims
+    val bmp = hex("424D" + "00" * 16 + "40010000" + "C8000000")
+    assert(Multimodal.parseDims(bmp).contains(("bmp", 320L, 200L)))
+    // JPEG 100×50 with a DQT table segment BEFORE the SOF: the marker
+    // walk must skip it by its length, not assume SOF comes first
+    val jpg = hex("FFD8" + "FFDB0004" + "0000" + "FFC0001108" + "0032" + "0064" + "00")
+    assert(Multimodal.parseDims(jpg).contains(("jpeg", 100L, 50L)))
+    // unknown payload → None (quarantine path)
+    assert(Multimodal.parseDims("not an image".getBytes).isEmpty)
+    assert(Multimodal.parseDims(Array[Byte]()).isEmpty)
+  }
 }
