@@ -21,4 +21,38 @@ class PlanGovernanceSpec extends GraftSuite {
     }
     assert(offenders.isEmpty, s"queries with UDFs in their plans: $offenders")
   }
+
+  test("every registered query has an oracle, and no orphan oracles exist") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("nested-loop/cartesian joins appear only in explicitly-bounded queries") {
+    // A theta-join with no equi-key plans as BroadcastNestedLoopJoin or
+    // CartesianProduct — O(N·M) compute. That shape is legal only where
+    // the query text itself bounds an input (documented small-N guards);
+    // anywhere else it's an accidental cross join that 100 TB would not
+    // survive. Sweep every registered plan and compare against the
+    // explicit allowlist.
+    val allowed = Set(
+      "q_ngram_jaccard", // doc_id < 100 bound on both sides (documented)
+      "q_mad_outliers", // scalar med/mad literals join (k-row broadcast)
+      "q_correlated_scalar", // decorrelated scalar subquery → singleton join
+      "q_asof_broadcast", // broadcast dim + residual time inequality
+      "q_knn_bruteforce", // the documented exhaustive baseline: broadcast queries × corpus
+      "q_ann_ivf", // broadcast nprobe-centroid assignment (k rows × corpus)
+      "q_ann_ivf_kmeans", // same assignment shape over k-means centroids
+      "q_tfidf_topterms" // broadcast singleton n_docs scalar
+    )
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val s = fn(spark, dir).queryExecution.executedPlan.toString
+      val hasNlj = s.contains("BroadcastNestedLoopJoin") || s.contains("CartesianProduct")
+      if (hasNlj && !allowed.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian joins in: $offenders")
+  }
 }
