@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.CosineSimilarity
+import graft.plans.{CosineSimilarity, JaccardSimilarity}
 
 /** Session extension point: installs the engine's custom Catalyst
   * functions at session build time —
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
+      (exprs: Seq[Expression]) => JaccardSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
   }
 }

@@ -37,11 +37,16 @@ object VectorFns {
   }
 
   /** Register SQL-surface functions on a session (`cosine_sim(a, b)`). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => graft.plans.CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim",
+      exprs => graft.plans.JaccardSimilarity(exprs(0), exprs(1)),
+      "built-in")
+  }
 
   /** Sign-bit LSH bucket over the first `nBits` dimensions: a deterministic
     * coordinate-hyperplane bucketing (bit i set iff v[i] > 0). Turns ANN

@@ -123,10 +123,15 @@ object MinHashDedup {
     narrowPairs.union(starPairs).distinct()
   }
 
-  /** Exact Jaccard over distinct shingle arrays (verification step). */
+  /** Exact Jaccard over distinct shingle arrays (verification step) —
+    * a codegen'd single-pass hash-set expression
+    * (`plans/JaccardSimilarity`), replacing the interpreted
+    * `filter`/`array_contains` form that was O(|a|·|b|) per candidate
+    * pair. Same value on distinct arrays, same DuckDB twin. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(filter(a, x => array_contains(b, x))).cast("double")
-    inter / (size(a) + size(b) - inter)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.JaccardSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Full near-dup pipeline: pairs with Jaccard ≥ `threshold`.
