@@ -337,7 +337,96 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+  /** Deterministic mixture sampling — the data-mixing step of training
+    * prep: a 200-doc budget allocated across sources proportionally to
+    * each source's share of the corpus (largest-remainder rounding on
+    * exact integer arithmetic), each source's quota filled by md5 rank
+    * (the same seedless draw as q_stratified_sample). One aggregation
+    * for the allocation (broadcast back — it is one row per source) and
+    * one rank window per stratum. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val budget = 200L
+    val docs = t(s, dir, "documents")
+    val tot = docs.count()
+    val alloc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("quota", expr(s"(n_docs * $budget) DIV $tot"))
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("mix|"), col("doc_id").cast("string"))))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(alloc), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"), col("quota"))
+      .orderBy("source", "rk")
+  }
+
+  val mixtureSampleSql: String = """
+WITH alloc AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(COUNT(*) * 200 // (SELECT COUNT(*) FROM documents) AS BIGINT) AS quota
+  FROM documents GROUP BY source),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('mix|' || CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents)
+SELECT r.source, r.doc_id, r.rk, a.quota
+FROM ranked r JOIN alloc a ON r.source = a.source
+WHERE r.rk <= a.quota
+ORDER BY r.source, r.rk
+"""
+
+  /** Token-budget report — the pipeline summary a data lead reads: per
+    * source, docs and (BPE-ish) tokens before and after hygiene (exact
+    * dedup keep-first ∧ Gopher keep gate). Composes fingerprint dedup,
+    * the quality gate, and token counting in ONE aggregation over one
+    * scan-shaped frame — the signals ride along as columns; no second
+    * pass over the corpus. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Window.partitionBy("fp")
+      .orderBy("doc_id")
+    val sig = docs.select(
+        col("source"), col("doc_id"),
+        bpeTokenCount(col("text")).cast("long").as("toks"),
+        fingerprint(col("text")).as("fp"),
+        tokenCount(normalizeText(col("text"))).as("nw"),
+        stopwordScore(col("text"), StopwordPatterns.toMap.apply("en")).as("sw"))
+      .withColumn("canonical", row_number().over(w) === 1)
+      .withColumn("keep",
+        col("canonical") && col("nw").between(20, 100000) && col("sw") >= 2)
+    sig.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("source")
+  }
+
+  val tokenBudgetSql: String = """
+WITH sig AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         CASE WHEN length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) = 0 THEN 0
+              ELSE len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) END AS nw,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|was)\b')) AS sw
+  FROM documents),
+k AS (
+  SELECT source, toks,
+         (row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+          AND nw BETWEEN 20 AND 100000 AND sw >= 2) AS keep
+  FROM sig)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
+FROM k GROUP BY source ORDER BY source
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_sample" -> (mixtureSample _),
+    "q_token_budget" -> (tokenBudget _),
     "q_pii_redact" -> (piiRedact _),
     "q_gopher_filters" -> (gopherFilters _),
     "q_line_dedup" -> (lineDedup _),
@@ -346,6 +435,8 @@ FROM documents ORDER BY doc_id
     "q_media_dims" -> (mediaDims _))
 
   val oracles: Map[String, String] = Map(
+    "q_mixture_sample" -> mixtureSampleSql,
+    "q_token_budget" -> tokenBudgetSql,
     "q_pii_redact" -> piiRedactSql,
     "q_gopher_filters" -> gopherFiltersSql,
     "q_line_dedup" -> lineDedupSql,
