@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * independent of iteration order — deterministic, so it can be oracled
   * against a recursive-CTE twin on small data.
   *
-  * The driver loop is control flow only (one checksum action per round);
-  * per-round `localCheckpoint` truncates the join lineage that would
-  * otherwise grow exponentially. Edge frames are (id, id) pairs — tiny
+  * The driver loop is control flow only (one convergence action per
+  * round); per-round `localCheckpoint` truncates the join lineage that
+  * would otherwise grow exponentially. The checkpoint is lazy — the
+  * convergence check's action is what materializes the blocks — so each
+  * round runs exactly one job. Edge frames are (id, id) pairs — tiny
   * relative to the corpus — so the checkpoint blocks are cheap; the
   * previous round's blocks are explicitly released each iteration.
   */
@@ -39,28 +41,27 @@ object ConnectedComponents {
       .select(least(col(srcCol), col(dstCol)).as("src"),
         greatest(col(srcCol), col(dstCol)).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prev: DataFrame = null
-    var prevSig: (Long, Long) = checksum(e)
-    var converged = false
+    var converged = isMinStar(e)
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val sig = checksum(next)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      converged = isMinStar(next)
       if (prev != null) prev.unpersist()
       prev = e
       e = next
-      converged = sig == prevSig
-      prevSig = sig
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
     if (prev != null) prev.unpersist()
-    // Converged star edges are (root, member) in canonical least-first
-    // form; add the roots themselves.
-    e.select(col("dst").as("id"), col("src").as("component"))
-      .union(e.select(col("src").as("id"), col("src").as("component")).distinct())
+    // Rounds never distinct their output (saves an exchange per round;
+    // the groupBy-mins absorb duplicate rows via map-side combine), so
+    // dedup once here. Converged star edges are (root, member) in
+    // canonical least-first form; add the roots themselves.
+    val star = e.distinct()
+    star.select(col("dst").as("id"), col("src").as("component"))
+      .union(star.select(col("src").as("id"), col("src").as("component")).distinct())
   }
 
   /** One row per component: (component, cluster_size). */
@@ -87,6 +88,11 @@ object ConnectedComponents {
     * canonical least-first orientation. */
   private def smallStar(e: DataFrame): DataFrame = {
     // e is least-first: (src < dst) ⇒ group by the larger endpoint.
+    // No distinct on the output: duplicate edge rows only inflate the
+    // next round's groupBy inputs (absorbed map-side) and multiplicity
+    // stays O(|edges|) — contraction merges rows additively, never
+    // multiplies them. The convergence check and the final output are
+    // duplicate-tolerant, so the per-round dedup exchange buys nothing.
     val mins = e.groupBy("dst").agg(min(col("src")).as("m"))
     val relink = e.join(mins, "dst")
       .select(col("m").as("src"), col("src").as("dst"))
@@ -95,16 +101,31 @@ object ConnectedComponents {
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
-  /** (count, order-independent hash fold) — one action, used as the
-    * convergence signature of an edge set. `bit_xor`, not `sum`: edge
-    * hashes span the full long range, so a sum overflows under ANSI
-    * arithmetic; xor is overflow-free and order-independent (edges are
-    * distinct, so no pair-cancellation ambiguity). */
-  private def checksum(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  /** True iff the edge set is already a disjoint union of min-stars —
+    * the fixed point of smallStar∘largeStar — i.e. every component is
+    * exactly {(root, member)} with one edge per member. In canonical
+    * least-first orientation that is: no node appears both as a `src`
+    * and as a `dst` (members have no children), and no `dst` has two
+    * DISTINCT src partners (members link to exactly one root; duplicate
+    * copies of the same edge are fine — rounds don't dedup). Checked
+    * directly instead of waiting for two consecutive rounds to hash
+    * identically: stability detection costs a full extra
+    * largeStar+smallStar round after convergence, the direct test none.
+    * Distinct-partner detection is min(peer) ≠ max(peer), not
+    * count(DISTINCT) — the latter plans a second exchange. One
+    * aggregation action — which also materializes the
+    * lazily-checkpointed round result it runs on. */
+  private def isMinStar(e: DataFrame): Boolean = {
+    val endpoints = e.select(col("src").as("id"),
+        lit(null).cast(e.schema("src").dataType).as("peer"), lit(1).as("is_src"))
+      .union(e.select(col("dst"), col("src"), lit(0)))
+    endpoints.groupBy("id")
+      .agg(max(col("is_src")).as("ever_src"), min(col("is_src")).as("ever_dst"),
+        min(col("peer")).as("pmin"), max(col("peer")).as("pmax"))
+      .filter((col("ever_src") === 1 && col("ever_dst") === 0) ||
+        col("pmin") =!= col("pmax"))
+      .isEmpty
   }
 }
