@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *     and take codegen'd partial-min aggregates — NOT per-row array
   *     lambdas (higher-order functions are interpreted; a fold of md5s
   *     inside `transform` serializes on one core and was ~40× slower).
-  *     Seeded md5s per shingle yield four 32-bit signature chunks each.
+  *     One md5 per shingle gives the 32-bit basis; a Carter–Wegman
+  *     universal family (a_j·x + b_j mod 2^31−1) fans it into nHashes
+  *     independent signature components with integer ops only.
   *  3. bands of r chunks hashed together → candidate buckets
   *  4. candidates = self-equi-join on (band, bucket) — the scale step:
   *     no all-pairs comparison, one shuffle on uniformly-distributed
@@ -53,19 +55,46 @@ object MinHashDedup {
         explode(sequence(lit(1), greatest(length(col("__s")) - (k - 1), lit(1)))).as("__i"))
       .select(col(idCol), col("__s").substr(col("__i"), lit(k)).as("__sh"))
 
-  /** One row per doc: (id, mh0..mhN) — minhash signature as min over
-    * 32-bit (8-hex-char) chunks of seeded md5s (`md5("<seed>|"+shingle)`,
-    * 4 chunks per md5). Map-side partial mins; the shuffle carries one
-    * signature row per doc. */
+  /** Carter–Wegman modulus for the signature hash family: the Mersenne
+    * prime 2^31 − 1. Products a·x stay under 2^62, so the arithmetic is
+    * exact in 64-bit integers on every engine — no overflow, no floats. */
+  val P: Long = 2147483647L
+
+  /** Deterministic (a_j, b_j) parameters for the universal hash family
+    * h_j(x) = (a_j·x + b_j) mod P — a splitmix64 stream folded into
+    * [1, P−1] × [0, P−1]. Fixed constants, not runtime randomness: the
+    * same values are inlined as literals into both the Spark plan and the
+    * DuckDB oracle twin, so signatures are reproducible cross-engine. */
+  def hashParams(n: Int): IndexedSeq[(Long, Long)] = {
+    var s = 0L
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    IndexedSeq.fill(n)((Math.floorMod(next(), P - 1) + 1, Math.floorMod(next(), P)))
+  }
+
+  /** One row per doc: (id, mh0..mhN) — minhash signature as BIGINT mins
+    * of a Carter–Wegman universal family over a single md5-derived basis:
+    * x = uint32(first 8 md5 hex chars) mod P, mh_j = min over shingles of
+    * (a_j·x + b_j) mod P. ONE md5 per shingle row (the seeded-md5-per-
+    * chunk form this replaces needed nHashes/4 of them — hashing was the
+    * dominant signature cost); the per-j transforms are three integer ops
+    * each, codegen'd, and the mins combine map-side so the shuffle still
+    * carries one signature row per doc. The md5 basis (not xxhash64) is
+    * what keeps a bit-exact DuckDB twin: `CAST('0x'||substr(md5(sh),1,8)
+    * AS BIGINT)` decodes the identical value. */
   def signatures(docs: DataFrame, idCol: String, textNorm: Column,
                  k: Int = 9, maxChars: Int = 200, nHashes: Int = 16): DataFrame = {
-    require(nHashes % 4 == 0, "4 chunks per seeded md5")
-    val nSeeds = nHashes / 4
+    val params = hashParams(nHashes)
     val sh = shingleRows(docs, idCol, textNorm, k, maxChars)
-      .select(col(idCol) +: (0 until nSeeds).map(sd =>
-        md5(concat(lit(s"$sd|"), col("__sh"))).as(s"__h$sd")): _*)
-    val aggs = (0 until nHashes).map { j =>
-      min(substring(col(s"__h${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"mh$j")
+      .select(col(idCol),
+        (conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long") % P).as("__x"))
+    val aggs = params.zipWithIndex.map { case ((a, b), j) =>
+      min((col("__x") * a + b) % P).as(s"mh$j")
     }
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
@@ -98,8 +127,10 @@ object MinHashDedup {
     val banded = sig.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
+        // "," separator: signature values are variable-width decimal
+        // renderings now, so unseparated concatenation would be ambiguous.
         struct(lit(b).as("band"),
-          md5(concat_ws("", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bucket"))
+          md5(concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
     // Over-cap buckets only (rarities by construction): aggregated

@@ -56,35 +56,39 @@ ORDER BY fingerprint
         normalizeText(col("text")), threshold = 0.7)
       .orderBy("id_a", "id_b")
 
-  val minhashNearDupSql: String = """
+  /** Twin of the Carter–Wegman signature pipeline: one md5 per shingle
+    * ROW (no distinct — min over a multiset equals min over its set,
+    * mirroring `MinHashDedup.shingleRows`), `CAST('0x'||hex AS BIGINT)`
+    * decoding the same uint32 Spark's `conv` produces, and the identical
+    * (a_j, b_j) constants interpolated from `MinHashDedup.hashParams`. */
+  val minhashNearDupSql: String = {
+    val P = MinHashDedup.P
+    val mins = MinHashDedup.hashParams(16).zipWithIndex.map { case ((a, b), j) =>
+      s"MIN((x * $a + $b) % $P) AS mh$j"
+    }.mkString(",\n         ")
+    val bandRows = (0 until 4).map { b =>
+      val cols = (0 until 4).map(i => s"mh${b * 4 + i}").mkString(", ',', ")
+      s"SELECT doc_id, $b AS b, md5(concat($cols)) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""
 WITH norm AS (
   SELECT doc_id, substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 200) AS s
   FROM documents),
 sh AS (
   SELECT doc_id, list_distinct([substr(s, i, 9) for i in range(1, greatest(length(s)-8, 1)+1)]) AS shingles
   FROM norm),
+shrow AS (
+  SELECT doc_id, unnest([substr(s, i, 9) for i in range(1, greatest(length(s)-8, 1)+1)]) AS shg
+  FROM norm),
+xv AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shg), 1, 8) AS BIGINT) % $P AS x
+  FROM shrow),
 sig AS (
-  SELECT doc_id, shingles,
-         [list_aggregate(list_transform(shingles, x -> substr(md5(concat('0|', x)), 1, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('0|', x)), 9, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('0|', x)), 17, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('0|', x)), 25, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('1|', x)), 1, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('1|', x)), 9, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('1|', x)), 17, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('1|', x)), 25, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('2|', x)), 1, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('2|', x)), 9, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('2|', x)), 17, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('2|', x)), 25, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('3|', x)), 1, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('3|', x)), 9, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('3|', x)), 17, 8)), 'min'),
-          list_aggregate(list_transform(shingles, x -> substr(md5(concat('3|', x)), 25, 8)), 'min')] AS mh
-  FROM sh),
+  SELECT doc_id,
+         $mins
+  FROM xv GROUP BY doc_id),
 banded AS (
-  SELECT doc_id, b, md5(concat(mh[4*b+1], mh[4*b+2], mh[4*b+3], mh[4*b+4])) AS bucket
-  FROM sig CROSS JOIN unnest([0,1,2,3]) t(b)),
+  $bandRows),
 wb AS (
   SELECT doc_id, b, bucket,
          COUNT(*) OVER (PARTITION BY b, bucket) AS bw,
@@ -104,6 +108,7 @@ j AS (
   FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id)
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b
 """
+  }
 
   /** SimHash clusters over md5-derived 32-bit token hashes (exact
     * cross-engine twin below decodes the same bits from md5 hex). */
