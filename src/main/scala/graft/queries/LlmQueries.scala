@@ -314,7 +314,12 @@ SELECT qid, vec_id, label, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
     * assignment and the IVF probe — generated so both engines share the
     * exact expression shapes (raw cosine for argmax ranks, floor-trunc
     * for reported sims). */
-  val annIvfKmeansSql: String = {
+  /** Shared DuckDB twin of `KMeans.fit(k, iters=2)` + final `assign`:
+    * CTE chain ending in `af(vec_id, v, cid)` (final assignment) and
+    * `cf(cid, cv)` (final centroids), the two Lloyd's iterations
+    * unrolled as assign → scaled-int centroid recompute pairs.
+    * Parameterized by k so each consumer picks its cluster count. */
+  private[queries] def kmeansBaseSql(k: Int): String = {
     val seedOrder = "md5(concat('km|', CAST(vec_id AS VARCHAR)))"
     def assignCte(out: String, cents: String) =
       s"""$out AS (
@@ -333,14 +338,17 @@ SELECT qid, vec_id, label, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
   GROUP BY cid)"""
     s"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-seed AS (SELECT vec_id, v FROM e ORDER BY $seedOrder LIMIT 4),
+seed AS (SELECT vec_id, v FROM e ORDER BY $seedOrder LIMIT $k),
 c0 AS (SELECT row_number() OVER (ORDER BY $seedOrder) - 1 AS cid, v AS cv FROM seed),
 ${assignCte("a1", "c0")},
 ${centCte("c1", "a1")},
 ${assignCte("a2", "c1")},
 ${centCte("c2", "a2")},
 ${assignCte("af", "c2")},
-${centCte("cf", "af")},
+${centCte("cf", "af")}"""
+  }
+
+  val annIvfKmeansSql: String = kmeansBaseSql(4) + """,
 q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 8),
 probe AS (
   SELECT qid, cid FROM (
@@ -357,7 +365,31 @@ sims AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sims)
 SELECT qid, vec_id, cluster, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
 """
+
+  /** Semantic dedup over k-means clusters (SemDeDup): every vector
+    * marked with its cluster and whether a lower-id cluster-mate lies
+    * within truncated cosine ≥ 0.4 — cluster-bucketed pairing, the
+    * scale-safe contrast to the corpus-wide all-pairs form. */
+  def semdedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{KMeans, SemDeDup}
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    val cents = KMeans.fit(e, "vec_id", "e", k = 8, iters = 2)
+    SemDeDup.markDuplicates(KMeans.assign(e, "vec_id", "e", cents),
+        "vec_id", "e", threshold = 0.4)
+      .select(col("vec_id"), col("cid").as("cluster"), col("is_dup"))
+      .orderBy("vec_id")
   }
+
+  val semdedupSql: String = kmeansBaseSql(8) + """,
+pairs AS (
+  SELECT DISTINCT y.vec_id AS vid
+  FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE CAST(floor(list_cosine_similarity(x.v, y.v) * 1000000) AS DOUBLE) / 1000000.0 >= 0.4)
+SELECT a.vec_id, a.cid AS cluster, (p.vid IS NOT NULL) AS is_dup
+FROM af a LEFT JOIN pairs p ON a.vec_id = p.vid
+ORDER BY a.vec_id
+"""
 
   /** Language-ID heuristic vs ground truth: confusion matrix. */
   def langIdConfusion(s: SparkSession, dir: String): DataFrame =
@@ -516,6 +548,7 @@ GROUP BY source ORDER BY source
     "q_ann_lsh_bucket" -> (annLshBucket _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_kmeans" -> (annIvfKmeans _),
+    "q_semdedup" -> (semdedup _),
     "q_langid_confusion" -> (langIdConfusion _),
     "q_quality_scores" -> (qualityScores _),
     "q_token_stats" -> (tokenStats _),
@@ -532,6 +565,7 @@ GROUP BY source ORDER BY source
     "q_ann_lsh_bucket" -> annLshBucketSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_kmeans" -> annIvfKmeansSql,
+    "q_semdedup" -> semdedupSql,
     "q_langid_confusion" -> langIdConfusionSql,
     "q_quality_scores" -> qualityScoresSql,
     "q_token_stats" -> tokenStatsSql,

@@ -214,7 +214,62 @@ FROM orders WHERE o_orderkey < 5000
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
+  /** Triangle participation per node of the corpus 3-NN graph, built
+    * the scale-safe way end to end: neighbors come from a sign-bucket
+    * LSH equi-self-join (never a cross join), and the count uses
+    * degree-ordered orientation so the quadratic wedge step is bounded
+    * by out-degree ≤ O(√m) per node (`operators/Triangles`). */
+  def triangleKnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns._
+    import graft.operators.{Knn, Triangles}
+    import org.apache.spark.sql.expressions.Window
+    // Bucketed frame feeds both sides of a self-join — materialize once.
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+      .withColumn("bucket", signBucket(col("e"), 8))
+      .localCheckpoint(true)
+    val sims = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        Knn.truncSim(cosineFast(col("a.e"), col("b.e"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val knn = sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+    Triangles.perNode(knn)
+      .select(col("node").as("vec_id"), col("n_tri"))
+      .orderBy("vec_id")
+  }
+
+  val triangleKnnSql: String = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+        (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END) +
+        (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) +
+        (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) +
+        (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM e),
+sims AS (
+  SELECT a.vec_id AS qid, b2.vec_id AS vid,
+         CAST(floor(list_cosine_similarity(a.v, b2.v) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank FROM sims),
+ed AS (SELECT DISTINCT least(qid, vid) AS u, greatest(qid, vid) AS v FROM r WHERE rank <= 3),
+deg AS (SELECT n, COUNT(*) AS d
+        FROM (SELECT u AS n FROM ed UNION ALL SELECT v AS n FROM ed) GROUP BY n),
+orx AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b
+  FROM ed JOIN deg du ON du.n = ed.u JOIN deg dv ON dv.n = ed.v),
+tri AS (
+  SELECT x.a AS w0, x.b AS tu, y.b AS tv
+  FROM orx x JOIN orx y ON x.a = y.a AND x.b < y.b
+  WHERE EXISTS (SELECT 1 FROM ed WHERE ed.u = x.b AND ed.v = y.b)),
+nodes AS (SELECT unnest([w0, tu, tv]) AS vec_id FROM tri)
+SELECT vec_id, COUNT(*) AS n_tri FROM nodes GROUP BY vec_id ORDER BY vec_id
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangle_knn" -> (triangleKnn _),
     "q_salted_join" -> (saltedJoin _),
     "q_asof_broadcast" -> (asofBroadcast _),
     "q_zorder" -> (zorder _),
@@ -224,6 +279,7 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
     "q_json_source" -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q_triangle_knn" -> triangleKnnSql,
     "q_salted_join" -> saltedJoinSql,
     "q_asof_broadcast" -> asofBroadcastSql,
     "q_zorder" -> zorderSql,

@@ -121,4 +121,20 @@ class Operators2Spec extends GraftSuite {
       .select("pid", "tid", "edit_dist").as[(Long, Long, Int)].collect().toSeq
     assert(out == Seq((1L, 11L, 0))) // exact match beats dist-1; "zzz" unmatched
   }
+
+  test("triangles: one per wedge closure, duplicate/directed input canonicalized") {
+    import graft.operators.Triangles
+    // Triangle {1,2,3}; pendant 3-4; square 5-6-7-8 (no triangle);
+    // duplicate and reversed edges must not double-count.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L), (2L, 1L))
+      .toDF("src", "dst")
+    val r = Triangles.perNode(edges).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // Two triangles sharing an edge: {1,2,3} + {2,3,4}
+    val r2 = Triangles.perNode(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }

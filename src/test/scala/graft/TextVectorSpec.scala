@@ -108,4 +108,23 @@ class TextVectorSpec extends GraftSuite {
     assert(Multimodal.parseDims("not an image".getBytes).isEmpty)
     assert(Multimodal.parseDims(Array[Byte]()).isEmpty)
   }
+
+  test("semdedup: near-identical cluster-mates marked, min id survives") {
+    import graft.operators.SemDeDup
+    // Two tight bundles on orthogonal axes plus one singleton: any
+    // clustering puts bundle-mates in the same cluster, and within a
+    // bundle cosine ≈ 1 ≥ threshold.
+    val vecs = Seq(
+      (1L, Array(1.0, 0.01, 0.0)), (2L, Array(1.0, 0.02, 0.0)),
+      (3L, Array(1.0, 0.0, 0.03)),
+      (10L, Array(0.0, 1.0, 0.01)), (11L, Array(0.01, 1.0, 0.0)),
+      (20L, Array(0.5, -0.5, 0.7))).toDF("vec_id", "e")
+    val clustered = vecs.withColumn("cid",
+      when($"vec_id" < 10, 0).when($"vec_id" < 20, 1).otherwise(2))
+    val r = SemDeDup.markDuplicates(clustered, "vec_id", "e", 0.9)
+      .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(!r(1L) && r(2L) && r(3L)) // 1 survives its bundle
+    assert(!r(10L) && r(11L))        // 10 survives its bundle
+    assert(!r(20L))                  // singleton untouched
+  }
 }
