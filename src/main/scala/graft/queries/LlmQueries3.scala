@@ -424,7 +424,103 @@ SELECT source, COUNT(*) AS n_docs,
 FROM k GROUP BY source ORDER BY source
 """
 
+  /** Inverted-index build: per term, document frequency plus a BOUNDED
+    * posting list (the 10 smallest doc ids, comma-joined). The bound is
+    * the scale decision: full postings for a stopword are the corpus
+    * itself, so the hot-term state must be capped BEFORE the per-term
+    * collect — here by the native `TopKPerGroup` operator (two-phase
+    * bounded heaps: k rows per term cross the wire, never a stopword's
+    * full posting set). df stays exact via a separate map-side-combined
+    * count. Postings serialize as a string at the output edge (driver
+    * compare hashes cells; arrays aren't hashable there). */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val posting = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(normalizeText(col("text")))).as("term"))
+      .distinct()
+      .localCheckpoint(true) // feeds df count + top-k (self-reuse, no recompute)
+    val dfreq = posting.groupBy("term").agg(count(lit(1)).as("df"))
+    val capped = graft.plans.TopKPerGroup.topK(posting,
+      Seq(col("term")), Seq(col("doc_id")), k = 10)
+    val lists = capped.groupBy("term").agg(
+      array_join(transform(array_sort(collect_list(col("doc_id"))),
+        _.cast("string")), ",").as("postings"))
+    dfreq.join(lists, "term").orderBy("term")
+  }
+
+  val invertedIndexSql: String = """
+WITH p AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+p2 AS (SELECT * FROM p WHERE term <> ''),
+d AS (SELECT term, COUNT(*) AS df FROM p2 GROUP BY term),
+r AS (SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM p2),
+l AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      FROM r WHERE rn <= 10 GROUP BY term)
+SELECT term, df, postings FROM d JOIN l USING (term) ORDER BY term
+"""
+
+  /** Term co-occurrence scored by the PMI ratio — which term pairs
+    * appear in the same document more than independence predicts.
+    * Exactly the monotone core of PMI, without its logarithm: ln is a
+    * libm call whose last ulp differs across engines, while
+    * c_ab·N / (c_a·c_b) is one division of exact integers — bitwise
+    * reproducible, same ranking. The scale levers: the pair space is
+    * restricted to a bounded top-df vocabulary (broadcast semi-join —
+    * co-occurrence over an unpruned vocab is quadratic in per-doc
+    * DISTINCT terms), and support < 5 pairs are cut before ranking. */
+  def pmiPairs(s: SparkSession, dir: String): DataFrame = {
+    val dt = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(normalizeText(col("text")))).as("term"))
+      .distinct()
+      .localCheckpoint(true) // feeds vocab, unigram counts, and both join sides
+    val vocab = dt.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(200)
+    val pruned = dt.join(broadcast(vocab.select("term")), Seq("term"), "left_semi")
+    val uni = pruned.groupBy("term").agg(count(lit(1)).as("c"))
+    val pairs = pruned.as("x").join(pruned.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.term") < col("y.term"))
+      .groupBy(col("x.term").as("term_a"), col("y.term").as("term_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val nDocs = t(s, dir, "documents").count()
+    pairs
+      .join(broadcast(uni.select(col("term").as("term_a"), col("c").as("c_a"))), "term_a")
+      .join(broadcast(uni.select(col("term").as("term_b"), col("c").as("c_b"))), "term_b")
+      .select(col("term_a"), col("term_b"), col("c_ab"),
+        ((col("c_ab") * nDocs).cast("double") / (col("c_a") * col("c_b"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("term_a"), col("term_b"))
+      .limit(50)
+  }
+
+  val pmiPairsSql: String = """
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+dt2 AS (SELECT * FROM dt WHERE term <> ''),
+vocab AS (SELECT term FROM (SELECT term, COUNT(*) AS cnt FROM dt2 GROUP BY term
+                            ORDER BY cnt DESC, term LIMIT 200)),
+pr AS (SELECT dt2.* FROM dt2 SEMI JOIN vocab USING (term)),
+uni AS (SELECT term, COUNT(*) AS c FROM pr GROUP BY term),
+pairs AS (
+  SELECT x.term AS term_a, y.term AS term_b, COUNT(*) AS c_ab
+  FROM pr x JOIN pr y ON x.doc_id = y.doc_id AND x.term < y.term
+  GROUP BY x.term, y.term HAVING COUNT(*) >= 5),
+n AS (SELECT COUNT(*) AS nd FROM documents)
+SELECT term_a, term_b, c_ab,
+       CAST(c_ab * nd AS DOUBLE) / (a.c * b.c) AS pmi_ratio
+FROM pairs JOIN uni a ON a.term = term_a JOIN uni b ON b.term = term_b
+CROSS JOIN n
+ORDER BY pmi_ratio DESC, term_a, term_b
+LIMIT 50
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmi_pairs" -> (pmiPairs _),
+    "q_inverted_index" -> (invertedIndex _),
     "q_mixture_sample" -> (mixtureSample _),
     "q_token_budget" -> (tokenBudget _),
     "q_pii_redact" -> (piiRedact _),
@@ -435,6 +531,8 @@ FROM k GROUP BY source ORDER BY source
     "q_media_dims" -> (mediaDims _))
 
   val oracles: Map[String, String] = Map(
+    "q_pmi_pairs" -> pmiPairsSql,
+    "q_inverted_index" -> invertedIndexSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_token_budget" -> tokenBudgetSql,
     "q_pii_redact" -> piiRedactSql,

@@ -169,11 +169,69 @@ FROM g GROUP BY user_id, sid
 ORDER BY "userId", "startUs"
 """
 
+  /** Streaming exactly-once key dedup: a bounded events slice with
+    * heavy planted key collisions (event_id % 500) flows through
+    * `withWatermark` + `dropDuplicatesWithinWatermark` in three
+    * chronological micro-batches — duplicates recur both within and
+    * ACROSS batches, so the cross-batch state path is what's exercised.
+    * The watermark delay is set beyond the slice's time span so no
+    * dedup state is evicted mid-test (the production tradeoff — state
+    * size vs how late a duplicate may arrive — is exactly the delay
+    * knob). The emitted payload is a pure function of the key, so the
+    * output is deterministic no matter which physical duplicate wins
+    * inside a batch, and the oracle is a plain DISTINCT. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // Predicate-bounded slice (≤ 20000 rows at ANY sf) — a hard bound a
+    // LIMIT can't give: equal-(ts, dkey) rows straddling a limit edge
+    // are picked engine-specifically, a predicate is exact everywhere.
+    val rows = t(s, dir, "events")
+      .filter(col("user_id") < 50 && col("event_id") < 20000)
+      .select((col("event_id") % 500).as("dkey"), col("ts"))
+      .orderBy("ts", "dkey")
+      .as[(Long, java.sql.Timestamp)].collect()
+    require(rows.nonEmpty, "empty slice")
+    val t1 = rows(rows.length / 3)._2.getTime
+    val t2 = rows(2 * rows.length / 3)._2.getTime
+    val batches = Seq(
+      rows.filter(_._2.getTime < t1),
+      rows.filter(r => r._2.getTime >= t1 && r._2.getTime < t2),
+      rows.filter(_._2.getTime >= t2)).filter(_.nonEmpty).map(_.toSeq)
+    s.catalog.dropTempView("q_stream_dedup_out")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = in.toDF().toDF("dkey", "ts")
+      .withWatermark("ts", "87600 hours")
+      .dropDuplicatesWithinWatermark("dkey")
+      .select(col("dkey"), (col("dkey") * 7).as("payload"))
+      .writeStream.format("memory").queryName("q_stream_dedup_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    s.table("q_stream_dedup_out").orderBy("dkey")
+  }
+
+  /** Batch twin: dedup of a bounded slice is DISTINCT over its keys. */
+  val streamDedupSql: String = """
+SELECT DISTINCT event_id % 500 AS dkey, (event_id % 500) * 7 AS payload
+FROM events WHERE user_id < 50 AND event_id < 20000
+ORDER BY dkey
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_merge" -> (streamingMerge _),
-    "q_stream_sessionize" -> (streamingSessionize _))
+    "q_stream_sessionize" -> (streamingSessionize _),
+    "q_stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_streaming_merge" -> streamingMergeSql,
-    "q_stream_sessionize" -> streamingSessionizeSql)
+    "q_stream_sessionize" -> streamingSessionizeSql,
+    "q_stream_dedup" -> streamDedupSql)
 }
