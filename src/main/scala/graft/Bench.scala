@@ -46,21 +46,23 @@ object Bench {
       }
       name -> times.min
     }
-    // Millisecond precision keeps the JSON line compact (~2 KB for the
-    // full suite) so it survives bounded tail captures on the driver side.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json =
+    val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Driver-parseable twice over: a standalone file AND the final bare
-    // stdout line (run/outputStrategy = StdoutOutput keeps it unprefixed).
+    // The per-query map (100+ entries, ~3 KB) goes to the file only: the
+    // driver's bounded tail capture truncates long stdout lines from the
+    // HEAD, which beheaded the full JSON three rounds running. The final
+    // stdout line is a ~130-byte total-only object that always survives.
+    val brief =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries_file":"target/bench.json","sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target", "bench.json"), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target", "bench.json"), full + "\n")
     spark.stop()
-    System.out.println(json)
+    System.out.println(brief)
     System.out.flush()
   }
 }

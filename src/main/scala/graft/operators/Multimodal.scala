@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * plumbing: one iterator per partition, library handles amortized across
   * the whole partition, never per-row).
   *
-  * The actual codec call is STUBBED (`decodeStub`) — no image/audio libs
-  * in this environment — with a deterministic fake derived from the byte
-  * payload, so the distributed plumbing (schema, encoders, partitioning,
-  * batch iteration) is real and testable while the codec is swappable.
+  * Image decode is REAL: `decodeImage` runs `javax.imageio.ImageIO`
+  * (part of the JDK — PNG/JPEG/BMP/GIF codecs need no external library)
+  * partition-parallel over binary payloads. `decodeStub` remains only
+  * for the media families the JDK genuinely has no codec for
+  * (audio beyond WAV/AIFF headers, video) — a deterministic fake derived
+  * from the byte payload, so the distributed plumbing (schema, encoders,
+  * partitioning, batch iteration) stays real and testable there too.
   */
 object Multimodal {
 
@@ -23,9 +26,10 @@ object Multimodal {
   case class MediaMeta(id: Long, group: String, n_bytes: Long,
                        width: Long, height: Long, frames: Long)
 
-  /** STUB for the real codec: a decoder would parse `payload` headers;
+  /** STUB for codecs the JDK lacks (video containers, compressed audio):
     * the fake derives dimensions deterministically from payload length so
-    * results are reproducible and oracle-checkable. */
+    * results are reproducible and oracle-checkable. Images do NOT go
+    * through this — `decodeImage` below does real ImageIO pixel decode. */
   def decodeStub(r: MediaRow): MediaMeta = {
     val n = r.payload.length.toLong
     MediaMeta(r.id, r.group, n, width = n % 640, height = (n * 7) % 480,
@@ -128,6 +132,58 @@ object Multimodal {
     media.mapPartitions(_.flatMap { r =>
       parseDims(r.payload).map { case (f, w, h) => MediaDims(r.id, f, w, h) }
     })
+  }
+
+  case class DecodedImage(id: Long, format: String, width: Long,
+                          height: Long, pix_sum: Long)
+
+  /** REAL pixel decode via `javax.imageio.ImageIO` — the PNG/JPEG/BMP/GIF
+    * codecs ship with the JDK, so no external library is needed. Emits
+    * true decoded dimensions plus an exact band-0 pixel sum (the stat a
+    * quality gate filters on: all-black/all-white detection, exposure
+    * screens). Unreadable payloads are dropped — same quarantine routing
+    * as `headerDims`. ImageIO's disk cache is disabled: a temp file per
+    * image would dominate a 32-thread decode pass. */
+  def decodeImage(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          val fmt = parseDims(r.payload).map(_._1).getOrElse("unknown")
+          Some(DecodedImage(r.id, fmt, img.getWidth.toLong, img.getHeight.toLong, sum))
+        }
+      }
+    }
+  }
+
+  /** Deterministic gray-PNG encoder (fixture side of the decode round
+    * trip): 8-bit grayscale, PNG is lossless, so `decodeImage` must
+    * recover `value(x, y) & 0xff` exactly. Executor-side, JDK-only. */
+  def encodeGrayPng(width: Int, height: Int, value: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, value(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   case class Features(id: Long, group: String, histogram: Array[Long])

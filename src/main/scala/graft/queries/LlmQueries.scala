@@ -33,19 +33,34 @@ FROM (SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) A
 WHERE rn = 1 ORDER BY doc_id
 """
 
-  /** Duplicate clusters by fingerprint (who got deduped, and to what). */
-  def docFingerprintClusters(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** Duplicate clusters by fingerprint (who got deduped, and to what).
+    * The corpus plants no exact-normalized duplicates, so the raw query
+    * returned 0 rows — a green oracle that could not fail. Every 25th
+    * doc therefore gets a planted case/punctuation variant (upper-cased,
+    * trailing punctuation) that MUST collide with its source under the
+    * normalization; a fingerprint regression to never-match now breaks
+    * the hash, not just the vibes. */
+  def docFingerprintClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val planted = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+    d.unionByName(planted)
       .withColumn("fingerprint", fingerprint(col("text")))
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc"))
       .filter(col("n_docs") > 1)
       .orderBy("fingerprint")
+  }
 
   val docFingerprintClustersSql: String = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) || ' !!' FROM documents WHERE doc_id % 25 = 0)
 SELECT fingerprint, COUNT(*) AS n_docs, min(doc_id) AS canonical_doc
 FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
-      FROM documents) x
+      FROM d) x
 GROUP BY fingerprint HAVING COUNT(*) > 1
 ORDER BY fingerprint
 """

@@ -337,6 +337,46 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+  /** REAL image decode round trip — `javax.imageio` (JDK-built-in
+    * codecs, no external library) both ways: a deterministic 8-bit gray
+    * PNG is encoded per doc executor-side (dimensions and every pixel a
+    * closed-form function of doc_id), then `Multimodal.decodeImage`
+    * decodes it back partition-parallel and emits true decoded
+    * dimensions plus the exact band-0 pixel sum. PNG is lossless, so the
+    * oracle needs only the arithmetic — a decode that didn't truly
+    * recover the pixels misses the hash. JPEG is excluded from the
+    * pixel-sum check by design (lossy codec, decoder-dependent values);
+    * its header triage is covered by q_media_dims. */
+  def mediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val w = (1 + id % 8).toInt
+      val h = (1 + (id * 3) % 8).toInt
+      MediaRow(id, "img", Multimodal.encodeGrayPng(w, h,
+        (x, y) => ((id * 31 + 7 * x + 13 * y) % 256).toInt))
+    })
+    Multimodal.decodeImage(media)
+      .select(col("id").as("doc_id"), col("format"),
+        col("width"), col("height"), col("pix_sum"))
+      .orderBy("doc_id")
+  }
+
+  val mediaDecodeSql: String = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + (doc_id * 3) % 8 AS h
+  FROM documents WHERE doc_id < 200)
+SELECT d.doc_id, 'png' AS format,
+       CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+       CAST(SUM((d.doc_id * 31 + 7 * g1.x + 13 * g2.y) % 256) AS BIGINT) AS pix_sum
+FROM d, unnest(range(0, d.w)) g1(x), unnest(range(0, d.h)) g2(y)
+GROUP BY d.doc_id, d.w, d.h
+ORDER BY d.doc_id
+"""
+
   /** Deterministic mixture sampling — the data-mixing step of training
     * prep: a 200-doc budget allocated across sources proportionally to
     * each source's share of the corpus (largest-remainder rounding on
@@ -348,23 +388,40 @@ FROM documents ORDER BY doc_id
     val budget = 200L
     val docs = t(s, dir, "documents")
     val tot = docs.count()
+    // Largest-remainder rounding on exact integers: floor quotas first,
+    // then the leftover budget goes one doc at a time to the sources
+    // with the largest remainders (source name breaks remainder ties).
+    // The window runs over the per-source allocation table — one row
+    // per source, so the unpartitioned window is a few rows, not data.
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
     val alloc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("quota", expr(s"(n_docs * $budget) DIV $tot"))
+      .withColumn("fq", expr(s"(n_docs * $budget) DIV $tot"))
+      .withColumn("rem", expr(s"(n_docs * $budget) % $tot"))
+      .withColumn("leftover", lit(budget) - sum(col("fq")).over(Window.partitionBy()))
+      .withColumn("quota",
+        col("fq") + when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
     val w = Window.partitionBy("source")
       .orderBy(md5(concat(lit("mix|"), col("doc_id").cast("string"))))
     docs.select(col("doc_id"), col("source"))
       .withColumn("rk", row_number().over(w))
-      .join(broadcast(alloc), "source")
+      .join(broadcast(alloc.select("source", "quota")), "source")
       .filter(col("rk") <= col("quota"))
       .select(col("source"), col("doc_id"), col("rk"), col("quota"))
       .orderBy("source", "rk")
   }
 
   val mixtureSampleSql: String = """
-WITH alloc AS (
+WITH alloc0 AS (
   SELECT source, COUNT(*) AS n_docs,
-         CAST(COUNT(*) * 200 // (SELECT COUNT(*) FROM documents) AS BIGINT) AS quota
+         CAST(COUNT(*) * 200 // (SELECT COUNT(*) FROM documents) AS BIGINT) AS fq,
+         CAST(COUNT(*) * 200 % (SELECT COUNT(*) FROM documents) AS BIGINT) AS rem
   FROM documents GROUP BY source),
+alloc AS (
+  SELECT source,
+         fq + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                        <= 200 - (SELECT SUM(fq) FROM alloc0)
+                   THEN 1 ELSE 0 END AS quota
+  FROM alloc0),
 ranked AS (
   SELECT source, doc_id,
          row_number() OVER (PARTITION BY source
@@ -528,7 +585,8 @@ LIMIT 50
     "q_line_dedup" -> (lineDedup _),
     "q_decontaminate" -> (decontaminate _),
     "q_char_gini" -> (charGini _),
-    "q_media_dims" -> (mediaDims _))
+    "q_media_dims" -> (mediaDims _),
+    "q_media_decode" -> (mediaDecode _))
 
   val oracles: Map[String, String] = Map(
     "q_pmi_pairs" -> pmiPairsSql,
@@ -540,5 +598,6 @@ LIMIT 50
     "q_line_dedup" -> lineDedupSql,
     "q_decontaminate" -> decontaminateSql,
     "q_char_gini" -> charGiniSql,
-    "q_media_dims" -> mediaDimsSql)
+    "q_media_dims" -> mediaDimsSql,
+    "q_media_decode" -> mediaDecodeSql)
 }

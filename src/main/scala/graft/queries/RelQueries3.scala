@@ -218,12 +218,25 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
     * pairs within a bounded id range — the unbounded form goes through
     * MinHash banding instead of a cross join. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+    // The natural corpus has no ≥0.2-Jaccard bigram pairs in the slice
+    // (0 rows — a hash-match that proved nothing), so every 10th doc is
+    // paired with a planted near-duplicate: same text with one appended
+    // word. The planted pair shares all n original bigrams and differs
+    // in exactly one, so jaccard = n/(n+1) — guaranteed ≥ 0.2 for any
+    // doc with ≥1 bigram, and an intersection/union regression now
+    // flips real rows instead of preserving an empty result.
+    val base = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select("doc_id", "text")
+    val planted = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzzz")).as("text"))
+    val d = base.unionByName(planted)
     val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
     val bigrams = when(size(words) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(words) - 1),
         i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
     val g = d.select(col("doc_id"), array_distinct(bigrams).as("bg"))
+      .filter(size(col("bg")) > 0)
     val inter = size(filter(col("a.bg"), x => array_contains(col("b.bg"), x))).cast("double")
     g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -233,13 +246,20 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
   }
 
   val ngramJaccardSql: String = """
-WITH g AS (
-  SELECT doc_id, list_distinct(
-    CASE WHEN len(w) < 2 THEN []
-         ELSE [concat(w[i], ' ', w[i+1]) for i in range(1, len(w))] END) AS bg
-  FROM (SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
-        FROM documents WHERE doc_id < 100))
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzzz' FROM documents
+  WHERE doc_id < 100 AND doc_id % 10 = 0),
+g AS (
+  SELECT doc_id, bg FROM (
+    SELECT doc_id, list_distinct(
+      CASE WHEN len(w) < 2 THEN []
+           ELSE [concat(w[i], ' ', w[i+1]) for i in range(1, len(w))] END) AS bg
+    FROM (SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+          FROM d)) x
+  WHERE len(bg) > 0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE) /
   (len(a.bg) + len(b.bg) - len(list_filter(a.bg, x -> list_contains(b.bg, x)))) AS jaccard

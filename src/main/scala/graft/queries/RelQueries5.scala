@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -165,11 +165,17 @@ FROM v2 GROUP BY o_custkey ORDER BY o_custkey
 
   /** Entity resolution: customer names corrupted by a deterministic
     * one-character deletion, re-matched to the clean dim by blocked
-    * levenshtein (block = nation) and resolved to the single best
-    * candidate per probe. The probe side is a bounded batch (the usual
-    * resolution shape: incoming records vs a reference dim) — cost is
-    * |probe| × block width, not |dim|²; tighter blocks, not bigger
-    * machines, are the lever if the reference dim's blocks grow. */
+    * levenshtein and resolved to the single best candidate per probe.
+    *
+    * The block is COMPOSITE — (nation, last name character) — because
+    * nation alone has 25 distinct values: block width then grows
+    * linearly with the corpus and the candidate join shuffles on at
+    * most 25 keys, a parallelism ceiling at scale. The last character
+    * is recall-safe by construction: the corruption deletes a character
+    * at position 10..17 of an 18-char name, so the final character
+    * always survives into the probe — the true match is always
+    * in-block. Cardinality: 25 nations × 10 tail digits = 250 keys,
+    * and ~10× fewer candidate pairs paying the O(len²) levenshtein. */
   def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val pos = lit(10) + (col("c_custkey") % 8).cast("int")
@@ -181,8 +187,11 @@ FROM v2 GROUP BY o_custkey ORDER BY o_custkey
         col("c_nationkey").as("p_nat"), corrupted.as("p_name"))
     val target = c.select(col("c_custkey").as("t_id"),
       col("c_nationkey").as("t_nat"), col("c_name").as("t_name"))
+    def block(nat: Column, name: Column): Column =
+      concat(nat.cast("string"), lit("|"), substring(name, -1, 1))
     FuzzyJoin.bestMatch(probe, target,
-        col("p_nat"), col("t_nat"), col("p_name"), col("t_name"),
+        block(col("p_nat"), col("p_name")), block(col("t_nat"), col("t_name")),
+        col("p_name"), col("t_name"),
         col("p_id"), col("t_id"), maxDist = 2)
       .select(col("p_id"), col("t_id").as("matched_id"), col("edit_dist"))
       .orderBy("p_id")
@@ -197,7 +206,9 @@ WITH probe AS (
 target AS (SELECT c_custkey AS t_id, c_nationkey AS t_nat, c_name AS t_name FROM customer),
 cand AS (
   SELECT p_id, t_id, levenshtein(p_name, t_name) AS edit_dist
-  FROM probe JOIN target ON p_nat = t_nat
+  FROM probe JOIN target
+    ON p_nat = t_nat
+   AND substr(p_name, length(p_name), 1) = substr(t_name, length(t_name), 1)
   WHERE levenshtein(p_name, t_name) <= 2),
 r AS (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY edit_dist, t_id) AS rn FROM cand)
 SELECT p_id, t_id AS matched_id, edit_dist FROM r WHERE rn = 1 ORDER BY p_id

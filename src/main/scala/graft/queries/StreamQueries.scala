@@ -225,13 +225,95 @@ FROM events WHERE user_id < 50 AND event_id < 20000
 ORDER BY dkey
 """
 
+  /** Production streaming entry — `readStream` over a FILE directory
+    * (the path MemoryStream can't exercise): a bounded events slice is
+    * staged as one parquet file per micro-batch INTO a directory the
+    * running query watches, so file discovery itself drives the
+    * batches. Windowed append-mode aggregation with a real watermark:
+    * no window may emit until the watermark passes its end, so counts
+    * for windows straddling a file boundary must accumulate in state
+    * across batches. Files are staged chronologically on a timestamp
+    * VALUE split (equal timestamps can't straddle a batch, so
+    * watermark(0s) drops nothing), each staged file is an atomic
+    * single-file rename, and a far-future sentinel file closes every
+    * real window; the sentinel's own window never closes and is
+    * excluded from append output by construction. Window starts are
+    * emitted as epoch seconds (exact multiples of 21600 — no
+    * cross-engine timestamp-type traps). */
+  def streamFileSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = t(s, dir, "events").filter(col("user_id") < 40)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val (mnS, mxS) = slice
+      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+      .as[(Long, Long)].head()
+    val t1 = mnS + (mxS - mnS) / 3
+    val t2 = mnS + 2 * (mxS - mnS) / 3
+    val base = java.nio.file.Paths.get("target",
+      "stream_files_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val inputDir = base + "/input"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    // clean slate: the query must be a pure function of the input dir
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(inputDir))
+    // Stage one batch as ONE parquet file via atomic rename — the file
+    // appears complete or not at all, never half-written, which is the
+    // contract a production file source relies on (write-aside + move).
+    def stage(i: Int, part: DataFrame): Unit = {
+      val tmp = s"$base/stage_$i"
+      part.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = fs.globStatus(new org.apache.hadoop.fs.Path(tmp + "/part-*.parquet")).head.getPath
+      require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$inputDir/batch_$i.parquet")),
+        s"staging batch $i failed")
+    }
+    s.catalog.dropTempView("q_stream_file_out")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    val stream = s.readStream.schema(slice.schema).parquet(inputDir)
+    val agg = stream.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("win_start_s"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("q_stream_file_out")
+      .outputMode("append").start()
+    try {
+      val sec = col("ts").cast("long")
+      val parts = Seq(
+        slice.filter(sec < t1),
+        slice.filter(sec >= t1 && sec < t2),
+        slice.filter(sec >= t2))
+      parts.zipWithIndex.foreach { case (p, i) => stage(i, p); q.processAllAvailable() }
+      val sentinel = Seq((mxS + 48L * 3600, -1L, "zz")).toDF("sec", "user_id", "event_type")
+        .select(col("sec").cast("timestamp").as("ts"), col("user_id"), col("event_type"))
+      stage(3, sentinel)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    s.table("q_stream_file_out").orderBy("win_start_s", "event_type")
+  }
+
+  /** Batch twin: epoch-floored 6-hour windows over the same slice. */
+  val streamFileSourceSql: String = """
+SELECT CAST(epoch_ms(ts) // 21600000 * 21600 AS BIGINT) AS win_start_s,
+       event_type, COUNT(*) AS n
+FROM events WHERE user_id < 40
+GROUP BY 1, 2
+ORDER BY win_start_s, event_type
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_merge" -> (streamingMerge _),
     "q_stream_sessionize" -> (streamingSessionize _),
-    "q_stream_dedup" -> (streamDedup _))
+    "q_stream_dedup" -> (streamDedup _),
+    "q_stream_file_source" -> (streamFileSource _))
 
   val oracles: Map[String, String] = Map(
     "q_streaming_merge" -> streamingMergeSql,
     "q_stream_sessionize" -> streamingSessionizeSql,
-    "q_stream_dedup" -> streamDedupSql)
+    "q_stream_dedup" -> streamDedupSql,
+    "q_stream_file_source" -> streamFileSourceSql)
 }

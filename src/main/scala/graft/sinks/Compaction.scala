@@ -55,8 +55,13 @@ object Compaction {
     val old = new Path(base + "__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(old, true) // stale leftover from a previous crashed swap
-    fs.rename(p, old)
-    fs.rename(new Path(tmp), p)
+    // rename returns false instead of throwing on several filesystems;
+    // an unchecked false here would delete `old` and report a compaction
+    // that never happened. Fail loudly and leave the data where it is.
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compaction swap: rename $p -> $old failed")
+    if (!fs.rename(new Path(tmp), p))
+      throw new java.io.IOException(s"compaction swap: rename $tmp -> $p failed; original intact at $old")
     fs.delete(old, true)
     (before, stats(spark, path)._1)
   }
