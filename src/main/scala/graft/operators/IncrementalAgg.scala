@@ -38,19 +38,22 @@ object IncrementalAgg {
   def applyDelta(agg: DataFrame, wideDelta: DataFrame, groupKeys: Seq[String],
                  measureCol: String, scale: Int = 2): DataFrame = {
     val factor = math.pow(10, scale).toLong
-    // Leave/arrive contributions: one row per (side, group) via a union —
-    // old side subtracts, new side adds; unchanged rows cancel exactly.
-    val oldSide = wideDelta
-      .filter(col("change_type") =!= "inserted")
-      .select(groupKeys.map(k => col(s"old_$k").as(k)) :+
-        lit(-1L).as("dn") :+
-        (-round(col(s"old_$measureCol") * factor).cast("long")).as("dc"): _*)
-    val newSide = wideDelta
-      .filter(col("change_type") =!= "deleted")
-      .select(groupKeys.map(k => col(s"new_$k").as(k)) :+
-        lit(1L).as("dn") :+
-        round(col(s"new_$measureCol") * factor).cast("long").as("dc"): _*)
-    val delta = oldSide.unionByName(newSide)
+    // Leave/arrive contributions — old side subtracts, new side adds;
+    // unchanged rows cancel exactly. Emitted as explode(array(...)) in a
+    // SINGLE pass over the delta: the earlier two-branch union referenced
+    // `wideDelta` twice, and Spark recomputes a referenced subtree per
+    // branch — the whole diff join (and its snapshot scans) ran twice.
+    // One generator row-explodes instead: half the scans, one diff join.
+    def side(prefix: String, sign: Long): Column = struct(
+      groupKeys.map(k => col(s"${prefix}_$k").as(k)) :+
+        lit(sign).as("dn") :+
+        (lit(sign) * round(col(s"${prefix}_$measureCol") * factor).cast("long")).as("dc"): _*)
+    val delta = wideDelta
+      .select(explode(array(
+        when(col("change_type") =!= "inserted", side("old", -1L)),
+        when(col("change_type") =!= "deleted", side("new", 1L)))).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select(col("__c.*"))
       .groupBy(groupKeys.map(col): _*)
       .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
     val a = agg.select(
