@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmQueries, LlmQueries2, LlmQueries3, RefQueries, RelQueries, RelQueries2, RelQueries3, RelQueries4, RelQueries5, RelQueries6, ScaleQueries, SqlQueries, StreamQueries}
+import graft.queries.{LlmQueries, LlmQueries2, LlmQueries3, RefQueries, RelQueries, RelQueries2, RelQueries3, RelQueries4, RelQueries5, RelQueries6, RelQueries7, ScaleQueries, SqlQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.defs ++ RelQueries.defs ++ RelQueries2.defs ++
       RelQueries3.defs ++ RelQueries4.defs ++ RelQueries5.defs ++
-      RelQueries6.defs ++
+      RelQueries6.defs ++ RelQueries7.defs ++
       LlmQueries.defs ++ LlmQueries2.defs ++ LlmQueries3.defs ++
       ScaleQueries.defs ++ SqlQueries.defs ++ StreamQueries.defs
 
@@ -30,7 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracles ++ RelQueries.oracles ++ RelQueries2.oracles ++
       RelQueries3.oracles ++ RelQueries4.oracles ++ RelQueries5.oracles ++
-      RelQueries6.oracles ++
+      RelQueries6.oracles ++ RelQueries7.oracles ++
       LlmQueries.oracles ++ LlmQueries2.oracles ++ LlmQueries3.oracles ++
       ScaleQueries.oracles ++ SqlQueries.oracles ++ StreamQueries.oracles
 }

@@ -305,15 +305,88 @@ GROUP BY 1, 2
 ORDER BY win_start_s, event_type
 """
 
+  /** Stream-stream INNER JOIN — the attribution shape (impression
+    * stream × conversion stream): two independent MemoryStreams joined
+    * on a key plus a time-range residual (conversion within 48 h of the
+    * impression — wide enough that the bounded slices produce real
+    * matches at every SF; a 0-row result would be a vacuous oracle). Each side arrives in two chronological batches fed
+    * ALTERNATELY (L0, R0, L1, R1), so matches must form across batch
+    * boundaries from both sides' buffered state — the part a batch join
+    * can't fake. No watermark: state is never evicted, so the emitted
+    * set is exactly the batch join of the bounded slices (the oracle);
+    * production bounds state with `withWatermark` on both sides plus
+    * this same time-range condition, trading completeness for eviction.
+    * Times join as epoch-ms longs (cross-engine-stable). */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // Parity split of a bounded user range: both sides are non-empty at
+    // every SF (sf0.001 has only 15 users — an absolute-range split for
+    // the right side would be empty there).
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") < 20000 && col("user_id") < 40)
+      .select(col("user_id"), (col("event_id") % 50).as("k"),
+        unix_millis(col("ts")).as("ms"))
+    val lRows = ev.filter(col("user_id") % 2 === 0)
+      .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
+      .as[(Long, Long)].collect()
+    val rRows = ev.filter(col("user_id") % 2 === 1)
+      .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
+      .as[(Long, Long)].collect()
+    require(lRows.nonEmpty && rRows.nonEmpty, "empty slice")
+    val mid = lRows(lRows.length / 2)._2
+    def halves(rows: Array[(Long, Long)]) =
+      Seq(rows.filter(_._2 < mid).toSeq, rows.filter(_._2 >= mid).toSeq)
+    s.catalog.dropTempView("q_stream_join_out")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    val lIn = MemoryStream[(Long, Long)]
+    val rIn = MemoryStream[(Long, Long)]
+    val ldf = lIn.toDF().toDF("l_k", "l_ms")
+    val rdf = rIn.toDF().toDF("r_k", "r_ms")
+    val joined = ldf.join(rdf,
+      col("l_k") === col("r_k") &&
+        col("r_ms") >= col("l_ms") && col("r_ms") <= col("l_ms") + 172800000L)
+      .select(col("l_k").as("k"), col("l_ms"), col("r_ms"))
+    val q = joined.writeStream.format("memory").queryName("q_stream_join_out")
+      .outputMode("append").start()
+    try {
+      (halves(lRows), halves(rRows)).zipped.foreach { (lb, rb) =>
+        lIn.addData(lb); q.processAllAvailable()
+        rIn.addData(rb); q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    s.table("q_stream_join_out").orderBy("k", "l_ms", "r_ms")
+  }
+
+  /** Batch twin: plain inner join of the two bounded slices. */
+  val streamStreamJoinSql: String = """
+WITH l AS (
+  SELECT event_id % 50 AS k, epoch_ms(ts) AS l_ms
+  FROM events WHERE event_id < 20000 AND user_id < 40 AND user_id % 2 = 0),
+r AS (
+  SELECT event_id % 50 AS k, epoch_ms(ts) AS r_ms
+  FROM events WHERE event_id < 20000 AND user_id < 40 AND user_id % 2 = 1)
+SELECT l.k, l_ms, r_ms
+FROM l JOIN r ON l.k = r.k AND r_ms >= l_ms AND r_ms <= l_ms + 172800000
+ORDER BY 1, l_ms, r_ms
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_merge" -> (streamingMerge _),
     "q_stream_sessionize" -> (streamingSessionize _),
     "q_stream_dedup" -> (streamDedup _),
-    "q_stream_file_source" -> (streamFileSource _))
+    "q_stream_file_source" -> (streamFileSource _),
+    "q_stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_streaming_merge" -> streamingMergeSql,
     "q_stream_sessionize" -> streamingSessionizeSql,
     "q_stream_dedup" -> streamDedupSql,
-    "q_stream_file_source" -> streamFileSourceSql)
+    "q_stream_file_source" -> streamFileSourceSql,
+    "q_stream_stream_join" -> streamStreamJoinSql)
 }

@@ -44,7 +44,8 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_knn_bruteforce", // the documented exhaustive baseline: broadcast queries × corpus
       "q_ann_ivf", // broadcast nprobe-centroid assignment (k rows × corpus)
       "q_ann_ivf_kmeans", // same assignment shape over k-means centroids
-      "q_tfidf_topterms" // broadcast singleton n_docs scalar
+      "q_tfidf_topterms", // broadcast singleton n_docs scalar
+      "q_hll_union" // two singleton aggregates (merged estimate × exact) joined 1×1
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
