@@ -175,15 +175,160 @@ WHERE prev IS NULL OR prev <> event_type
 ORDER BY user_id, ms, event_id
 """
 
+  /** TPC-H Q5 shape — the star-schema join Catalyst was built for: a
+    * selective region filter rides down a 4-dim chain (region → nation
+    * → customer/supplier) onto the two fact tables, every dim side
+    * broadcast (region/nation/customer/supplier are all dims here), the
+    * only real shuffle the final per-nation aggregation. The declared
+    * plan leaves join ORDER to the optimizer — at 100 TB the same query
+    * text survives because no join order is hand-baked. Revenue sums
+    * exact 1e-4 units (extendedprice × (1−discount) has 4 decimals). */
+  def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val sup = t(s, dir, "supplier")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+        c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000L)
+        .cast("long")).as("rev_e4"))
+      .select(col("n_name"),
+        (col("rev_e4").cast("double") / 10000.0).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val q5StarJoinSql: String = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+  /** Sorted-neighborhood (SNM) dedup — the blocking alternative to
+    * LSH (Hernández & Stolfo, SIGMOD'95): sort by a key, compare each
+    * record only to its w−1 successors. Here the sort is PARTITIONED by
+    * a text-prefix block, so every block sorts independently — the
+    * shape that scales (a single global sort would serialize on one
+    * reducer; SNM at 100 TB is always block + sort-within-block). The
+    * w-window pairs come from lead() — candidate count is n×(w−1) by
+    * construction, never quadratic. Planted near-dups (one character
+    * mutated at raw position 40 — inside the compare span, past the
+    * 30-char sort key) guarantee the oracle verifies real matches. */
+  def snmDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select("doc_id", "text")
+    val planted = base.filter(col("doc_id") % 20 === 0 && length(col("text")) >= 80)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text").substr(1, 39), lit("~"), col("text").substr(lit(41), length(col("text")))).as("text"))
+    val d = base.unionByName(planted)
+      .select(col("doc_id"), col("text").substr(1, 10).as("blk"),
+        col("text").substr(1, 30).as("sort_key"), col("text").substr(31, 30).as("cmp"))
+    val w = Window.partitionBy("blk").orderBy(col("sort_key"), col("doc_id"))
+    val neighbors = d
+      .withColumn("__nb", array((1 to 3).map(i =>
+        struct(lead(col("doc_id"), i).over(w).as("id_b"),
+          lead(col("cmp"), i).over(w).as("cmp_b"))): _*))
+      .select(col("doc_id").as("id_a"), col("cmp"), explode(col("__nb")).as("__n"))
+      .filter(col("__n.id_b").isNotNull)
+      .select(col("id_a"), col("__n.id_b").as("id_b"),
+        levenshtein(col("cmp"), col("__n.cmp_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= 3)
+    neighbors.orderBy("id_a", "id_b")
+  }
+
+  val snmDedupSql: String = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 10) AS blk, substr(text, 1, 30) AS sort_key,
+         substr(text, 31, 30) AS cmp
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substr(text, 1, 39) || '~' || substr(text, 41, length(text))
+        FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 80) x),
+n AS (
+  SELECT doc_id AS id_a, cmp,
+         lead(doc_id, 1) OVER w AS b1, lead(cmp, 1) OVER w AS c1,
+         lead(doc_id, 2) OVER w AS b2, lead(cmp, 2) OVER w AS c2,
+         lead(doc_id, 3) OVER w AS b3, lead(cmp, 3) OVER w AS c3
+  FROM d WINDOW w AS (PARTITION BY blk ORDER BY sort_key, doc_id)),
+p AS (
+  SELECT id_a, b1 AS id_b, levenshtein(cmp, c1) AS edit_dist FROM n WHERE b1 IS NOT NULL
+  UNION ALL
+  SELECT id_a, b2, levenshtein(cmp, c2) FROM n WHERE b2 IS NOT NULL
+  UNION ALL
+  SELECT id_a, b3, levenshtein(cmp, c3) FROM n WHERE b3 IS NOT NULL)
+SELECT id_a, id_b, edit_dist FROM p WHERE edit_dist <= 3
+ORDER BY id_a, id_b
+"""
+
+  /** Key-skew profiler — the report an operator reads BEFORE picking a
+    * join/agg strategy at 100 TB (broadcast? salt? AQE skew split?):
+    * per candidate key column, cardinality, hottest-key share, and the
+    * median key width. ONE fact scan for all profiled columns (explode
+    * into (col, key) pairs → two-level aggregation), not one scan per
+    * column. Exact integer counts; the median interpolates identically
+    * cross-engine. */
+  def skewProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val keyed = li.select(explode(array(
+      struct(lit("l_orderkey").as("col_name"), col("l_orderkey").cast("string").as("key")),
+      struct(lit("l_partkey").as("col_name"), col("l_partkey").cast("string").as("key")),
+      struct(lit("l_suppkey").as("col_name"), col("l_suppkey").cast("string").as("key")))).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.key").as("key"))
+    keyed.groupBy("col_name", "key").agg(count(lit(1)).as("n"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_n"),
+        percentile(col("n"), lit(0.5)).as("p50_n"))
+      .select(col("col_name"), col("n_keys"), col("n_rows"), col("max_n"), col("p50_n"),
+        (col("max_n").cast("double") / col("n_rows").cast("double")).as("top_share"))
+      .orderBy("col_name")
+  }
+
+  val skewProfileSql: String = """
+WITH k AS (
+  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS key FROM lineitem
+  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
+c AS (SELECT col_name, key, COUNT(*) AS n FROM k GROUP BY col_name, key)
+SELECT col_name, COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+       MAX(n) AS max_n, quantile_cont(n, 0.5) AS p50_n,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_share
+FROM c GROUP BY col_name ORDER BY col_name
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_union" -> (hllUnion _),
     "q_equidepth_hist" -> (equidepthHist _),
     "q_entity_extract" -> (entityExtract _),
-    "q_collapse_runs" -> (collapseRuns _))
+    "q_collapse_runs" -> (collapseRuns _),
+    "q5_star_join" -> (q5StarJoin _),
+    "q_snm_dedup" -> (snmDedup _),
+    "q_skew_profile" -> (skewProfile _))
 
   val oracles: Map[String, String] = Map(
     "q_hll_union" -> hllUnionSql,
     "q_equidepth_hist" -> equidepthHistSql,
     "q_entity_extract" -> entityExtractSql,
-    "q_collapse_runs" -> collapseRunsSql)
+    "q_collapse_runs" -> collapseRunsSql,
+    "q5_star_join" -> q5StarJoinSql,
+    "q_snm_dedup" -> snmDedupSql,
+    "q_skew_profile" -> skewProfileSql)
 }
