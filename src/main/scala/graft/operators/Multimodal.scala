@@ -37,10 +37,18 @@ object Multimodal {
   }
 
   /** Partition-parallel decode: one pass, no shuffle, codegen on both
-    * sides of the mapPartitions boundary. */
+    * sides of the mapPartitions boundary. Recognized image payloads get
+    * their REAL header dimensions (and 1 frame); only unrecognized
+    * formats fall through to the deterministic stub. */
   def decode(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map { r =>
+      parseDims(r.payload) match {
+        case Some((_, w, h)) =>
+          MediaMeta(r.id, r.group, r.payload.length.toLong, w, h, frames = 1L)
+        case None => decodeStub(r)
+      }
+    })
   }
 
   /** Wrap any table into media rows: `textCol`'s UTF-8 bytes stand in for
