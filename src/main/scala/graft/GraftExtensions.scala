@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
       (exprs: Seq[Expression]) => JaccardSimilarity(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
   }
 }

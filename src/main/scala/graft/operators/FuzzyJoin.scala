@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** All candidate pairs within `maxDist`, with their distance.
-    * Frames must not share column names (alias before calling). */
+    * Frames must not share column names (alias before calling).
+    * Registers `LevenshteinLengthGuard` so the distance filter gets the
+    * O(1) length-difference prefilter ahead of the O(len²) DP. */
   def candidates(probe: DataFrame, target: DataFrame,
                  probeBlock: Column, targetBlock: Column,
                  probeStr: Column, targetStr: Column,
-                 maxDist: Int): DataFrame =
+                 maxDist: Int): DataFrame = {
+    val spark = probe.sparkSession
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinLengthGuard))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinLengthGuard
     probe.join(target, probeBlock === targetBlock)
       .withColumn("edit_dist", levenshtein(probeStr, targetStr))
       .filter(col("edit_dist") <= maxDist)
+  }
 
   /** One row per probe row that matched: its closest target under
     * (distance, `targetOrder`) — rank-1 of a window per probe id. */

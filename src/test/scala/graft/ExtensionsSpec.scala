@@ -35,4 +35,30 @@ class ExtensionsSpec extends AnyFunSuite {
     val merged = agg.merge(buf, List(Entry(9, 10.0)))
     assert(agg.finish(merged) == List(Entry(9, 10.0), Entry(2, 9.0)))
   }
+
+  test("LevenshteinLengthGuard injects the length prefilter and preserves results") {
+    import org.apache.spark.sql.functions._
+    val s = SparkTestBase.spark
+    import s.implicits._
+    import graft.operators.FuzzyJoin
+    val probe = Seq((1L, "b1", "abcdef"), (2L, "b1", "zz"), (3L, "b2", null: String))
+      .toDF("p_id", "p_blk", "p_s")
+    val target = Seq((10L, "b1", "abcdxf"), (11L, "b1", "abcdefghij"),
+      (12L, "b1", "qq"), (13L, "b2", null: String))
+      .toDF("t_id", "t_blk", "t_s")
+    val cand = FuzzyJoin.candidates(probe, target,
+      col("p_blk"), col("t_blk"), col("p_s"), col("t_s"), maxDist = 2)
+    // The optimized plan must carry the O(1) guard ahead of the DP:
+    val optimized = cand.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs((length(") && optimized.contains("levenshtein("),
+      s"length guard missing from plan:\n$optimized")
+    // Idempotent under the fixed-point batch: exactly one guard, not a
+    // re-wrapped chain.
+    assert("abs\\(\\(length\\(".r.findAllIn(optimized).length == 1, optimized)
+    // Semantics preserved: (1,10) dist 1 in; (1,11) len diff 4 pruned by
+    // guard AND dist > 2; (2,12) dist 2 in; nulls drop on both paths.
+    val out = cand.select("p_id", "t_id", "edit_dist")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 10L, 1), (2L, 12L, 2)))
+  }
 }
