@@ -242,13 +242,18 @@ ORDER BY dkey
     * cross-engine timestamp-type traps). */
   def streamFileSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val slice = t(s, dir, "events").filter(col("user_id") < 40)
+    // Predicate-bounded slice collected ONCE (the house harness bound —
+    // event_id < 20000 caps rows at any SF); staging each batch from the
+    // driver-local rows costs one tiny write per file instead of a full
+    // events scan per staged file (the first cut rescanned 4×).
+    val rows = t(s, dir, "events")
+      .filter(col("user_id") < 40 && col("event_id") < 20000)
       .select(col("ts"), col("user_id"), col("event_type"))
-    val (mnS, mxS) = slice
-      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
-      .as[(Long, Long)].head()
-    val t1 = mnS + (mxS - mnS) / 3
-    val t2 = mnS + 2 * (mxS - mnS) / 3
+      .as[(java.sql.Timestamp, Long, String)].collect()
+    require(rows.nonEmpty, "empty slice")
+    val mnMs = rows.map(_._1.getTime).min
+    val mxMs = rows.map(_._1.getTime).max
+    val t1Ms = mnMs + (mxMs - mnMs) / 2
     val base = java.nio.file.Paths.get("target",
       "stream_files_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
     val inputDir = base + "/input"
@@ -270,7 +275,9 @@ ORDER BY dkey
     val partKey = "spark.sql.shuffle.partitions"
     val prevPart = s.conf.get(partKey)
     s.conf.set(partKey, "4")
-    val stream = s.readStream.schema(slice.schema).parquet(inputDir)
+    val sliceSchema = Seq.empty[(java.sql.Timestamp, Long, String)]
+      .toDF("ts", "user_id", "event_type").schema
+    val stream = s.readStream.schema(sliceSchema).parquet(inputDir)
     val agg = stream.withWatermark("ts", "0 seconds")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -279,15 +286,21 @@ ORDER BY dkey
     val q = agg.writeStream.format("memory").queryName("q_stream_file_out")
       .outputMode("append").start()
     try {
-      val sec = col("ts").cast("long")
+      // Two chronological halves + the sentinel: the minimum batch count
+      // that still forces windows to straddle a file boundary (counts
+      // accumulating in state across discoveries) — each extra staged
+      // file costs a write job plus a listing/state micro-batch. Halves
+      // split on the ms VALUE, so equal-ms rows can't straddle a batch
+      // and watermark(0s) drops nothing.
       val parts = Seq(
-        slice.filter(sec < t1),
-        slice.filter(sec >= t1 && sec < t2),
-        slice.filter(sec >= t2))
-      parts.zipWithIndex.foreach { case (p, i) => stage(i, p); q.processAllAvailable() }
-      val sentinel = Seq((mxS + 48L * 3600, -1L, "zz")).toDF("sec", "user_id", "event_type")
-        .select(col("sec").cast("timestamp").as("ts"), col("user_id"), col("event_type"))
-      stage(3, sentinel)
+        rows.filter(_._1.getTime < t1Ms).toSeq,
+        rows.filter(_._1.getTime >= t1Ms).toSeq).filter(_.nonEmpty)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        stage(i, p.toDF("ts", "user_id", "event_type")); q.processAllAvailable()
+      }
+      val sentinel = Seq((new java.sql.Timestamp(mxMs + 48L * 3600 * 1000), -1L, "zz"))
+        .toDF("ts", "user_id", "event_type")
+      stage(2, sentinel)
       q.processAllAvailable()
     } finally {
       q.stop()
@@ -300,7 +313,7 @@ ORDER BY dkey
   val streamFileSourceSql: String = """
 SELECT CAST(epoch_ms(ts) // 21600000 * 21600 AS BIGINT) AS win_start_s,
        event_type, COUNT(*) AS n
-FROM events WHERE user_id < 40
+FROM events WHERE user_id < 40 AND event_id < 20000
 GROUP BY 1, 2
 ORDER BY win_start_s, event_type
 """
