@@ -314,7 +314,37 @@ SELECT col_name, COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
 FROM c GROUP BY col_name ORDER BY col_name
 """
 
+  /** Distribution window functions — percent_rank and cume_dist over a
+    * partitioned total order: both are exact integer ratios ((rank−1)/
+    * (N−1), rows≤current/N) evaluated as one double division, so they
+    * reproduce bitwise cross-engine. Completes the window family next
+    * to ranking/analytic/frame (q_window_*) and ntile (q_equidepth). */
+  def rankDistributions(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_custkey") < 200)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("cents"), col("o_orderkey"))
+    o.select(col("o_orderkey"), col("o_orderstatus"),
+        (col("cents").cast("double") / 100.0).as("price"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  val rankDistributionsSql: String = """
+WITH x AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey < 200)
+SELECT o_orderkey, o_orderstatus, CAST(cents AS DOUBLE) / 100.0 AS price,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM x WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents, o_orderkey)
+ORDER BY o_orderstatus, o_orderkey
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_distributions" -> (rankDistributions _),
     "q_hll_union" -> (hllUnion _),
     "q_equidepth_hist" -> (equidepthHist _),
     "q_entity_extract" -> (entityExtract _),
@@ -324,6 +354,7 @@ FROM c GROUP BY col_name ORDER BY col_name
     "q_skew_profile" -> (skewProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q_rank_distributions" -> rankDistributionsSql,
     "q_hll_union" -> hllUnionSql,
     "q_equidepth_hist" -> equidepthHistSql,
     "q_entity_extract" -> entityExtractSql,

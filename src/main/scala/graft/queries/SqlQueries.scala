@@ -101,13 +101,47 @@ FROM h GROUP BY root, depth
 ORDER BY root, depth
 """
 
+  /** TPC-H Q17 shape — correlated AGGREGATE subquery at a different
+    * grain than the outer row (per-part average vs per-lineitem filter):
+    * the nested-loop reading re-scans lineitem once per row; Catalyst
+    * decorrelates it into one per-part aggregate joined back, the only
+    * plan that survives scale. Revenue through exact cents; the per-part
+    * avg is exact (integral quantities sum exactly in doubles) and the
+    * final /100/7 is a deterministic scalar chain. One output row per
+    * bucketed part keeps the oracle row set meaningful at every SF. */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    view(s, dir, "lineitem")
+    s.sql("""
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+      FROM lineitem_v l
+      WHERE l.l_partkey % 10 = 0
+        AND l.l_quantity < 0.2 * (
+          SELECT AVG(l2.l_quantity) FROM lineitem_v l2 WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY l.l_partkey
+      ORDER BY l.l_partkey""")
+  }
+
+  val q17SmallQtySql: String = """
+SELECT l.l_partkey,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem l
+WHERE l.l_partkey % 10 = 0
+  AND l.l_quantity < 0.2 * (
+    SELECT AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+GROUP BY l.l_partkey
+ORDER BY l.l_partkey
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lateral_topn" -> (lateralTopN _),
     "q_correlated_scalar" -> (correlatedScalar _),
-    "q_recursive_cte" -> (recursiveCte _))
+    "q_recursive_cte" -> (recursiveCte _),
+    "q17_small_qty" -> (q17SmallQty _))
 
   val oracles: Map[String, String] = Map(
     "q_lateral_topn" -> lateralTopNSql,
     "q_correlated_scalar" -> correlatedScalarSql,
-    "q_recursive_cte" -> recursiveCteSql)
+    "q_recursive_cte" -> recursiveCteSql,
+    "q17_small_qty" -> q17SmallQtySql)
 }
