@@ -343,7 +343,37 @@ FROM x WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents, o_orderkey)
 ORDER BY o_orderstatus, o_orderkey
 """
 
+  /** Weighted sampling without replacement, EXACT-arithmetic form: for
+    * integer weight w, an item's priority is the MAX of w independent
+    * seedless md5 draws — distributionally the Efraimidis–Spirakis
+    * u^(1/w) key for integer weights, with zero floating-point math, so
+    * both engines derive identical priorities and the top-k is the same
+    * sample. Draw fan-out is Σw per row (bounded — weights are small
+    * grades), map-side only; selection is a TakeOrdered top-k, never a
+    * global sort. The seedless-md5 draw is the house pattern
+    * (q_stratified_sample, q_mixture_sample); this adds the WEIGHTED
+    * variant quality-value sampling needs. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), (lit(1) + col("doc_id") % 5).as("wgt"))
+    val priority = array_max(transform(sequence(lit(1), col("wgt")),
+      i => md5(concat(lit("ws|"), col("doc_id").cast("string"), lit("|"), i.cast("string")))))
+    docs.select(col("doc_id"), col("wgt"), priority.as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val weightedSampleSql: String = """
+SELECT doc_id, wgt,
+       list_max([md5('ws|' || CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR))
+                 for i in range(1, wgt + 1)]) AS priority
+FROM (SELECT doc_id, 1 + doc_id % 5 AS wgt FROM documents) x
+ORDER BY priority DESC, doc_id
+LIMIT 50
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> (weightedSample _),
     "q_rank_distributions" -> (rankDistributions _),
     "q_hll_union" -> (hllUnion _),
     "q_equidepth_hist" -> (equidepthHist _),
@@ -354,6 +384,7 @@ ORDER BY o_orderstatus, o_orderkey
     "q_skew_profile" -> (skewProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_sample" -> weightedSampleSql,
     "q_rank_distributions" -> rankDistributionsSql,
     "q_hll_union" -> hllUnionSql,
     "q_equidepth_hist" -> equidepthHistSql,

@@ -365,9 +365,12 @@ ORDER BY win_start_s, event_type
     val q = joined.writeStream.format("memory").queryName("q_stream_join_out")
       .outputMode("append").start()
     try {
+      // Two rounds, both sides fed per round: L1/R1 arrivals must match
+      // against L0/R0 rows held in buffered join state from round 0 —
+      // the cross-batch path — at half the micro-batch rounds of
+      // feeding each side separately.
       (halves(lRows), halves(rRows)).zipped.foreach { (lb, rb) =>
-        lIn.addData(lb); q.processAllAvailable()
-        rIn.addData(rb); q.processAllAvailable()
+        lIn.addData(lb); rIn.addData(rb); q.processAllAvailable()
       }
     } finally {
       q.stop()
