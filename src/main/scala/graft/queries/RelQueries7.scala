@@ -372,7 +372,47 @@ ORDER BY priority DESC, doc_id
 LIMIT 50
 """
 
+  /** Schema evolution across parquet generations — the drift every
+    * long-lived 100 TB dataset accumulates: an old generation written
+    * without a column, a new generation with it, one `mergeSchema` read
+    * reconciling both (old rows surface NULL for the added column; the
+    * per-file schemas stay untouched — no rewrite of the old data). The
+    * two generations are staged from disjoint key slices so the merged
+    * result is oracle-checkable against the source table. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Paths.get("target",
+      "schema_evo_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderstatus").as("status"))
+    // generation 1: no `status` column yet
+    o.filter(col("k") % 2 === 0).select("k", "cents")
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    // generation 2: schema grew a column
+    o.filter(col("k") % 2 === 1).select("k", "cents", "status")
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$base/gen1", s"$base/gen2")
+      // 'legacy' labels pre-evolution rows (their status reads back
+      // NULL) — also sidesteps cross-engine NULL sort-order divergence.
+      .groupBy(coalesce(col("status"), lit("legacy")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("cents")).cast("double") / 100.0).as("total"))
+      .orderBy("status")
+  }
+
+  val schemaEvolutionSql: String = """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'legacy' END AS status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+FROM orders
+GROUP BY 1
+ORDER BY status
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_schema_evolution" -> (schemaEvolution _),
     "q_weighted_sample" -> (weightedSample _),
     "q_rank_distributions" -> (rankDistributions _),
     "q_hll_union" -> (hllUnion _),
@@ -384,6 +424,7 @@ LIMIT 50
     "q_skew_profile" -> (skewProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q_schema_evolution" -> schemaEvolutionSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_rank_distributions" -> rankDistributionsSql,
     "q_hll_union" -> hllUnionSql,
