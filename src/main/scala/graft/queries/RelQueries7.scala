@@ -53,42 +53,45 @@ SELECT 'ALL', COUNT(DISTINCT l_partkey), TRUE FROM lineitem
 ORDER BY l_returnflag
 """
 
-  /** Equi-depth (quantile) histogram: ntile deciles within each order
-    * status over exact cents, then per-bucket count/lo/hi — the feature
-    * binning step of model prep. The ntile window is PARTITIONED (one
-    * sort per status, statuses parallel); binning one giant ungrouped
-    * column at 100 TB goes through approx-percentile cut points instead
-    * (q_percentiles family) — a global ntile would be a single-reducer
-    * sort. Total order (cents, key) makes bucket edges deterministic
-    * cross-engine; ntile's floor/ceil bucket-size rule is SQL-standard
-    * in both engines. */
+  /** Equi-depth (quantile) histogram via approx cut points + range
+    * bucketing — the feature-binning step of model prep, in the shape
+    * that survives 100 TB. Pass 1 computes per-group decile cut points
+    * with `percentile_approx` (bounded QuantileSummaries sketch,
+    * map-side mergeable — NO sort anywhere). Pass 2 broadcasts the
+    * 3-row cut table back onto the fact and assigns each row its
+    * bucket by counting cuts below it — a codegen'd array fold, one
+    * map-side pass. The earlier ntile form sorted each status's full
+    * slice on ONE reducer (3-value partition key ⇒ materially a global
+    * sort — 33 TB per task at 100×); this plan's only shuffles are two
+    * hash aggregations. Bucket depths depend on the sketch's cut
+    * values, so the oracle checks them as in-tolerance booleans
+    * against the exact equi-depth target n/10 (tolerance 3%+5 rows ≫
+    * the sketch's 1e-4 rank error); group totals stay exact. */
   def equidepthHist(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+    val o = t(s, dir, "orders").select(col("o_orderstatus"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val w = Window.partitionBy("o_orderstatus").orderBy(col("cents"), col("o_orderkey"))
-    o.withColumn("decile", ntile(10).over(w))
-      .groupBy("o_orderstatus", "decile")
-      .agg(count(lit(1)).as("n"),
-        (min(col("cents")).cast("double") / 100.0).as("lo"),
-        (max(col("cents")).cast("double") / 100.0).as("hi"))
-      .orderBy("o_orderstatus", "decile")
+    val cuts = o.groupBy("o_orderstatus").agg(
+      count(lit(1)).as("n_status"),
+      percentile_approx(col("cents"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("__cuts"))
+    o.join(broadcast(cuts), "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_status"),
+        (lit(1) + aggregate(col("__cuts"), lit(0),
+          (acc, c) => acc + when(col("cents") > c, 1).otherwise(0)))
+          .cast("long").as("bucket"))
+      .groupBy("o_orderstatus", "n_status", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .select(col("o_orderstatus"), col("bucket"), col("n_status"),
+        (abs(col("__n").cast("double") - col("n_status").cast("double") / 10.0) <=
+          col("n_status").cast("double") * 0.03 + lit(5.0)).as("depth_ok"))
+      .orderBy("o_orderstatus", "bucket")
   }
 
   val equidepthHistSql: String = """
-WITH x AS (
-  SELECT o_orderstatus, o_orderkey,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders),
-d AS (
-  SELECT o_orderstatus, cents,
-         ntile(10) OVER (PARTITION BY o_orderstatus
-                         ORDER BY cents, o_orderkey) AS decile
-  FROM x)
-SELECT o_orderstatus, decile, COUNT(*) AS n,
-       CAST(MIN(cents) AS DOUBLE) / 100.0 AS lo,
-       CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi
-FROM d GROUP BY o_orderstatus, decile
-ORDER BY o_orderstatus, decile
+SELECT o_orderstatus, b.bucket, s.n_status, TRUE AS depth_ok
+FROM (SELECT o_orderstatus, COUNT(*) AS n_status FROM orders GROUP BY 1) s
+CROSS JOIN (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS bucket) b
+ORDER BY o_orderstatus, bucket
 """
 
   /** Entity extraction into a long table: every email/URL/phone match
@@ -177,11 +180,14 @@ ORDER BY user_id, ms, event_id
 
   /** TPC-H Q5 shape — the star-schema join Catalyst was built for: a
     * selective region filter rides down a 4-dim chain (region → nation
-    * → customer/supplier) onto the two fact tables, every dim side
-    * broadcast (region/nation/customer/supplier are all dims here), the
-    * only real shuffle the final per-nation aggregation. The declared
-    * plan leaves join ORDER to the optimizer — at 100 TB the same query
-    * text survives because no join order is hand-baked. Revenue sums
+    * → customer/supplier) onto the two fact tables. Broadcast hints
+    * ONLY on region/nation — the two dims bounded by the data model
+    * itself (5 / 25 rows at every SF). Customer and supplier grow with
+    * SF, so their join strategy is left to the optimizer: AQE picks
+    * broadcast at small SF and sort-merge/shuffled-hash once stats
+    * exceed the threshold — a hand-baked broadcast hint on an
+    * SF-scaled table would OOM the driver at 100 TB (hints are
+    * binding). Join ORDER is also left to the optimizer. Revenue sums
     * exact 1e-4 units (extendedprice × (1−discount) has 4 decimals). */
   def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -193,8 +199,8 @@ ORDER BY user_id, ms, event_id
         col("o_orderdate") < lit("1997-01-01"))
     val l = t(s, dir, "lineitem")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") &&
         c("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -281,10 +287,19 @@ ORDER BY id_a, id_b
   /** Key-skew profiler — the report an operator reads BEFORE picking a
     * join/agg strategy at 100 TB (broadcast? salt? AQE skew split?):
     * per candidate key column, cardinality, hottest-key share, and the
-    * median key width. ONE fact scan for all profiled columns (explode
-    * into (col, key) pairs → two-level aggregation), not one scan per
-    * column. Exact integer counts; the median interpolates identically
-    * cross-engine. */
+    * median per-key count. ONE fact scan for all profiled columns
+    * (explode into (col, key) pairs → two-level aggregation), not one
+    * scan per column. Cardinality/max/share are exact integer
+    * aggregates (constant agg state). The median uses
+    * `percentile_approx` — a BOUNDED QuantileSummaries sketch — never
+    * exact `percentile`, whose TypedImperativeAggregate buffers one
+    * entry per distinct per-key count in a single reducer (the groupBy
+    * key has 3 values; at 100 TB that's billions of buffered counts —
+    * the profiler must be the one query that never OOMs). The sketch's
+    * rank error (1e-4) cannot move the median across a 4× threshold,
+    * so the emitted fanout-class boolean is deterministic; oracle
+    * derives the same boolean from the exact median (house sketch
+    * pattern: q_hll_union). */
   def skewProfile(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val keyed = li.select(explode(array(
@@ -296,9 +311,16 @@ ORDER BY id_a, id_b
       .groupBy("col_name")
       .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
         max(col("n")).as("max_n"),
-        percentile(col("n"), lit(0.5)).as("p50_n"))
-      .select(col("col_name"), col("n_keys"), col("n_rows"), col("max_n"), col("p50_n"),
-        (col("max_n").cast("double") / col("n_rows").cast("double")).as("top_share"))
+        percentile_approx(col("n"), lit(0.5), lit(10000)).as("__p50"))
+      .select(col("col_name"), col("n_keys"), col("n_rows"), col("max_n"),
+        (col("max_n").cast("double") / col("n_rows").cast("double")).as("top_share"),
+        // median fanout ≤ 4× the mean per-key count → hash-partition
+        // evenly; above → salting candidate. Thresholded boolean is
+        // immune to the sketch's 1e-4 rank error (counts plateau far
+        // from the cut on TPC-H keys).
+        (col("__p50").cast("double") <=
+          lit(4.0) * col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .as("p50_uniform"))
       .orderBy("col_name")
   }
 
@@ -309,8 +331,9 @@ WITH k AS (
   UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
 c AS (SELECT col_name, key, COUNT(*) AS n FROM k GROUP BY col_name, key)
 SELECT col_name, COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
-       MAX(n) AS max_n, quantile_cont(n, 0.5) AS p50_n,
-       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_share
+       MAX(n) AS max_n,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_share,
+       quantile_cont(n, 0.5) <= 4.0 * CAST(SUM(n) AS DOUBLE) / COUNT(*) AS p50_uniform
 FROM c GROUP BY col_name ORDER BY col_name
 """
 

@@ -213,6 +213,34 @@ class ScaleTechniquesSpec extends GraftSuite {
       s"z-order should localize both dims: x span frac=$fx, y span frac=$fy")
   }
 
+  test("q5_star_join broadcasts only the bounded dims when stats rule out the rest") {
+    // Simulate 100 TB statistics: nothing fits under the broadcast
+    // threshold. The hinted region/nation must still broadcast (hints
+    // are binding — and those two are bounded at 5/25 rows by the data
+    // model at every SF), while the SF-scaled customer/supplier joins
+    // must fall back to a shuffle strategy. A hand-baked broadcast hint
+    // on customer/supplier would pin them as BroadcastHashJoin here and
+    // OOM the driver at scale.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = graft.queries.RelQueries7.q5StarJoin(spark, "/root/testdata/sf0.001")
+      assert(df.collect().nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+      val bhj = plan.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+      assert(bhj.nonEmpty, s"region/nation hints must still broadcast:\n${plan.take(4000)}")
+      assert(bhj.forall(l => !l.contains("c_custkey") && !l.contains("s_suppkey")),
+        s"customer/supplier must NOT be broadcast when stats exceed the threshold:\n${bhj.mkString("\n")}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fact-side joins must pick a shuffle strategy at scale:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pagerank: exact integer ranks on a known graph, sinks rank highest") {
     import graft.operators.PageRank
     // Star into node 0 plus a 2-cycle; node 0 must out-rank everything,
