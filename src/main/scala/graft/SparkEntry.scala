@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmQueries, LlmQueries2, LlmQueries3, RefQueries, RelQueries, RelQueries2, RelQueries3, RelQueries4, RelQueries5, RelQueries6, RelQueries7, ScaleQueries, SqlQueries, StreamQueries}
+import graft.queries.{LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, RefQueries, RelQueries, RelQueries2, RelQueries3, RelQueries4, RelQueries5, RelQueries6, RelQueries7, ScaleQueries, SqlQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
       RelQueries3.defs ++ RelQueries4.defs ++ RelQueries5.defs ++
       RelQueries6.defs ++ RelQueries7.defs ++
       LlmQueries.defs ++ LlmQueries2.defs ++ LlmQueries3.defs ++
+      LlmQueries4.defs ++
       ScaleQueries.defs ++ SqlQueries.defs ++ StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       RelQueries3.oracles ++ RelQueries4.oracles ++ RelQueries5.oracles ++
       RelQueries6.oracles ++ RelQueries7.oracles ++
       LlmQueries.oracles ++ LlmQueries2.oracles ++ LlmQueries3.oracles ++
+      LlmQueries4.oracles ++
       ScaleQueries.oracles ++ SqlQueries.oracles ++ StreamQueries.oracles
 }

@@ -392,7 +392,77 @@ FROM l JOIN r ON l.k = r.k AND r_ms >= l_ms AND r_ms <= l_ms + 172800000
 ORDER BY 1, l_ms, r_ms
 """
 
+  /** Stream–static dimension-enrichment join — the most common
+    * production streaming shape and the streaming restatement of the
+    * reference's only join (R8: per-account RSS facts × broadcast
+    * account dim, `RSS PARSER/gcp_rss.py:49-63,162`): a fact stream
+    * joined per micro-batch against a STATIC dim table under an
+    * explicit broadcast hint. Stateless by construction (the static
+    * side is fixed — no buffered join state, no watermark needed), so
+    * streaming output ≡ the batch join, which is the oracle. The dim
+    * is itself a dim-chain join (customer → nation) resolved once at
+    * plan time; at 100 TB the fact stream is unbounded while the dim
+    * stays the bounded side — exactly the asymmetry broadcast exists
+    * for. Prices cross engines as exact scaled cents. */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("d_custkey"), col("n_name"))
+    // Predicate-bounded fact slice (orderkeys are dense at the low end,
+    // so the count is near-constant across SFs; keys are unique — no
+    // batch-boundary straddle concerns).
+    val rows = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    require(rows.nonEmpty, "empty slice")
+    s.catalog.dropTempView("q_stream_static_out")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    val in = MemoryStream[(Long, Long, Long)]
+    val joined = enrichStream(in.toDF().toDF("ticket", "custkey", "cents"), dim)
+    val q = joined.writeStream.format("memory").queryName("q_stream_static_out")
+      .outputMode("append").start()
+    try {
+      // Two parity batches: the dim side must serve repeated
+      // micro-batches (broadcast reuse), not just one.
+      Seq(rows.filter(_._1 % 2 == 0).toSeq, rows.filter(_._1 % 2 == 1).toSeq)
+        .filter(_.nonEmpty)
+        .foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    s.table("q_stream_static_out").orderBy("ticket")
+  }
+
+  /** The enrichment plan itself, shared with the plan-assert spec: a
+    * broadcast equi-join of a (possibly streaming) fact frame against
+    * the static dim. */
+  def enrichStream(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(broadcast(dim), col("custkey") === col("d_custkey"))
+      .select(col("ticket"), col("custkey"),
+        (col("cents").cast("double") / 100.0).as("price"), col("n_name"))
+
+  /** Batch twin: the same join over the bounded slice. */
+  val streamStaticJoinSql: String = """
+SELECT o_orderkey AS ticket, o_custkey AS custkey,
+       CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100.0 AS price,
+       n_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderkey < 4000
+ORDER BY ticket
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_static_join" -> (streamStaticJoin _),
     "q_streaming_merge" -> (streamingMerge _),
     "q_stream_sessionize" -> (streamingSessionize _),
     "q_stream_dedup" -> (streamDedup _),
@@ -400,6 +470,7 @@ ORDER BY 1, l_ms, r_ms
     "q_stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_static_join" -> streamStaticJoinSql,
     "q_streaming_merge" -> streamingMergeSql,
     "q_stream_sessionize" -> streamingSessionizeSql,
     "q_stream_dedup" -> streamDedupSql,

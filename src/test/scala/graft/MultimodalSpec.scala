@@ -41,6 +41,49 @@ class MultimodalSpec extends GraftSuite {
     assert(out.head.pix_sum == 4 * 7)
   }
 
+  test("parseWav walks RIFF chunks to the real format fields") {
+    val samples = Array[Short](-3, 7, 100, -32768, 32767)
+    val wav = Multimodal.encodePcmWav(8000, samples)
+    assert(Multimodal.parseWav(wav).contains((8000L, 1L, 16L, 10L)))
+    assert(Multimodal.parseWav("RIFFjunk".getBytes ++ new Array[Byte](40)).isEmpty)
+    assert(Multimodal.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("decodeAudio recovers exact PCM samples; non-audio payloads quarantined") {
+    import spark.implicits._
+    val samples = Array[Short](-3, 7, 100, -32768, 32767)
+    val rows = spark.createDataset(Seq(
+      MediaRow(1L, "a", Multimodal.encodePcmWav(8000, samples)),
+      MediaRow(2L, "a", Array[Byte](9, 9, 9)), // not RIFF → dropped at triage
+      MediaRow(3L, "a", Multimodal.encodeGrayPng(2, 2, (_, _) => 1)))) // not audio
+    val out = Multimodal.decodeAudio(rows).collect()
+    assert(out.map(_.id).toSeq == Seq(1L))
+    val d = out.head
+    assert(d.sample_rate == 8000L && d.channels == 1L && d.bits == 16L)
+    assert(d.n_samples == 5L && d.sample_sum == samples.map(_.toLong).sum)
+  }
+
+  test("IVF probe plan reads only the staged index — no k-means in its lineage") {
+    import graft.operators.IvfIndex
+    import graft.functions.VectorFns._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    IvfIndex.build(e, "vec_id", "e", k = 4, iters = 1, dir)
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val probe = IvfIndex.probe(spark, dir, q, k = 3, nprobe = 2)
+    val plan = probe.queryExecution.optimizedPlan.toString
+    // Lloyd's iterations surface as localCheckpoint LogicalRDDs; a probe
+    // plan must contain none — its only non-query inputs are the two
+    // staged parquet relations.
+    assert(!plan.contains("LogicalRDD"),
+      s"probe must not re-run k-means:\n${plan.take(3000)}")
+    assert("parquet".r.findAllIn(plan.toLowerCase).length >= 2,
+      s"probe must read the staged centroid + assignment tables:\n${plan.take(3000)}")
+    assert(probe.collect().nonEmpty)
+  }
+
   test("Salted.join rejects join types that would duplicate unmatched small-side rows") {
     import spark.implicits._
     val big = Seq((1, "a"), (2, "b")).toDF("k", "v")

@@ -44,6 +44,7 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_knn_bruteforce", // the documented exhaustive baseline: broadcast queries × corpus
       "q_ann_ivf", // broadcast nprobe-centroid assignment (k rows × corpus)
       "q_ann_ivf_kmeans", // same assignment shape over k-means centroids
+      "q_ann_ivf_persisted", // same broadcast k-row centroid assignment, from the staged index
       "q_tfidf_topterms", // broadcast singleton n_docs scalar
       "q_hll_union" // two singleton aggregates (merged estimate × exact) joined 1×1
     )

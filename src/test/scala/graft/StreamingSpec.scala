@@ -173,6 +173,36 @@ class StreamingSpec extends GraftSuite {
       (3L, "new", Some("fresh"))))
   }
 
+  test("stream-static join: dim broadcast in the micro-batch plan, output = batch join") {
+    // The enrichment shape: unbounded fact stream × bounded static dim.
+    // Asserts (a) the micro-batch physical plan actually joins the dim
+    // via BroadcastHashJoin — the strategy that scales to an unbounded
+    // fact side — and (b) streaming output equals the batch join.
+    import graft.queries.StreamQueries
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "ALPHA"), (20L, "BETA"))
+      .toDF("d_custkey", "n_name")
+    val in = MemoryStream[(Long, Long, Long)]
+    val fact = in.toDF().toDF("ticket", "custkey", "cents")
+    val q = StreamQueries.enrichStream(fact, dim)
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    in.addData((1L, 10L, 1050L), (2L, 20L, 2000L), (3L, 99L, 1L))
+    q.processAllAvailable()
+    in.addData((4L, 10L, 75L))
+    q.processAllAvailable()
+    val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    q.stop()
+    assert(exec.contains("BroadcastHashJoin"),
+      s"static dim must join via broadcast in the micro-batch plan:\n${exec.take(3000)}")
+    val out = spark.table("ss_join_out")
+      .select("ticket", "custkey", "price", "n_name")
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(out == Set((1L, 10L, 10.5, "ALPHA"), (2L, 20L, 20.0, "BETA"),
+      (4L, 10L, 0.75, "ALPHA")))
+  }
+
   test("file-source query restarts from checkpoint: no loss, no duplication") {
     // The production recovery contract: a readStream-over-files query
     // with a checkpoint is killed mid-stream and RE-STARTED as a new
