@@ -88,11 +88,107 @@ ORDER BY d.doc_id
     * the plan, not the result. */
   val annIvfPersistedSql: String = LlmQueries.annIvfKmeansSql
 
+  /** GLOBAL equi-depth binning — the ungrouped companion to
+    * q_equidepth_hist, and the shape that would be a single-reducer
+    * catastrophe done naively: a global ntile sorts the ENTIRE table on
+    * one task. Instead: one bounded `percentile_approx` sketch over the
+    * whole fact (map-side mergeable, no sort anywhere) yields the 9
+    * decile cut points as a 1-row frame, broadcast back onto the fact
+    * for a codegen'd range-bucket fold. Two hash aggregations total —
+    * the plan is identical at 100 TB. Bucket depths are sketch-derived,
+    * so the oracle checks them as in-tolerance booleans against the
+    * exact n/10 target (3%+5 rows ≫ the 1e-4 rank error); the global
+    * row count stays exact. */
+  def globalBins(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val cuts = li.agg(
+      count(lit(1)).as("n_rows"),
+      percentile_approx(col("cents"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("__cuts"))
+    li.crossJoin(broadcast(cuts))
+      .select(col("n_rows"),
+        (lit(1) + aggregate(col("__cuts"), lit(0),
+          (acc, c) => acc + when(col("cents") > c, 1).otherwise(0)))
+          .cast("long").as("bucket"))
+      .groupBy("n_rows", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .select(col("bucket"), col("n_rows"),
+        (abs(col("__n").cast("double") - col("n_rows").cast("double") / 10.0) <=
+          col("n_rows").cast("double") * 0.03 + lit(5.0)).as("depth_ok"))
+      .orderBy("bucket")
+  }
+
+  val globalBinsSql: String = """
+SELECT CAST(b.bucket AS BIGINT) AS bucket, s.n_rows, TRUE AS depth_ok
+FROM (SELECT COUNT(*) AS n_rows FROM lineitem) s
+CROSS JOIN (SELECT unnest(range(1, 11)) AS bucket) b
+ORDER BY bucket
+"""
+
+  /** URL canonicalization — the first normalization pass of every web
+    * corpus (duplicate pages differ only by tracking params, host case,
+    * fragments): lowercase the host, strip `utm_*` tracking params and
+    * fragments, keep meaningful query params, then rebuild the
+    * canonical form URL-dedup and robots/blocklist joins key on. Pure
+    * codegen'd string/array expressions (regexp extract → split →
+    * higher-order filter → rejoin), one map-side pass, no shuffle until
+    * the output sort. URLs are planted deterministically (house
+    * pattern — the corpus carries none), with mixed-case hosts and
+    * interleaved tracking params so every normalization step is
+    * load-bearing. */
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val url = concat(lit("https://Site"), (col("doc_id") % 7).cast("string"),
+      lit(".Example.ORG/p/"), idStr,
+      lit("?utm_source=feed&id="), idStr,
+      lit("&utm_campaign=x&ref="), (col("doc_id") % 3).cast("string"),
+      lit("#frag"))
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), url.as("url"))
+    val host = lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
+    val path = regexp_extract(col("url"), "^https?://[^/?#]+([^?#]*)", 1)
+    val qs = regexp_extract(col("url"), "\\?([^#]*)", 1)
+    val params = filter(split(qs, "&"),
+      p => !p.startsWith("utm_") && p =!= "")
+    docs.select(col("doc_id"), host.as("host"),
+        concat(host, path,
+          when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+            .otherwise(lit(""))).as("canon_url"))
+      .orderBy("doc_id")
+  }
+
+  val urlCanonicalSql: String = """
+WITH d AS (
+  SELECT doc_id,
+         'https://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.ORG/p/'
+           || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id='
+           || CAST(doc_id AS VARCHAR) || '&utm_campaign=x&ref='
+           || CAST(doc_id % 3 AS VARCHAR) || '#frag' AS url
+  FROM documents WHERE doc_id % 2 = 0),
+x AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+         regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+         list_filter(str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                     p -> p NOT LIKE 'utm_%' AND p <> '') AS params
+  FROM d)
+SELECT doc_id, host,
+       host || path ||
+       CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+         AS canon_url
+FROM x ORDER BY doc_id
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_audio" -> (mediaAudio _),
-    "q_ann_ivf_persisted" -> (annIvfPersisted _))
+    "q_ann_ivf_persisted" -> (annIvfPersisted _),
+    "q_global_bins" -> (globalBins _),
+    "q_url_canonical" -> (urlCanonical _))
 
   val oracles: Map[String, String] = Map(
     "q_media_audio" -> mediaAudioSql,
-    "q_ann_ivf_persisted" -> annIvfPersistedSql)
+    "q_ann_ivf_persisted" -> annIvfPersistedSql,
+    "q_global_bins" -> globalBinsSql,
+    "q_url_canonical" -> urlCanonicalSql)
 }
