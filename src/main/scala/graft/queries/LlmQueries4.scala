@@ -180,13 +180,74 @@ SELECT doc_id, host,
 FROM x ORDER BY doc_id
 """
 
+  /** Vocabulary dictionary-encoding — the tokenizer step of training
+    * prep: build a frequency-ranked vocab (top 100 tokens, determinist
+    * tiebreak on the token), then re-encode each document's first 30
+    * tokens as the dense id array a trainer consumes, OOV → 0, plus the
+    * per-doc OOV count (the coverage signal that sizes a real vocab).
+    * Scale shape: vocab = explode → map-side-combined count → TakeOrdered
+    * (one row per DISTINCT token crosses the wire, 100 reach the
+    * driver-side window); encode = broadcast the 100-row dictionary onto
+    * the positional tokens, re-assemble per doc with an order-keyed
+    * collect (bounded at 30 elements by construction). */
+  def tokenEncode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.{normalizeText, tokens}
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+        posexplode(tokens(normalizeText(col("text")))).as(Seq("pos", "tok")))
+      .filter(col("pos") < 30)
+    // row_number over the already-LIMITed 100 rows: the unpartitioned
+    // window is a fixed-size frame, not data.
+    val vocab = docs
+      .select(explode(tokens(normalizeText(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(100)
+      .withColumn("id", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .select("tok", "id")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+          coalesce(col("id"), lit(0)).cast("long").as("tid")))),
+        x => x.getField("tid")).as("ids"))
+      .select(col("doc_id"), col("ids"),
+        size(filter(col("ids"), x => x === 0)).cast("long").as("n_oov"))
+      .orderBy("doc_id")
+  }
+
+  val tokenEncodeSql: String = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+arr AS (
+  SELECT doc_id,
+         CASE WHEN length(s) > 0 THEN string_split(s, ' ') ELSE [] END AS a
+  FROM norm),
+tok AS (
+  SELECT doc_id, g.i - 1 AS pos, a[g.i] AS tok
+  FROM arr, unnest(range(1, least(len(a), 30) + 1)) g(i)),
+vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS id
+  FROM (SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(a) AS tok FROM arr)
+        GROUP BY tok ORDER BY n DESC, tok LIMIT 100)),
+enc AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS tid
+  FROM tok t LEFT JOIN vocab v USING (tok))
+SELECT doc_id, list(tid ORDER BY pos) AS ids,
+       len(list_filter(list(tid ORDER BY pos), x -> x = 0)) AS n_oov
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_encode" -> (tokenEncode _),
     "q_media_audio" -> (mediaAudio _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_global_bins" -> (globalBins _),
     "q_url_canonical" -> (urlCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "q_token_encode" -> tokenEncodeSql,
     "q_media_audio" -> mediaAudioSql,
     "q_ann_ivf_persisted" -> annIvfPersistedSql,
     "q_global_bins" -> globalBinsSql,
