@@ -34,12 +34,13 @@ object Bench {
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    // Two timed runs per query, min reported: single-run totals varied
+    // Three timed runs per query, min reported: single-run totals varied
     // run-to-run by 15-20% (GC, page cache, JIT recompiles) — too noisy
-    // for the driver's round-over-round regression compare. min-of-2
-    // tracks the query's actual cost; noise only ever inflates.
+    // for the driver's round-over-round regression compare, and round 5
+    // measured two identical-code min-of-2 SUITE totals 13% apart. The
+    // min tracks the query's actual cost; noise only ever inflates.
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -58,4 +58,21 @@ class PlanGovernanceSpec extends GraftSuite {
     assert(offenders.isEmpty,
       s"unexpected nested-loop/cartesian joins in: $offenders")
   }
+
+  test("sketch-binning plans stay sort-free: no window exec, one result-edge sort") {
+    // The round-4 plan audit found equi-depth binning riding an ntile
+    // window over a 3-value partition key — one reducer sorting a third
+    // of the table. The approx-cut-point re-plan removes every sort
+    // except the deterministic result-edge orderBy; this pins that
+    // property mechanically so a window/sort can't sneak back in.
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q_equidepth_hist", "q_global_bins", "q_skew_profile")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name must not plan a window (partition-bounded sort):\n${plan.take(2000)}")
+      val sorts = "(?m)^[^\\n]*\\bSort \\[".r.findAllIn(plan).length
+      assert(sorts <= 1,
+        s"$name may sort only at the result edge, found $sorts:\n${plan.take(2000)}")
+    }
+  }
 }
