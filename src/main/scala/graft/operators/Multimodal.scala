@@ -210,16 +210,23 @@ object Multimodal {
     def le16(o: Int) = (u(o + 1) << 8) | u(o)
     def tag(o: Int) = new String(p, o, 4, "US-ASCII")
     if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var i = 12
+    // Long cursor: a hostile/corrupt chunk size near 2^32 truncated to
+    // Int goes negative and would walk the cursor BACKWARDS — an
+    // infinite loop inside an executor task. In Long arithmetic an
+    // oversized chunk just pushes the cursor past the end and the walk
+    // terminates (the payload is quarantined like any other malformed
+    // media).
+    var i = 12L
     var fmt: Option[(Long, Long, Long)] = None
     var dataBytes = -1L
     while (i + 8 <= p.length) {
-      val id = tag(i)
-      val sz = le32(i + 4)
+      val o = i.toInt // safe: i + 8 <= p.length <= Int.MaxValue
+      val id = tag(o)
+      val sz = le32(o + 4)
       if (id == "fmt " && i + 24 <= p.length)
-        fmt = Some((le32(i + 12), le16(i + 10), le16(i + 22)))
+        fmt = Some((le32(o + 12), le16(o + 10), le16(o + 22)))
       else if (id == "data") dataBytes = math.min(sz, p.length - i - 8L)
-      i += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      i += 8L + sz + (sz & 1L) // RIFF chunks are word-aligned
     }
     fmt.collect { case (rate, ch, bits) if dataBytes >= 0 && rate > 0 =>
       (rate, ch, bits, dataBytes)

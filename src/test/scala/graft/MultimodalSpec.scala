@@ -47,6 +47,12 @@ class MultimodalSpec extends GraftSuite {
     assert(Multimodal.parseWav(wav).contains((8000L, 1L, 16L, 10L)))
     assert(Multimodal.parseWav("RIFFjunk".getBytes ++ new Array[Byte](40)).isEmpty)
     assert(Multimodal.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+    // Hostile chunk size 0xFFFFFFFF: truncated to Int it is -1 and the
+    // cursor would walk backwards forever; the Long walk must terminate
+    // and quarantine the payload.
+    val hostile = Multimodal.encodePcmWav(8000, Array[Short](1, 2, 3))
+    hostile(16) = -1; hostile(17) = -1; hostile(18) = -1; hostile(19) = -1
+    assert(Multimodal.parseWav(hostile).isEmpty)
   }
 
   test("decodeAudio recovers exact PCM samples; non-audio payloads quarantined") {
