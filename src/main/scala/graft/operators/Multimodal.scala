@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * partition-parallel over binary payloads. Audio decode is REAL too:
   * `parseWav` walks RIFF/WAVE chunks byte-by-byte and `decodeAudio`
   * recovers PCM samples via `javax.sound.sampled.AudioSystem` (also
-  * JDK-built-in). `decodeStub` remains only for the media families the
-  * JDK genuinely has no codec for (video containers, compressed audio —
-  * MP3/AAC/OGG) — a deterministic fake derived from the byte payload,
-  * so the distributed plumbing (schema, encoders, partitioning, batch
-  * iteration) stays real and testable there too.
+  * JDK-built-in). Video container METADATA is real as well: `parseMp4`
+  * walks the ISO-BMFF box tree (ftyp/moov/mvhd/tkhd) byte-by-byte.
+  * `decodeStub` remains only for what the JDK genuinely has no codec
+  * for (video FRAME decode, compressed audio — MP3/AAC/OGG) — a
+  * deterministic fake derived from the byte payload, so the distributed
+  * plumbing (schema, encoders, partitioning, batch iteration) stays
+  * real and testable there too.
   */
 object Multimodal {
 
@@ -292,6 +294,130 @@ object Multimodal {
       .putShort(2).putShort(16) // blockAlign, bits
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL ISO-BMFF (MP4/MOV/M4A) container walk — pure JVM byte
+    * inspection, the video analogue of `parseWav`: validate the leading
+    * `ftyp` box, then walk the box tree (big-endian 32-bit size + fourcc,
+    * with the spec's size=0 "to end of file" and size=1 64-bit largesize
+    * forms) descending into `moov`/`trak` containers to `mvhd` (movie
+    * timescale + duration, version 0 and 1 layouts) and the first `tkhd`
+    * with a nonzero visual box (16.16 fixed-point width/height). Frame
+    * DECODE stays stubbed — the JDK genuinely ships no video codec — but
+    * container metadata is plain bytes, and it is the triage pass a
+    * 100 TB video pipeline runs first: duration/dimension filters decide
+    * what is worth scheduling a real decoder for. Returns
+    * (majorBrand, timescale, duration, width, height); None for non-BMFF
+    * payloads (quarantine routing). */
+  def parseMp4(p: Array[Byte]): Option[(String, Long, Long, Long, Long)] = {
+    def u(i: Int): Long = p(i) & 0xffL
+    def be32(o: Int) = (u(o) << 24) | (u(o + 1) << 16) | (u(o + 2) << 8) | u(o + 3)
+    def be64(o: Int) = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int) = new String(p, o, 4, "US-ASCII")
+    if (p.length < 16 || tag(4) != "ftyp") return None
+    var brand: String = null
+    var timescale = -1L; var duration = -1L
+    var width = -1L; var height = -1L
+    // Long cursors + size >= header guard: a hostile size field must
+    // never move the cursor backwards (executor-task infinite loop) —
+    // same failure class parseWav's comment documents. Depth cap bounds
+    // hostile self-nesting; real files nest moov/trak 2 deep.
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 8) return
+      var i = start
+      while (i + 8 <= end) {
+        val o = i.toInt // safe: end <= p.length <= Int.MaxValue
+        val szRaw = be32(o)
+        val id = tag(o + 4)
+        var hdr = 8L
+        val size: Long =
+          if (szRaw == 0L) end - i // spec: box extends to end of file
+          else if (szRaw == 1L && i + 16 <= end) { hdr = 16L; be64(o + 8) }
+          else szRaw
+        if (size < hdr) return // malformed → stop, quarantine the payload
+        val boxEnd = math.min(end, i + size)
+        val b = (i + hdr).toInt
+        id match {
+          case "ftyp" if i + hdr + 4 <= boxEnd => brand = tag(b)
+          case "moov" | "trak" => walk(i + hdr, boxEnd, depth + 1)
+          case "mvhd" if boxEnd - i >= hdr + 4 =>
+            if (u(b) == 1 && boxEnd - i >= hdr + 32) {
+              timescale = be32(b + 20); duration = be64(b + 24) // v1: 64-bit times
+            } else if (u(b) == 0 && boxEnd - i >= hdr + 20) {
+              timescale = be32(b + 12); duration = be32(b + 16)
+            }
+          case "tkhd" =>
+            // width/height: 16.16 fixed point at the end of the track
+            // matrix; only the first visual track (nonzero box) wins.
+            val wOff = if (boxEnd - i >= hdr + 4 && u(b) == 1) 88 else 76
+            if (boxEnd - i >= hdr + wOff + 8 && width < 0) {
+              val w = be32(b + wOff) >> 16
+              val h = be32(b + wOff + 4) >> 16
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          case _ => ()
+        }
+        i += size
+      }
+    }
+    walk(0L, p.length.toLong, 0)
+    Option(brand).collect { case br if timescale > 0 && duration >= 0 =>
+      (br, timescale, duration, math.max(width, 0L), math.max(height, 0L))
+    }
+  }
+
+  case class VideoMeta(id: Long, brand: String, timescale: Long,
+                       duration_ms: Long, width: Long, height: Long)
+
+  /** Partition-parallel video-container triage: REAL `parseMp4` metadata
+    * per payload, non-BMFF rows dropped (quarantine routing, same as
+    * `headerDims`/`decodeAudio`). `duration_ms` is floor(duration × 1000 /
+    * timescale) — exact integer arithmetic, oracle-checkable. */
+  def parseVideo(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseMp4(r.payload).map { case (brand, ts, dur, w, h) =>
+        VideoMeta(r.id, brand, ts, dur * 1000L / ts, w, h)
+      }
+    })
+  }
+
+  /** Deterministic minimal ISO-BMFF encoder (fixture side of the video
+    * round trip, mirroring `encodeGrayPng`/`encodePcmWav`): `ftyp` +
+    * `moov`(`mvhd` v0 + `trak`(`tkhd` v0)) with the given timescale,
+    * duration and 16.16 fixed-point track dimensions. Structurally a
+    * valid (sample-free) MP4 header — `parseMp4` must recover every
+    * field exactly. Executor-side, JDK-only. */
+  def encodeMp4(brand: String, timescale: Int, duration: Int,
+                width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 100)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put(brand.getBytes("US-ASCII"), 0, 4).putInt(0)
+    bb.putInt(8 + 108 + 100).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation/modification time
+      .putInt(timescale).putInt(duration)
+      .putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      .put(new Array[Byte](10)) // reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // identity matrix
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .put(new Array[Byte](24)) // pre_defined
+      .putInt(2) // next_track_id
+    bb.putInt(100).put("trak".getBytes("US-ASCII"))
+    bb.putInt(92).put("tkhd".getBytes("US-ASCII"))
+      .putInt(0x000007) // version 0, flags: enabled | in movie | in preview
+      .putInt(0).putInt(0) // creation/modification time
+      .putInt(1).putInt(0) // track_id, reserved
+      .putInt(duration).put(new Array[Byte](8)) // duration, reserved
+      .putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/volume/res
+      .putInt(0x00010000).putInt(0).putInt(0) // identity matrix
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(width << 16).putInt(height << 16) // 16.16 fixed point
     bb.array()
   }
 

@@ -239,9 +239,46 @@ SELECT doc_id, list(tid ORDER BY pos) AS ids,
 FROM enc GROUP BY doc_id ORDER BY doc_id
 """
 
+  /** REAL video-container metadata round trip — ISO-BMFF box walk
+    * (ftyp → moov → mvhd/tkhd), mirroring q_media_audio's pattern: a
+    * minimal structurally-valid MP4 header is encoded per doc
+    * executor-side (timescale, duration and 16.16 track dimensions all
+    * closed-form functions of doc_id), then `Multimodal.parseMp4`
+    * recovers every field from the byte tree. Box sizes, fixed-point
+    * dims and the version-0 layouts are exact, so the oracle needs only
+    * arithmetic — a walk that misread any offset misses the hash.
+    * Frame decode stays quarantined (no JDK video codec); container
+    * triage is the real first pass of a 100 TB video pipeline anyway —
+    * duration/dimension filters run before any codec is scheduled. */
+  def mediaVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.MediaRow
+    val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.mapPartitions(_.map { id =>
+      val dur = (600 * (1 + id % 120) + (id * 7) % 600).toInt
+      MediaRow(id, "mp4", Multimodal.encodeMp4("isom", 600, dur,
+        width = (320 + (id % 8) * 16).toInt, height = (240 + (id % 6) * 16).toInt))
+    })
+    Multimodal.parseVideo(media)
+      .select(col("id").as("doc_id"), col("brand"), col("timescale"),
+        col("duration_ms"), col("width"), col("height"))
+      .orderBy("doc_id")
+  }
+
+  val mediaVideoSql: String = """
+SELECT doc_id, 'isom' AS brand, CAST(600 AS BIGINT) AS timescale,
+       CAST((600 * (1 + doc_id % 120) + (doc_id * 7) % 600) * 1000 // 600 AS BIGINT)
+         AS duration_ms,
+       CAST(320 + (doc_id % 8) * 16 AS BIGINT) AS width,
+       CAST(240 + (doc_id % 6) * 16 AS BIGINT) AS height
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_encode" -> (tokenEncode _),
     "q_media_audio" -> (mediaAudio _),
+    "q_media_video" -> (mediaVideo _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_global_bins" -> (globalBins _),
     "q_url_canonical" -> (urlCanonical _))
@@ -249,6 +286,7 @@ FROM enc GROUP BY doc_id ORDER BY doc_id
   val oracles: Map[String, String] = Map(
     "q_token_encode" -> tokenEncodeSql,
     "q_media_audio" -> mediaAudioSql,
+    "q_media_video" -> mediaVideoSql,
     "q_ann_ivf_persisted" -> annIvfPersistedSql,
     "q_global_bins" -> globalBinsSql,
     "q_url_canonical" -> urlCanonicalSql)

@@ -69,6 +69,45 @@ class MultimodalSpec extends GraftSuite {
     assert(d.n_samples == 5L && d.sample_sum == samples.map(_.toLong).sum)
   }
 
+  test("parseMp4 walks the ISO-BMFF box tree to the real movie/track fields") {
+    val mp4 = Multimodal.encodeMp4("isom", 600, 1234, 320, 240)
+    assert(Multimodal.parseMp4(mp4).contains(("isom", 600L, 1234L, 320L, 240L)))
+    // non-BMFF payloads quarantined
+    assert(Multimodal.parseMp4(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseMp4(Multimodal.encodeGrayPng(2, 2, (_, _) => 1)).isEmpty)
+    assert(Multimodal.parseMp4("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).isEmpty)
+    // spec's size=0 "extends to end of file" form on the last box
+    val tail = Multimodal.encodeMp4("mp42", 1000, 5000, 640, 480)
+    tail(16) = 0; tail(17) = 0; tail(18) = 0; tail(19) = 0 // moov size := 0
+    assert(Multimodal.parseMp4(tail).contains(("mp42", 1000L, 5000L, 640L, 480L)))
+    // hostile box size 0xFFFFFFFF: as Int it is -1 and a naive cursor
+    // walks backwards forever; the Long walk clamps the container to the
+    // payload end — children still parse, and crucially it TERMINATES.
+    val hostile = Multimodal.encodeMp4("isom", 600, 99, 64, 48)
+    hostile(16) = -1; hostile(17) = -1; hostile(18) = -1; hostile(19) = -1 // moov size
+    assert(Multimodal.parseMp4(hostile).contains(("isom", 600L, 99L, 64L, 48L)))
+    // same corruption on a LEAF box: mvhd clamps (fields still read),
+    // the cursor jumps past end, trak is never reached → dims 0
+    val leaf = Multimodal.encodeMp4("isom", 600, 99, 64, 48)
+    leaf(24) = -1; leaf(25) = -1; leaf(26) = -1; leaf(27) = -1 // mvhd size
+    assert(Multimodal.parseMp4(leaf).contains(("isom", 600L, 99L, 0L, 0L)))
+    // truncated mid-box: terminates, quarantined
+    assert(Multimodal.parseMp4(mp4.take(40)).isEmpty)
+  }
+
+  test("parseVideo emits exact integer duration_ms; non-video rows dropped") {
+    import spark.implicits._
+    val rows = spark.createDataset(Seq(
+      MediaRow(1L, "v", Multimodal.encodeMp4("isom", 600, 900, 320, 240)),
+      MediaRow(2L, "v", Array[Byte](9, 9, 9)),
+      MediaRow(3L, "v", Multimodal.encodePcmWav(8000, Array[Short](1, 2)))))
+    val out = Multimodal.parseVideo(rows).collect()
+    assert(out.map(_.id).toSeq == Seq(1L))
+    val v = out.head
+    assert(v.brand == "isom" && v.timescale == 600L)
+    assert(v.duration_ms == 1500L && v.width == 320L && v.height == 240L)
+  }
+
   test("IVF probe plan reads only the staged index — no k-means in its lineage") {
     import graft.operators.IvfIndex
     import graft.functions.VectorFns._
