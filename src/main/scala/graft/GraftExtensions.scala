@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSimilarity, JaccardSimilarity}
+import graft.plans.{CmsEstimate, CosineSimilarity, JaccardSimilarity}
 
 /** Session extension point: installs the engine's custom Catalyst
   * functions at session build time —
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
       (exprs: Seq[Expression]) => JaccardSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
   }

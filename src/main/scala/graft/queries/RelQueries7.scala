@@ -434,7 +434,45 @@ GROUP BY 1
 ORDER BY status
 """
 
+  /** Count–Min frequency sketch, built and queried — the frequency
+    * member of the re-aggregatable sketch family (q_hll_union =
+    * distinct, q_equidepth/global_bins = quantiles, this = per-key
+    * counts): Spark's `count_min_sketch` aggregate is map-side
+    * mergeable (partial agg merges partition sketches — the same
+    * build-anywhere/merge-cheap property that makes sketches the
+    * 100 TB play), and the engine's native `cms_estimate` expression
+    * (registered via GraftExtensions, the read half Spark SQL leaves
+    * out) probes the merged sketch. House sketch-oracle pattern:
+    * exact per-key counts stay exact; the sketch estimate is checked
+    * as an in-tolerance boolean against the CMS guarantee
+    * (exact ≤ est ≤ exact + ε·N, 5× ε slack). Probe side is a bounded
+    * 20-key set joined to a broadcast 1-row sketch (allowlisted
+    * singleton cross join, same class as q_hll_union). */
+  def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFns.cmsEstimate
+    val li = t(s, dir, "lineitem")
+      .select((col("l_partkey") % 100).cast("long").as("k"))
+    val sk = li.agg(
+      count_min_sketch(col("k"), lit(0.001d), lit(0.99d), lit(42)).as("__sk"),
+      count(lit(1)).as("__n"))
+    val est = cmsEstimate(col("__sk"), col("k"))
+    li.filter(col("k") < 20).groupBy("k").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sk))
+      .select(col("k"), col("n_exact"),
+        (est >= col("n_exact") &&
+          est.cast("double") <= col("n_exact").cast("double") +
+            col("__n").cast("double") * 0.005).as("ok"))
+      .orderBy("k")
+  }
+
+  val cmsHeavySql: String = """
+SELECT l_partkey % 100 AS k, COUNT(*) AS n_exact, TRUE AS ok
+FROM lineitem WHERE l_partkey % 100 < 20
+GROUP BY 1 ORDER BY 1
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_freq" -> (cmsHeavy _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_weighted_sample" -> (weightedSample _),
     "q_rank_distributions" -> (rankDistributions _),
@@ -447,6 +485,7 @@ ORDER BY status
     "q_skew_profile" -> (skewProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q_cms_freq" -> cmsHeavySql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_rank_distributions" -> rankDistributionsSql,

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Eighth relational batch: time-series resampling with linear
+  * interpolation, and seasonal-baseline anomaly detection.
+  */
+object RelQueries8 {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** Resample each user's irregular event series onto a regular 3600 s
+    * grid with LINEAR interpolation between the surrounding known
+    * points — the companion to q_gap_fill's step-function forward fill
+    * (ffill holds the last value; interpolation draws the line). Exact
+    * cross-engine discipline: the interpolated value is assembled as an
+    * integer numerator/denominator — prevV·(nextT−prevT) +
+    * (nextV−prevV)·(t−prevT) over (nextT−prevT), all in long cents ×
+    * seconds — and the ONLY floating-point op is the final single
+    * division, which is bitwise-reproducible (no integer DIV-vs-floor
+    * divergence on negative slopes, the trap a truncating-division
+    * form would hit).
+    *
+    * Shape: per-user grid generated with `sequence` (spine is computed,
+    * not joined), unioned with the known points, one window pass per
+    * direction (last/first ignoreNulls) partitioned by the
+    * high-cardinality user key — no self-join, no as-of join, bounded
+    * per-user state. Grid points that coincide with a known sample
+    * take the sample value (zero-width interval guard). */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    val known = t(s, dir, "events")
+      .filter(col("user_id") < 30 && col("event_id") % 5 === 0)
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("t_s"),
+        cents(col("value")).as("v"))
+      .groupBy("user_id", "t_s").agg(min("v").as("v")) // collapse equal-ts ties
+    val grid = known.groupBy("user_id")
+      .agg(min("t_s").as("lo"), max("t_s").as("hi"))
+      // Spark's sequence ERRORS on start > stop (DuckDB range is just
+      // empty) — drop span-shorter-than-one-step users on both sides
+      .filter((col("lo") - col("lo") % 3600) + 3600 <= col("hi"))
+      .select(col("user_id"),
+        explode(sequence(
+          (col("lo") - col("lo") % 3600) + 3600,
+          col("hi"), lit(3600))).as("t_s"))
+      .withColumn("v", lit(null).cast("long"))
+      .withColumn("is_grid", lit(1))
+    val both = known.withColumn("is_grid", lit(0))
+      .unionByName(grid.select("user_id", "t_s", "v", "is_grid"))
+    // known row sorts before a same-instant grid row, so prev sees it
+    val fwd = Window.partitionBy("user_id").orderBy(col("t_s"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy("user_id").orderBy(col("t_s"), col("is_grid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val markT = when(col("v").isNotNull, col("t_s"))
+    val out = both
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("pt", last(markT, ignoreNulls = true).over(fwd))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(bwd))
+      .withColumn("nt", first(markT, ignoreNulls = true).over(bwd))
+      .filter(col("is_grid") === 1 && col("pv").isNotNull && col("nv").isNotNull)
+    out.select(col("user_id"), col("t_s"),
+        when(col("nt") === col("pt"), col("pv").cast("double"))
+          .otherwise(
+            (col("pv") * (col("nt") - col("pt")) +
+              (col("nv") - col("pv")) * (col("t_s") - col("pt"))).cast("double") /
+              (col("nt") - col("pt")).cast("double")).as("v_interp"))
+      .orderBy("user_id", "t_s")
+  }
+
+  val interpolateSql: String = """
+WITH known AS (
+  SELECT user_id, epoch_ms(ts) // 1000 AS t_s,
+         MIN(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events WHERE user_id < 30 AND event_id % 5 = 0
+  GROUP BY user_id, epoch_ms(ts) // 1000),
+grid AS (
+  SELECT user_id, g.t_s
+  FROM (SELECT user_id, MIN(t_s) AS lo, MAX(t_s) AS hi FROM known GROUP BY user_id),
+       unnest(range((lo - lo % 3600) + 3600, hi + 1, 3600)) g(t_s)),
+both_rows AS (
+  SELECT user_id, t_s, v, 0 AS is_grid FROM known
+  UNION ALL
+  SELECT user_id, t_s, NULL AS v, 1 AS is_grid FROM grid),
+w AS (
+  SELECT user_id, t_s, is_grid,
+         last_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t_s, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN t_s END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t_s, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t_s, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN t_s END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t_s, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM both_rows)
+SELECT user_id, t_s,
+       CASE WHEN nt = pt THEN CAST(pv AS DOUBLE)
+            ELSE CAST(pv * (nt - pt) + (nv - pv) * (t_s - pt) AS DOUBLE)
+                 / CAST(nt - pt AS DOUBLE) END AS v_interp
+FROM w
+WHERE is_grid = 1 AND pv IS NOT NULL AND nv IS NOT NULL
+ORDER BY user_id, t_s
+"""
+
+  /** Seasonal-baseline anomaly detection — the time-aware member of the
+    * outlier family (q_zscore_outliers = global, q_mad_outliers =
+    * robust-global, this = seasonal): a value that is normal at the
+    * daily peak hour is anomalous at 4 am, so each event is screened
+    * against the mean of ITS OWN hour-of-day. Exact integer form: flag
+    * iff cents · n_h > 3 · sum_h (no division anywhere — multiply
+    * through by the group count). Shape: one 24-row hash aggregate,
+    * broadcast-joined back onto the fact by hour — a map-side pass at
+    * any scale. */
+  def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") < 100)
+      .select(col("event_id"), col("user_id"),
+        hour(col("ts")).as("h"), cents(col("value")).as("c"))
+    val base = ev.groupBy("h")
+      .agg(sum("c").as("sum_h"), count(lit(1)).as("n_h"))
+    ev.join(broadcast(base), "h")
+      .filter(col("c") * col("n_h") > lit(3) * col("sum_h"))
+      .select(col("event_id"), col("user_id"), col("h"), col("c").as("cents"),
+        (col("sum_h").cast("double") / col("n_h").cast("double")).as("hour_mean"))
+      .orderBy("event_id")
+  }
+
+  val seasonalAnomalySql: String = """
+WITH ev AS (
+  SELECT event_id, user_id, EXTRACT(hour FROM ts) AS h,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE user_id < 100),
+base AS (
+  SELECT h, SUM(c) AS sum_h, COUNT(*) AS n_h FROM ev GROUP BY h)
+SELECT event_id, user_id, ev.h, c AS cents,
+       CAST(sum_h AS DOUBLE) / CAST(n_h AS DOUBLE) AS hour_mean
+FROM ev JOIN base ON ev.h = base.h
+WHERE c * n_h > 3 * sum_h
+ORDER BY event_id
+"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interpolate" -> (interpolate _),
+    "q_seasonal_anomaly" -> (seasonalAnomaly _))
+
+  val oracles: Map[String, String] = Map(
+    "q_interpolate" -> interpolateSql,
+    "q_seasonal_anomaly" -> seasonalAnomalySql)
+}

@@ -268,7 +268,44 @@ nodes AS (SELECT unnest([w0, tu, tv]) AS vec_id FROM tri)
 SELECT vec_id, COUNT(*) AS n_tri FROM nodes GROUP BY vec_id ORDER BY vec_id
 """
 
+  /** Community detection on the same projected graph family as
+    * q_pagerank: 2 synchronous rounds of deterministic label propagation
+    * (most-frequent neighbor label, ties → smallest label — see
+    * [[graft.operators.LabelProp]] for why classic random-tiebreak async
+    * LPA is irreproducible on a cluster). Per round: two map-side-
+    * combinable hash aggregations keyed by node id, lineage cut per
+    * round — the 100 TB cost is two same-partitioning shuffles per
+    * round, no window, no collect. The DuckDB twin unrolls the same two
+    * rounds with QUALIFY row_number tie-breaking. */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "lineitem").select(
+      (col("l_orderkey") % 300).as("src"), (col("l_partkey") % 300).as("dst"))
+    graft.operators.LabelProp.propagate(e, iters = 2)
+      .orderBy("id")
+  }
+
+  val labelPropSql: String = {
+    def round(k: Int): String = s"""
+v$k AS (
+  SELECT e.src, l.label AS nlabel, COUNT(*) AS cnt
+  FROM e JOIN l${k - 1} l ON e.dst = l.id GROUP BY e.src, l.label),
+l$k AS (
+  SELECT src AS id, nlabel AS label FROM v$k
+  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cnt DESC, nlabel) = 1)"""
+    s"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey % 300 AS src, l_partkey % 300 AS dst FROM lineitem),
+e AS (
+  SELECT src, dst FROM d WHERE src <> dst
+  UNION
+  SELECT dst, src FROM d WHERE src <> dst),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),${round(1)},${round(2)}
+SELECT id, label FROM l2 ORDER BY id
+"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_prop" -> (labelProp _),
     "q_triangle_knn" -> (triangleKnn _),
     "q_salted_join" -> (saltedJoin _),
     "q_asof_broadcast" -> (asofBroadcast _),
@@ -279,6 +316,7 @@ SELECT vec_id, COUNT(*) AS n_tri FROM nodes GROUP BY vec_id ORDER BY vec_id
     "q_json_source" -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q_label_prop" -> labelPropSql,
     "q_triangle_knn" -> triangleKnnSql,
     "q_salted_join" -> saltedJoinSql,
     "q_asof_broadcast" -> asofBroadcastSql,

@@ -461,7 +461,72 @@ WHERE o_orderkey < 4000
 ORDER BY ticket
 """
 
+  /** Watermark late-data ACCOUNTING — the semantics every other
+    * streaming query avoids by setting the delay beyond the data span:
+    * here the 30 s watermark is deliberately tight, and batch 2 replays
+    * the full time range so a known subset arrives behind the
+    * watermark and must be DROPPED from the windowed counts. Times are
+    * value-defined (base + 2·(event_id mod 300) s for batch 1, the odd
+    * seconds for batch 2 — parity keeps every comparison strict), so
+    * which rows are late is closed-form: after batch 1 the watermark is
+    * max(batch-1 time) − 30 s, and a batch-2 row survives iff its 60 s
+    * window's END is beyond that (finalized windows' state is evicted;
+    * their stragglers are discarded). A far-future sentinel closes all
+    * real windows; its own window is excluded by the bound filter. The
+    * oracle recomputes the same watermark arithmetic in SQL — if the
+    * engine dropped more or fewer rows than the watermark contract
+    * says, the counts hash-mismatch. */
+  def streamLate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1704067200000L // 2024-01-01T00:00Z, fixed
+    val ids = t(s, dir, "events").filter(col("event_id") < 5000)
+      .select(col("event_id").cast("long")).as[Long].collect().sorted
+    require(ids.nonEmpty, "empty slice")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val b1 = ids.filter(_ % 3 == 0).map(id => (id, ts(base + 2000L * (id % 300)))).toSeq
+    val b2 = ids.filter(_ % 3 == 1).map(id => (id, ts(base + 2000L * (id % 300) + 1000L))).toSeq
+    s.catalog.dropTempView("q_stream_late_out")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = in.toDF().toDF("id", "ts")
+      .withWatermark("ts", "30 seconds")
+      .groupBy(window(col("ts"), "60 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select((unix_timestamp(col("w.start")) - base / 1000L).as("win_start_s"), col("n"))
+      .writeStream.format("memory").queryName("q_stream_late_out")
+      .outputMode("append").start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(Seq((-1L, ts(base + 100000L * 1000L)))); q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    s.table("q_stream_late_out").filter(col("win_start_s") < 9000)
+      .orderBy("win_start_s")
+  }
+
+  /** Batch twin: replays the watermark arithmetic — batch-2 rows kept
+    * iff their window end clears max(batch-1 offset) − 30 s. */
+  val streamLateSql: String = """
+WITH ids AS (SELECT CAST(event_id AS BIGINT) AS id FROM events WHERE event_id < 5000),
+b1 AS (SELECT 2 * (id % 300) AS off FROM ids WHERE id % 3 = 0),
+b2 AS (SELECT 2 * (id % 300) + 1 AS off FROM ids WHERE id % 3 = 1),
+wm AS (SELECT MAX(off) - 30 AS w FROM b1),
+kept AS (
+  SELECT off FROM b1
+  UNION ALL
+  SELECT off FROM b2 WHERE (off - off % 60 + 60) > (SELECT w FROM wm))
+SELECT CAST(off - off % 60 AS BIGINT) AS win_start_s, COUNT(*) AS n
+FROM kept GROUP BY 1 ORDER BY 1
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_late" -> (streamLate _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_streaming_merge" -> (streamingMerge _),
     "q_stream_sessionize" -> (streamingSessionize _),
@@ -470,6 +535,7 @@ ORDER BY ticket
     "q_stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_late" -> streamLateSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_streaming_merge" -> streamingMergeSql,
     "q_stream_sessionize" -> streamingSessionizeSql,

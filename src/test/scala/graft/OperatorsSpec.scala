@@ -77,4 +77,21 @@ class OperatorsSpec extends GraftSuite {
       ("e2", Some(2.0)),     // latest preceding
       ("x", None)))          // key with no right rows
   }
+
+  test("label propagation: deterministic min-label tie-break, synchronous rounds") {
+    // two triangles bridged by one edge; labels hand-computed for 2
+    // synchronous rounds with most-frequent/min-label-on-tie semantics
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L), (3L, 4L), (4L, 3L)) // dupes + reverse collapse to one edge
+      .toDF("src", "dst")
+    val out = graft.operators.LabelProp.propagate(edges, iters = 2)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L))
+    // self-loops must not vote
+    val loop = Seq((1L, 1L), (1L, 2L)).toDF("src", "dst")
+    val l = graft.operators.LabelProp.propagate(loop, iters = 1)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(l.toSeq == Seq(1L -> 2L, 2L -> 1L))
+  }
 }

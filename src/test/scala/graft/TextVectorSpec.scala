@@ -127,4 +127,32 @@ class TextVectorSpec extends GraftSuite {
     assert(!r(10L) && r(11L))        // 10 survives its bundle
     assert(!r(20L))                  // singleton untouched
   }
+
+  test("cms_estimate reads back count_min_sketch with the CMS overestimate guarantee") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchFns.cmsEstimate
+    // key k appears k times, k = 1..50 → exact counts known
+    val df = spark.range(1, 51).select(explode(sequence(lit(1), col("id"))).as("x"),
+      col("id").cast("long").as("k")).select("k")
+    val sk = df.agg(count_min_sketch(col("k"), lit(0.001d), lit(0.99d), lit(7)).as("s"))
+    val n = df.count()
+    val out = spark.range(1, 51).select(col("id").as("k"))
+      .crossJoin(broadcast(sk))
+      .select(col("k"), cmsEstimate(col("s"), col("k")).as("est"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (k, est) =>
+      assert(est >= k, s"CMS must never underestimate: key $k -> $est")
+      assert(est <= k + (0.001 * n).toLong + 1, s"key $k overestimate too large: $est")
+    }
+    // null key → null estimate (BinaryExpression null semantics)
+    val nulls = spark.range(1).select(lit(null).cast("long").as("k"))
+      .crossJoin(sk).select(cmsEstimate(col("s"), col("k")))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+    // SQL surface registration
+    graft.functions.SketchFns.register(spark)
+    sk.createOrReplaceTempView("cms_sk")
+    val viaSql = spark.sql("SELECT cms_estimate(s, 5L) FROM cms_sk").collect()
+    assert(viaSql.head.getLong(0) >= 5L)
+  }
 }
