@@ -87,9 +87,94 @@ SELECT doc_id, n_win, n_dup, n_dup * 10000 // n_win AS dup_bp,
 FROM per_doc ORDER BY doc_id
 """
 
+  /** Prefix-filtered set-similarity join (Chaudhuri et al. SSJoin
+    * ICDE'06 / Bayardo et al. WWW'07) — the EXACT blocking alternative
+    * to MinHash: order every token set by global rarity, and any pair
+    * with Jaccard ≥ t must share a token within each set's first
+    * |s| − ⌈t·|s|⌉ + 1 tokens, so candidate generation is an equi-join
+    * on prefix tokens (rarest tokens → smallest blocks) plus the
+    * length filter 5·min ≥ 4·max, with zero false negatives. The
+    * oracle is therefore a brute-force all-pairs scan over the bounded
+    * slice — if the prefix blocking dropped ANY qualifying pair, the
+    * row sets differ and the hash catches it (the blocking is the
+    * claim under test, not just the arithmetic).
+    *
+    * Exactness: Jaccard compared as integers (inter·5 ≥ union·4);
+    * reported as basis points via integer division. Positives planted
+    * as 2-token-poorer copies of every 7th doc (J = (n−2)/n ≥ 0.8 for
+    * n ≥ 10). Scale shape: frequency ranking is one combinable agg +
+    * an equi-join; per-doc ordered sets re-assemble via a bounded
+    * collect (set-sized); candidates are equi-join blocks, never an
+    * all-pairs product. */
+  def setsimJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        array_sort(array_distinct(tokens(normalizeText(col("text"))))).as("set"))
+      .withColumn("sz", size(col("set")).cast("long"))
+      .filter(col("sz") > 0)
+    val planted = base.filter(col("doc_id") % 7 === 0 && col("sz") >= 10)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        slice(col("set"), lit(1), (col("sz") - 2).cast("int")).as("set"),
+        (col("sz") - 2).as("sz"))
+    val sets = base.unionByName(planted)
+    val tok = sets.select(col("doc_id"), explode(col("set")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("f"))
+    val ordered = tok.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("f"), col("tok")))),
+        x => x.getField("tok")).as("ord"))
+    // prefix length |s| - ceil(0.8|s|) + 1; ceil(4n/5) = (4n+4) DIV 5
+    val pref = ordered.join(sets, "doc_id")
+      .select(col("doc_id"), col("set"), col("sz"),
+        explode(slice(col("ord"), lit(1),
+          expr("CAST(sz - (sz * 4 + 4) DIV 5 + 1 AS INT)"))).as("ptok"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.ptok") === col("y.ptok") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") * 5 >= col("y.sz") * 4 &&
+          col("y.sz") * 5 >= col("x.sz") * 4)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.set").as("sa"), col("y.set").as("sb"),
+        col("x.sz").as("za"), col("y.sz").as("zb"))
+      .dropDuplicates("a", "b") // same pair from several shared prefix tokens
+    cand
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", col("za") + col("zb") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .select(col("a"), col("b"), expr("inter * 10000 DIV uni").as("jac_bp"))
+      .orderBy("a", "b")
+  }
+
+  /** Brute-force all-pairs twin — legitimate ONLY because the slice is
+    * bounded; the Spark side must reproduce it via prefix blocking. */
+  val setsimJoinSql: String = """
+WITH base AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(s, ' '))) AS st
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+        FROM documents WHERE doc_id < 150)
+  WHERE length(s) > 0),
+sized AS (SELECT doc_id, st, len(st) AS sz FROM base WHERE len(st) > 0),
+corpus AS (
+  SELECT doc_id, st, sz FROM sized
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, st[1:sz-2] AS st, sz - 2 AS sz
+  FROM sized WHERE doc_id % 7 = 0 AND sz >= 10),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.st, y.st)) AS inter,
+         x.sz + y.sz - len(list_intersect(x.st, y.st)) AS uni
+  FROM corpus x JOIN corpus y ON x.doc_id < y.doc_id)
+SELECT a, b, inter * 10000 // uni AS jac_bp
+FROM pairs WHERE inter * 5 >= uni * 4
+ORDER BY a, b
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_substr_dedup" -> (substrDedup _))
+    "q_substr_dedup" -> (substrDedup _),
+    "q_setsim_join" -> (setsimJoin _))
 
   val oracles: Map[String, String] = Map(
-    "q_substr_dedup" -> substrDedupSql)
+    "q_substr_dedup" -> substrDedupSql,
+    "q_setsim_join" -> setsimJoinSql)
 }
