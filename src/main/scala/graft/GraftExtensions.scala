@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("mg_summary"),
+      new ExpressionInfo(classOf[graft.plans.MisraGriesAgg].getName, "mg_summary"),
+      (exprs: Seq[Expression]) => graft.plans.MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
     e.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
   }

@@ -15,12 +15,29 @@ object SketchFns {
       ColumnBridge.expression(sketch), ColumnBridge.expression(key)))
   }
 
+  /** Misra–Gries heavy-hitter summary over a long key column: at most
+    * `k` counters per aggregation buffer regardless of input size —
+    * see [[graft.plans.MisraGriesAgg]] for the merge-order-independent
+    * error guarantee. Returns map<key → lower-bound count>; probe with
+    * `element_at` (absent ⇒ 0). */
+  def mgSummary(key: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.MisraGriesAgg(
+      ColumnBridge.expression(key), k).toAggregateExpression())
+  }
+
   /** Register the SQL surface (`cms_estimate(sketch, key)`) on an
     * already-built session; session-build-time users get it from
     * `GraftExtensions` instead. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_estimate",
       exprs => graft.plans.CmsEstimate(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_summary",
+      exprs => graft.plans.MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
+  }
 }

@@ -124,10 +124,16 @@ FROM per_doc ORDER BY doc_id
       .agg(transform(array_sort(collect_list(struct(col("f"), col("tok")))),
         x => x.getField("tok")).as("ord"))
     // prefix length |s| - ceil(0.8|s|) + 1; ceil(4n/5) = (4n+4) DIV 5
+    // Materialized ONCE before the self-join: without this the whole
+    // tokenize -> freq -> rarity-order pipeline plans twice (plan audit
+    // showed zero ReusedExchange across the x/y sides) — 2x the
+    // preprocessing at any scale. Same eager-localCheckpoint pattern as
+    // the iterative graph operators.
     val pref = ordered.join(sets, "doc_id")
       .select(col("doc_id"), col("set"), col("sz"),
         explode(slice(col("ord"), lit(1),
           expr("CAST(sz - (sz * 4 + 4) DIV 5 + 1 AS INT)"))).as("ptok"))
+      .localCheckpoint(true)
     val cand = pref.as("x").join(pref.as("y"),
         col("x.ptok") === col("y.ptok") &&
           col("x.doc_id") < col("y.doc_id") &&

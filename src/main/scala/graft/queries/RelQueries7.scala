@@ -471,7 +471,50 @@ FROM lineitem WHERE l_partkey % 100 < 20
 GROUP BY 1 ORDER BY 1
 """
 
+  /** Misra–Gries heavy hitters via the engine's native bounded-buffer
+    * `TypedImperativeAggregate` — the sketch-family member that returns
+    * the heavy KEYS themselves (HLL = distinct, percentile_approx =
+    * quantiles, CMS = point counts). Two heavy keys are PLANTED (keys
+    * 0/1, ~25% of rows each) over a ~1000-key tail, so the guarantee is
+    * load-bearing: an MG summary that lost a heavy key reports est 0,
+    * and (exact − 0)·16 ≈ 4N ≫ N flips its ok to false. The buffer
+    * holds ≤ 32 counters at ANY input size — the exact contrast to the
+    * per-key-count Percentile buffering q_skew_profile was dinged for
+    * in round 4. Merge order can shift surviving counter VALUES (never
+    * past the N/(k+1) error bound — Agarwal et al. PODS'12), so
+    * estimates are exposed through the house in-tolerance-boolean
+    * pattern at 2× slack: ok ⇔ est ≤ exact ∧ (exact − est)·16 ≤ N.
+    * Probe side: bounded 7-key set × broadcast 1-row summary
+    * (allowlisted singleton cross join, same class as q_cms_freq). */
+  def mgTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFns.mgSummary
+    val li = t(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 4 < 2, col("l_orderkey") % 4)
+        .otherwise(col("l_partkey") % 1000 + 10).cast("long").as("hk"))
+    val sk = li.agg(mgSummary(col("hk"), 32).as("__mg"),
+      count(lit(1)).as("__n"))
+    val est = coalesce(element_at(col("__mg"), col("hk")), lit(0L))
+    li.filter(col("hk").isin(0L, 1L, 10L, 11L, 12L, 13L, 14L))
+      .groupBy("hk").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(sk))
+      .select(col("hk").as("k"), col("n_exact"),
+        (est <= col("n_exact") &&
+          (col("n_exact") - est) * 16 <= col("__n")).as("ok"))
+      .orderBy("k")
+  }
+
+  val mgTopkSql: String = """
+WITH f AS (
+  SELECT CASE WHEN l_orderkey % 4 < 2 THEN l_orderkey % 4
+              ELSE l_partkey % 1000 + 10 END AS hk
+  FROM lineitem)
+SELECT CAST(hk AS BIGINT) AS k, COUNT(*) AS n_exact, TRUE AS ok
+FROM f WHERE hk IN (0, 1, 10, 11, 12, 13, 14)
+GROUP BY hk ORDER BY k
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mg_topk" -> (mgTopk _),
     "q_cms_freq" -> (cmsHeavy _),
     "q_schema_evolution" -> (schemaEvolution _),
     "q_weighted_sample" -> (weightedSample _),
@@ -485,6 +528,7 @@ GROUP BY 1 ORDER BY 1
     "q_skew_profile" -> (skewProfile _))
 
   val oracles: Map[String, String] = Map(
+    "q_mg_topk" -> mgTopkSql,
     "q_cms_freq" -> cmsHeavySql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_weighted_sample" -> weightedSampleSql,

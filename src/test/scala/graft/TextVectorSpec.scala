@@ -155,4 +155,38 @@ class TextVectorSpec extends GraftSuite {
     val viaSql = spark.sql("SELECT cms_estimate(s, 5L) FROM cms_sk").collect()
     assert(viaSql.head.getLong(0) >= 5L)
   }
+
+  test("mg_summary: bounded counters, heavy keys survive, MG error bound holds") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchFns.mgSummary
+    // 1000 rows of key 1, 800 of key 2, tail of 200 singletons; k = 8
+    // counters. N = 2000, error bound N/(k+1) ≈ 222 — both heavy keys
+    // MUST survive with estimates within the bound.
+    val df = spark.range(0, 1000).select(lit(1L).as("k"))
+      .union(spark.range(0, 800).select(lit(2L).as("k")))
+      .union(spark.range(100, 300).select(col("id").as("k")))
+    val m = df.agg(mgSummary(col("k"), 8).as("m"))
+      .select(explode(col("m")).as(Seq("key", "est")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size <= 8, s"buffer must stay bounded: ${m.size}")
+    assert(m.contains(1L) && m.contains(2L), s"heavy keys lost: $m")
+    assert(m(1L) <= 1000L && m(1L) >= 1000L - 223L, s"key 1 est ${m(1L)}")
+    assert(m(2L) <= 800L && m(2L) >= 800L - 223L, s"key 2 est ${m(2L)}")
+    m.foreach { case (key, est) => // no overestimates anywhere
+      val exact = if (key == 1L) 1000L else if (key == 2L) 800L else 1L
+      assert(est <= exact, s"MG must never overestimate: $key -> $est")
+    }
+    // exact regime: more counters than distinct keys → exact counts
+    val exact = spark.range(0, 100).select((col("id") % 5).as("k"))
+      .agg(mgSummary(col("k"), 16).as("m"))
+      .select(explode(col("m")).as(Seq("key", "est")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == Map(0L -> 20L, 1L -> 20L, 2L -> 20L, 3L -> 20L, 4L -> 20L))
+    // SQL surface
+    graft.functions.SketchFns.register(spark)
+    df.createOrReplaceTempView("mg_in")
+    val viaSql = spark.sql(
+      "SELECT element_at(mg_summary(k, 8), 1L) FROM mg_in").collect()
+    assert(viaSql.head.getLong(0) >= 1000L - 223L)
+  }
 }
