@@ -454,10 +454,49 @@ WHERE c.c_custkey < 200
 ORDER BY c_custkey
 """
 
+  /** The same R1 workbook dim through the engine's DataSource V2
+    * (`spark.read.format("graft-xlsx")` — TableProvider resolved by
+    * short name via the DataSourceRegister service loader): schema
+    * inferred from one driver-side header read, one InputPartition per
+    * workbook, and COLUMN PRUNING pushed into the scan — the query
+    * touches 2 of the 4 workbook columns and the reader materializes
+    * only those cells (BatchScan ReadSchema plan-asserted in XlsxSpec).
+    * Same fixture-write + exact-cents aggregation contract as
+    * q_xlsx_dim, so the oracle reads the customer table directly. */
+  def xlsxV2(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val cust = t(s, dir, "customer").filter(col("c_custkey") < 200)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val fixtureDir = new java.io.File("target",
+      "xlsx_v2_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val rows = cust.orderBy("c_custkey").limit(FixtureRowCap)
+      .toLocalIterator().asScala
+      .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSeq
+    graft.sources.Xlsx.write(
+      Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+      rows, new java.io.File(fixtureDir, "customers.xlsx"))
+    s.read.format("graft-xlsx").load(fixtureDir.getAbsolutePath)
+      .select(col("c_mktsegment"),
+        round(col("c_acctbal").cast("double") * 100).cast("long").as("bal_cents"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("bal_cents")).cast("double") / 100.0).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val xlsxV2Sql: String = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
+FROM customer WHERE c_custkey < 200
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_pipeline" -> (csvPipeline _),
     "q_csv_source" -> (csvSource _),
     "q_xlsx_dim" -> (xlsxDim _),
+    "q_xlsx_v2" -> (xlsxV2 _),
     "q_rss_source" -> (rssSource _),
     "q_scalar_cleansing" -> (scalarCleansing _),
     "q_dedup_keepfirst" -> (dedupKeepFirst _),
@@ -470,6 +509,7 @@ ORDER BY c_custkey
     "q_csv_pipeline" -> csvPipelineSql,
     "q_csv_source" -> csvSourceSql,
     "q_xlsx_dim" -> xlsxDimSql,
+    "q_xlsx_v2" -> xlsxV2Sql,
     "q_rss_source" -> rssSourceSql,
     "q_scalar_cleansing" -> scalarCleansingSql,
     "q_dedup_keepfirst" -> dedupKeepFirstSql,

@@ -1,0 +1,154 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Xlsx
+
+/** XLSX workbooks as a full DataSource V2 — the catalog-integration rung
+  * of the engine's Catalyst extension ladder (custom `Expression`,
+  * `TypedImperativeAggregate`, `LogicalPlan`+`Strategy`+`SparkPlan`,
+  * optimizer `Rule`, and now `TableProvider`):
+  *
+  *   spark.read.format("graft-xlsx").load(dir)
+  *
+  * resolved by SHORT NAME through the `DataSourceRegister` service-loader
+  * entry (META-INF/services), exactly how parquet/csv register.
+  *
+  * What V2 buys over the RDD-based `Xlsx.read`:
+  *  - **Planner-visible schema**: `inferSchema` reads ONE header row from
+  *    the lexicographically-first workbook on the driver; the relation
+  *    enters Catalyst with named columns instead of post-hoc casts.
+  *  - **Column pruning pushdown**: `SupportsPushDownRequiredColumns`
+  *    narrows the reader to the projected columns — `.explain` shows the
+  *    pruned ReadSchema, and the reader materializes only those cells.
+  *  - **One `InputPartition` per workbook**: file-parallel scheduling is
+  *    the planner's (C11 per-file parallelism as scan metadata, not a
+  *    hand-rolled `binaryFiles` fan-out).
+  *
+  * Parsing itself reuses the JDK-only ECMA-376 walk in
+  * [[graft.sources.Xlsx]] — zip + StAX, executor-side, no third-party
+  * dependency. All cells surface as nullable strings (schema-on-read;
+  * callers cast — the house CSV-cleansing convention). Each file's own
+  * first row is its header and is skipped; files are assumed
+  * column-compatible with the inferred header (the dim-directory
+  * contract of the original reader).
+  */
+class XlsxDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-xlsx"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private[v2] def listFilesForScan(path: String): Seq[String] =
+    listFiles(path).map(_.toString)
+
+  private def listFiles(path: String): Seq[Path] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+      else Seq(p)
+    files.filter(f => f.getName.endsWith(".xlsx")).sortBy(_.toString)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-xlsx: 'path' option required"))
+    val first = listFiles(path).headOption.getOrElse(
+      throw new IllegalArgumentException(s"graft-xlsx: no .xlsx files under $path"))
+    val fs = first.getFileSystem(new Configuration())
+    val in = fs.open(first)
+    val bytes = try in.readAllBytes() finally in.close()
+    val header = Xlsx.parseWorkbook(bytes).headOption.getOrElse(
+      throw new IllegalArgumentException(s"graft-xlsx: empty workbook $first"))
+    StructType(header.map(h => StructField(h, StringType, nullable = true)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new XlsxTable(schema, properties.get("path"), this)
+}
+
+private[v2] class XlsxTable(schema: StructType, path: String,
+                            provider: XlsxDataSource)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-xlsx:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XlsxScanBuilder(schema, provider.listFilesForScan(path))
+}
+
+private[v2] class XlsxScanBuilder(fullSchema: StructType, files: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new XlsxScan(fullSchema, required, files)
+}
+
+private[v2] class XlsxScan(fullSchema: StructType, required: StructType,
+                           files: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-xlsx [${files.length} file(s)] pruned to ${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => XlsxInputPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    XlsxReaderFactory(fullSchema.fieldNames, required.fieldNames)
+}
+
+private[v2] case class XlsxInputPartition(file: String) extends InputPartition
+
+/** Executor-side: parse the partition's workbook, skip its header row,
+  * and materialize ONLY the pruned column indices. */
+private[v2] case class XlsxReaderFactory(allCols: Array[String],
+                                         requiredCols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[XlsxInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val idx: Array[Int] = requiredCols.map(c => allCols.indexOf(c))
+      private val rows: Iterator[Vector[String]] = {
+        val p = new Path(file)
+        val fs = p.getFileSystem(new Configuration())
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        Xlsx.parseWorkbook(bytes).iterator.drop(1) // this file's header row
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (!rows.hasNext) false
+        else {
+          val cells = rows.next()
+          val vals = new Array[Any](idx.length)
+          var i = 0
+          while (i < idx.length) {
+            val j = idx(i)
+            val v = if (j >= 0 && j < cells.length) cells(j) else null
+            vals(i) = if (v == null) null else UTF8String.fromString(v)
+            i += 1
+          }
+          current = new GenericInternalRow(vals)
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
