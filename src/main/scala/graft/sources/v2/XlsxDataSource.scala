@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -94,42 +94,90 @@ private[v2] class XlsxTable(schema: StructType, path: String,
 }
 
 private[v2] class XlsxScanBuilder(fullSchema: StructType, files: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new XlsxScan(fullSchema, required, files)
+  /** Accept string-equality and not-null filters (the dim-lookup shapes)
+    * for executor-side row skipping; everything else stays with Spark.
+    * Accepted filters are NOT removed from the residual (we return them
+    * as still-needing-evaluation) — the reader's skipping is an
+    * optimization, Spark's post-filter remains the correctness gate. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo(_, _: String) => true
+      case IsNotNull(_) => true
+      case _ => false
+    }
+    filters // all remain Spark-side residuals
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new XlsxScan(fullSchema, required, pushed, files)
 }
 
 private[v2] class XlsxScan(fullSchema: StructType, required: StructType,
-                           files: Seq[String]) extends Scan with Batch {
+                           pushed: Array[Filter], files: Seq[String])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-xlsx [${files.length} file(s)] pruned to ${required.fieldNames.mkString(",")}"
+    s"graft-xlsx [${files.length} file(s)] pruned to ${required.fieldNames.mkString(",")}" +
+      (if (pushed.nonEmpty) s" pushed [${pushed.mkString(", ")}]" else "")
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => XlsxInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    XlsxReaderFactory(fullSchema.fieldNames, required.fieldNames)
+    XlsxReaderFactory(fullSchema.fieldNames, required.fieldNames, pushed)
+
+  /** Workbook byte size on disk — an over-estimate of row-data size
+    * (zip + XML markup), which is the SAFE direction for the planner's
+    * broadcast decision, and enough for Catalyst to auto-broadcast a
+    * small dim without an explicit hint (plan-asserted in XlsxSpec). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = {
+      val conf = new Configuration()
+      files.map { f =>
+        val p = new Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 }
 
 private[v2] case class XlsxInputPartition(file: String) extends InputPartition
 
 /** Executor-side: parse the partition's workbook, skip its header row,
-  * and materialize ONLY the pruned column indices. */
+  * apply the pushed row filters, and materialize ONLY the pruned column
+  * indices. */
 private[v2] case class XlsxReaderFactory(allCols: Array[String],
-                                         requiredCols: Array[String])
+                                         requiredCols: Array[String],
+                                         pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[XlsxInputPartition].file
     new PartitionReader[InternalRow] {
       private val idx: Array[Int] = requiredCols.map(c => allCols.indexOf(c))
+      private val preds: Array[Vector[String] => Boolean] = pushed.map {
+        case EqualTo(att, v: String) =>
+          val j = allCols.indexOf(att)
+          cells => j >= 0 && j < cells.length && cells(j) == v
+        case IsNotNull(att) =>
+          val j = allCols.indexOf(att)
+          cells => j >= 0 && j < cells.length && cells(j) != null
+        case _ => (_: Vector[String]) => true
+      }
       private val rows: Iterator[Vector[String]] = {
         val p = new Path(file)
         val fs = p.getFileSystem(new Configuration())
         val in = fs.open(p)
         val bytes = try in.readAllBytes() finally in.close()
         Xlsx.parseWorkbook(bytes).iterator.drop(1) // this file's header row
+          .filter(cells => preds.forall(_(cells)))
       }
       private var current: InternalRow = _
       override def next(): Boolean =

@@ -83,4 +83,35 @@ class XlsxSpec extends GraftSuite {
     assert(narrow.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq(("2.0", "1")))
   }
+
+  test("DataSource V2: pushed string-equality filter skips rows in the reader") {
+    val dir = Files.createTempDirectory("xlsxv2f").toFile
+    Xlsx.write(Seq("k", "seg"), Seq(Seq(1, "A"), Seq(2, "B"), Seq(3, "A")),
+      new File(dir, "x.xlsx"))
+    val df = spark.read.format("graft-xlsx").load(dir.getAbsolutePath)
+      .filter(org.apache.spark.sql.functions.col("seg") === "A")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("pushed [") && scan.contains("EqualTo(seg,A)"),
+      s"filter must reach the scan:\n$scan")
+    // Spark's residual filter stays above the scan (reader skipping is
+    // an optimization, not the correctness gate) and results agree
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("1", "3"))
+  }
+
+  test("DataSource V2: reported statistics let the planner auto-broadcast the dim") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("xlsxv2s").toFile
+    Xlsx.write(Seq("k", "seg"), (1 to 50).map(i => Seq(i, "s" + i % 3)),
+      new File(dir, "d.xlsx"))
+    val dim = spark.read.format("graft-xlsx").load(dir.getAbsolutePath)
+    val fact = spark.range(0, 10000).select((col("id") % 50 + 1).cast("string").as("k"))
+    // no broadcast() hint anywhere — the V2 scan's sizeInBytes (a few KB,
+    // far under the 10 MB threshold) must be enough for Catalyst to pick
+    // BroadcastHashJoin on its own
+    val joined = fact.join(dim, "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"planner should auto-broadcast the small V2 dim:\n${plan.take(2000)}")
+    assert(joined.count() == 10000L)
+  }
 }
