@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -84,13 +85,81 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
 
 private[v2] class XlsxTable(schema: StructType, path: String,
                             provider: XlsxDataSource)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-xlsx:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new XlsxScanBuilder(schema, provider.listFilesForScan(path))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new XlsxWriteBuilder(info.schema(), path)
+}
+
+/** Write half of the V2 table: each task emits one workbook
+  * (`part-<pid>-<tid>.xlsx`) via the fixture writer's ECMA-376 parts;
+  * `truncate()` (DataFrameWriter overwrite mode) clears the directory
+  * driver-side before the job. Typed values survive: numerics land as
+  * numeric cells, everything else through shared strings — so a
+  * read-back sees the same schema-on-read strings the reader contract
+  * promises. */
+private[v2] class XlsxWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+        if (doTruncate) {
+          val p = new Path(path)
+          val fs = p.getFileSystem(new Configuration())
+          if (fs.exists(p)) fs.delete(p, true)
+          fs.mkdirs(p)
+        }
+        XlsxWriterFactory(schema, path)
+      }
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+private[v2] case class XlsxCommit(file: String) extends WriterCommitMessage
+
+private[v2] case class XlsxWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+      override def write(row: InternalRow): Unit = {
+        val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+          if (row.isNullAt(i)) null
+          else f.dataType match {
+            case org.apache.spark.sql.types.LongType => Long.box(row.getLong(i))
+            case org.apache.spark.sql.types.IntegerType => Int.box(row.getInt(i))
+            case org.apache.spark.sql.types.DoubleType => Double.box(row.getDouble(i))
+            case org.apache.spark.sql.types.BooleanType => row.getBoolean(i).toString
+            case StringType => row.getUTF8String(i).toString
+            case dt => row.get(i, dt).toString
+          }
+        }.toSeq
+        buf += vals
+      }
+      override def commit(): WriterCommitMessage = {
+        // one workbook per task; written only at commit, so a failed
+        // task leaves nothing behind (abort is a no-op on this path)
+        val target = s"$path/part-$partitionId-$taskId.xlsx"
+        val local = java.io.File.createTempFile("graft_xlsx_w", ".xlsx")
+        Xlsx.write(schema.fieldNames.toSeq, buf.toSeq, local)
+        val p = new Path(target)
+        val fs = p.getFileSystem(new Configuration())
+        fs.copyFromLocalFile(true, true, new Path(local.getAbsolutePath), p)
+        XlsxCommit(target)
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
 
 private[v2] class XlsxScanBuilder(fullSchema: StructType, files: Seq[String])

@@ -114,4 +114,24 @@ class XlsxSpec extends GraftSuite {
       s"planner should auto-broadcast the small V2 dim:\n${plan.take(2000)}")
     assert(joined.count() == 10000L)
   }
+
+  test("DataSource V2: write path round-trips through real workbooks") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("xlsxv2w").toFile.getAbsolutePath + "/out"
+    val df = spark.range(0, 100)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"),
+        (col("id").cast("double") / 4.0).as("score"))
+      .repartition(3)
+    df.write.format("graft-xlsx").mode("overwrite").save(dir)
+    val files = new File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    assert(files.length == 3, s"one workbook per partition: ${files.toSeq}")
+    val back = spark.read.format("graft-xlsx").load(dir)
+    assert(back.columns.toSeq == Seq("id", "name", "score"))
+    assert(back.count() == 100)
+    val r7 = back.filter(col("id") === "7").collect().head
+    assert(r7.getString(1) == "n7" && r7.getString(2) == "1.75")
+    // overwrite truncates: second write must not accumulate files
+    df.limit(10).repartition(1).write.format("graft-xlsx").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-xlsx").load(dir).count() == 10)
+  }
 }
