@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.Xlsx
 
-/** XLSX workbooks as a full DataSource V2 — the catalog-integration rung
-  * of the engine's Catalyst extension ladder (custom `Expression`,
+/** XLSX workbooks as a full DataSource V2 — the reference's R1 dim-table
+  * ingest (`RSS PARSER/gcp_rss.py:24-28`, `pd.read_excel`) promoted to
+  * the catalog-integration rung of the engine's Catalyst extension
+  * ladder (custom `Expression`,
   * `TypedImperativeAggregate`, `LogicalPlan`+`Strategy`+`SparkPlan`,
   * optimizer `Rule`, and now `TableProvider`):
   *
