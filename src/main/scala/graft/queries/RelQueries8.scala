@@ -149,11 +149,67 @@ WHERE c * n_h > 3 * sum_h
 ORDER BY event_id
 """
 
+  /** Point-in-time (temporal AS OF) join — the query SCD2 dimensions
+    * exist to serve: each fact is enriched with the dimension VERSION
+    * that was valid at the fact's own event time, not today's row.
+    * The version table is q_scd2's build (lead() closes each order's
+    * validity interval; same-day versions leave zero-width intervals
+    * that can never match — the orderkey tiebreak makes that
+    * deterministic). Because versions tile [from, to) contiguously per
+    * customer, the interval predicate matches AT MOST one version per
+    * fact — no dedup, no window on the fact side. Plan shape: the
+    * version table is entity×versions (dim-sized), so it broadcasts;
+    * the join keeps an equi-key (customer) with the interval as a
+    * residual — BroadcastHashJoin, one map-side pass over the facts,
+    * unmatched facts (pre-history or unknown key) surface with null
+    * version columns. At dims too big to broadcast, the same semantics
+    * come from the as-of machinery (`AsOfJoin.backward`). */
+  def temporalJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val dim = t(s, dir, "orders").filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey").as("version"),
+        col("o_totalprice").as("vprice"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+    val facts = t(s, dir, "events")
+      .filter(col("user_id") < 40 && col("event_id") < 20000)
+      .select(col("event_id"), (col("user_id") % 50).as("ck"),
+        to_date(col("ts")).as("d"))
+    facts.join(broadcast(dim),
+        facts("ck") === dim("o_custkey") &&
+          facts("d") >= dim("valid_from") &&
+          (dim("valid_to").isNull || facts("d") < dim("valid_to")),
+        "left_outer")
+      .select(col("event_id"), col("ck"), col("d"),
+        col("version"), col("vprice"), col("valid_from"))
+      .orderBy("event_id")
+  }
+
+  val temporalJoinSql: String = """
+WITH dim AS (
+  SELECT o_custkey, o_orderkey AS version, o_totalprice AS vprice,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders WHERE o_custkey < 50),
+facts AS (
+  SELECT event_id, user_id % 50 AS ck, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id < 40 AND event_id < 20000)
+SELECT f.event_id, f.ck, f.d, dim.version, dim.vprice, dim.valid_from
+FROM facts f LEFT JOIN dim
+  ON f.ck = dim.o_custkey AND f.d >= dim.valid_from
+     AND (dim.valid_to IS NULL OR f.d < dim.valid_to)
+ORDER BY f.event_id
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interpolate" -> (interpolate _),
-    "q_seasonal_anomaly" -> (seasonalAnomaly _))
+    "q_seasonal_anomaly" -> (seasonalAnomaly _),
+    "q_temporal_join" -> (temporalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_interpolate" -> interpolateSql,
-    "q_seasonal_anomaly" -> seasonalAnomalySql)
+    "q_seasonal_anomaly" -> seasonalAnomalySql,
+    "q_temporal_join" -> temporalJoinSql)
 }
