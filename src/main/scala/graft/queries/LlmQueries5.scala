@@ -176,11 +176,96 @@ FROM pairs WHERE inter * 5 >= uni * 4
 ORDER BY a, b
 """
 
+  /** BPE tokenizer training, first 3 merge rounds (Sennrich et al.
+    * ACL'16) — the step that turns a corpus into a subword vocabulary:
+    * start from characters, repeatedly count adjacent symbol pairs
+    * (weighted by word frequency), merge the most frequent pair
+    * everywhere, repeat. Fully deterministic: ties break lexicographic,
+    * and the greedy LEFT-to-right non-overlapping merge is a plain
+    * `aggregate` fold over each word's symbol array (("a","a") applied
+    * to a·a·a merges the first two only — the fold reproduces exactly
+    * that). Scale shape per round: one explode → map-side-combinable
+    * pair count, a 1-row argmax broadcast back onto the 100-row word
+    * frame, and a codegen'd higher-order fold — the corpus-sized work
+    * is ONLY the initial token count; rounds iterate over the bounded
+    * vocabulary. The DuckDB twin unrolls the same three rounds with
+    * `list_reduce`. Output: (round, a, b, cnt) — the learned merge
+    * table a tokenizer ships. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(tokens(normalizeText(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wt"))
+      .orderBy(col("wt").desc, col("w")).limit(100)
+    var syms = words.select(col("w"), col("wt"),
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+    var out: DataFrame = null
+    for (r <- 1 to 3) {
+      val best = syms.filter(size(col("syms")) >= 2)
+        .select(col("wt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      val merged = syms.crossJoin(broadcast(best))
+        // nested CASE: the element_at(acc, -1) probe must stay behind
+        // the emptiness guard (ANSI mode errors on out-of-range)
+        .select(col("w"), col("wt"), expr(
+          """aggregate(syms, cast(array() as array<string>), (acc, s) ->
+             CASE WHEN size(acc) > 0 THEN
+               CASE WHEN element_at(acc, -1) = a AND s = b
+                    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
+                    ELSE concat(acc, array(s)) END
+             ELSE concat(acc, array(s)) END)""").as("syms"))
+        .localCheckpoint(true)
+      val row = best.select(lit(r).as("round"), col("a"), col("b"), col("cnt"))
+      out = if (out == null) row else out.unionByName(row)
+      syms = merged
+    }
+    out.orderBy("round")
+  }
+
+  val bpeMergesSql: String = {
+    def round(k: Int): String = s"""
+p$k AS (
+  SELECT a, b, SUM(wt) AS cnt FROM (
+    SELECT wt, syms[g.i] AS a, syms[g.i+1] AS b
+    FROM s${k - 1}, unnest(range(1, len(syms))) g(i)
+    WHERE len(syms) >= 2)
+  GROUP BY a, b),
+b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+s$k AS (
+  SELECT w, wt,
+         list_reduce(list_transform(syms, x -> [x]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b$k.a AND x[1] = b$k.b
+                            THEN list_append(acc[1:len(acc)-1], b$k.a || b$k.b)
+                            ELSE list_append(acc, x[1]) END) AS syms
+  FROM s${k - 1}, b$k)"""
+    s"""
+WITH norm AS (
+  SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+toks AS (
+  SELECT tok AS w, COUNT(*) AS wt
+  FROM (SELECT unnest(string_split(s, ' ')) AS tok FROM norm WHERE length(s) > 0)
+  GROUP BY tok ORDER BY wt DESC, w LIMIT 100),
+s0 AS (
+  SELECT w, wt, list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms
+  FROM toks),${round(1)},${round(2)},${round(3)}
+SELECT 1 AS round, a, b, cnt FROM b1
+UNION ALL SELECT 2, a, b, cnt FROM b2
+UNION ALL SELECT 3, a, b, cnt FROM b3
+ORDER BY round
+"""
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substr_dedup" -> (substrDedup _),
+    "q_bpe_merges" -> (bpeMerges _),
     "q_setsim_join" -> (setsimJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_substr_dedup" -> substrDedupSql,
+    "q_bpe_merges" -> bpeMergesSql,
     "q_setsim_join" -> setsimJoinSql)
 }
