@@ -525,7 +525,67 @@ SELECT CAST(off - off % 60 AS BIGINT) AS win_start_s, COUNT(*) AS n
 FROM kept GROUP BY 1 ORDER BY 1
 """
 
+  /** Checkpoint RECOVERY in the correctness gate — the production
+    * contract every other streaming query assumes but none verifies
+    * end-to-end: a `readStream`-over-files query with a checkpoint is
+    * stopped after committing half its input, then RE-STARTED as a new
+    * query object on the same checkpoint; the file-source offset log
+    * must skip everything the first incarnation committed and the
+    * parquet sink's metadata log must keep output exactly-once across
+    * the restart. The oracle is the plain batch aggregate over the
+    * whole slice — one lost file drops its group counts, one replayed
+    * file doubles them, either flips the hash. Staging is the
+    * single-file write+rename pattern (atomic visibility to the
+    * directory listing), input split by a value predicate (event_id
+    * mod 4) so both engines see identical file contents. */
+  def streamRecovery(s: SparkSession, dir: String): DataFrame = {
+    val base = "target/stream_recovery_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val input = s"$base/input"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(input))
+    val rows = t(s, dir, "events").filter(col("event_id") < 4000)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def stage(k: Int): Unit = {
+      val tmp = s"$base/stage_$k"
+      rows.filter(col("event_id") % 4 === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = fs.globStatus(new org.apache.hadoop.fs.Path(tmp + "/part-*.parquet")).head.getPath
+      require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$input/batch_$k.parquet")))
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("event_type", "string").add("cents", "long")
+    def startQuery() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(input)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out")
+      .outputMode("append").start()
+    stage(0); stage(1)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    stage(2); stage(3)
+    val q2 = startQuery() // fresh incarnation, same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    s.read.parquet(s"$base/out")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("cents")).cast("double") / 100.0).as("total"))
+      .orderBy("event_type")
+  }
+
+  /** Batch twin: the whole slice aggregated once — exactly-once across
+    * the restart is the only way the streamed sink matches it. */
+  val streamRecoverySql: String = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+FROM events WHERE event_id < 4000
+GROUP BY event_type ORDER BY event_type
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_recovery" -> (streamRecovery _),
     "q_stream_late" -> (streamLate _),
     "q_stream_static_join" -> (streamStaticJoin _),
     "q_streaming_merge" -> (streamingMerge _),
@@ -535,6 +595,7 @@ FROM kept GROUP BY 1 ORDER BY 1
     "q_stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_recovery" -> streamRecoverySql,
     "q_stream_late" -> streamLateSql,
     "q_stream_static_join" -> streamStaticJoinSql,
     "q_streaming_merge" -> streamingMergeSql,
