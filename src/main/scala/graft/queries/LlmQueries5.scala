@@ -259,13 +259,85 @@ ORDER BY round
 """
   }
 
+  /** Bigram-LM quality scoring (the CCNet/Wenzek et al. 2020 move: rank
+    * documents by language-model fit; low average log-probability =
+    * noisy text): a bigram LM is counted over the WHOLE corpus token
+    * stream, prefix counts derive from the bigram table (so conditional
+    * probabilities sum to 1 by construction, no smoothing needed —
+    * every scored bigram is in the LM because the corpus contains the
+    * doc), and each bounded doc's first 50 tokens are scored.
+    *
+    * Float discipline: a sum of ln() values is shuffle-order-dependent
+    * — irreproducible. Each bigram's log-prob is floor-truncated to
+    * integer micro-nats FIRST (one deterministic scalar chain:
+    * divide → ln → ×1e6 → floor), then summed EXACTLY as longs; the
+    * only post-sum float ops are two scalar divisions. Same pattern as
+    * q_zscore_outliers' truncated z. Scale shape: LM build is one
+    * explode + two map-side-combinable aggs; scoring joins are
+    * equi-joins on bigram/prefix keys. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = "transform(sequence(1, size(toks) - 1), " +
+      "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokens(normalizeText(col("text"))).as("toks"))
+    val bi = docs.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(pairs)).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val lm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val lm1 = lm.groupBy("w1").agg(sum("c2").as("c1"))
+    val sb = docs.filter(col("doc_id") < 300)
+      .select(col("doc_id"), slice(col("toks"), 1, 50).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(pairs)).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    sb.join(lm, Seq("w1", "w2")).join(lm1, Seq("w1"))
+      .select(col("doc_id"),
+        floor(log(col("c2").cast("double") / col("c1").cast("double")) * 1e6)
+          .cast("long").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("lp_sum").cast("double") / 1e6 / col("n_bigrams").cast("double"))
+          .as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(s) > 0 THEN string_split(s, ' ') ELSE [] END AS toks
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+        FROM documents)),
+bi AS (
+  SELECT doc_id, toks[g.i] AS w1, toks[g.i+1] AS w2
+  FROM d, unnest(range(1, len(toks))) g(i) WHERE len(toks) >= 2),
+lm AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+lm1 AS (SELECT w1, SUM(c2) AS c1 FROM lm GROUP BY w1),
+sb AS (
+  SELECT doc_id, t2[g.i] AS w1, t2[g.i+1] AS w2
+  FROM (SELECT doc_id, toks[1:50] AS t2 FROM d
+        WHERE doc_id < 300 AND len(toks[1:50]) >= 2),
+       unnest(range(1, len(t2))) g(i)),
+sc AS (
+  SELECT doc_id,
+         CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+  FROM sb JOIN lm USING (w1, w2) JOIN lm1 USING (w1))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(lp) AS DOUBLE) / 1e6 / COUNT(*) AS avg_logprob
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substr_dedup" -> (substrDedup _),
     "q_bpe_merges" -> (bpeMerges _),
+    "q_lm_score" -> (lmScore _),
     "q_setsim_join" -> (setsimJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_substr_dedup" -> substrDedupSql,
     "q_bpe_merges" -> bpeMergesSql,
+    "q_lm_score" -> lmScoreSql,
     "q_setsim_join" -> setsimJoinSql)
 }

@@ -62,6 +62,24 @@ class PlanGovernanceSpec extends GraftSuite {
       s"unexpected nested-loop/cartesian joins in: $offenders")
   }
 
+  test("round-5 plan pins: temporal join broadcasts, graph/set ops stay window-free") {
+    val dir = "/root/testdata/sf0.001"
+    // point-in-time lookup must stay an equi-keyed BroadcastHashJoin —
+    // a dropped equi-key would degrade it to a nested-loop interval scan
+    val tj = SparkEntry.queries("q_temporal_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(tj.contains("BroadcastHashJoin"),
+      s"q_temporal_join must broadcast the version dim:\n${tj.take(2000)}")
+    assert(!tj.contains("BroadcastNestedLoopJoin") && !tj.contains("CartesianProduct"),
+      s"q_temporal_join must keep its equi-key:\n${tj.take(2000)}")
+    // LPA's argmax is two hash aggregations — a window would reintroduce
+    // a per-node sort the aggregate form exists to avoid
+    val lp = SparkEntry.queries("q_label_prop")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!lp.contains("Window"),
+      s"q_label_prop must not plan a window:\n${lp.take(2000)}")
+  }
+
   test("sketch-binning plans stay sort-free: no window exec, one result-edge sort") {
     // The round-4 plan audit found equi-depth binning riding an ntile
     // window over a 3-value partition key — one reducer sorting a third
