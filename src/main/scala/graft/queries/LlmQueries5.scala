@@ -329,15 +329,63 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
 FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
+  /** Temperature-scaled mixture allocation (α-sampling, the
+    * multilingual-training knob of XLM-R / Gopher data mixing): source
+    * quotas proportional to n_i^α with α = 0.5, which up-weights small
+    * sources relative to plain proportional mixing (q_mixture_sample is
+    * the α = 1 case). Exactness discipline: the only float op is ONE
+    * scalar sqrt per source, floor-truncated to integer micro-units;
+    * everything after — the shares, the floor quotas, the
+    * largest-remainder distribution of the leftover budget — is exact
+    * long arithmetic (house pattern shared with q_mixture_sample). The
+    * windows run over the per-source table: a handful of rows, not
+    * data. */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 200L
+    val alloc0 = t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sw", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+      .withColumn("stot", sum(col("sw")).over(Window.partitionBy()))
+      .withColumn("fq", expr(s"(sw * $budget) DIV stot"))
+      .withColumn("rem", expr(s"(sw * $budget) % stot"))
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    alloc0
+      .withColumn("leftover", lit(budget) - sum(col("fq")).over(Window.partitionBy()))
+      .withColumn("quota",
+        col("fq") + when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("sw"), col("quota"))
+      .orderBy("source")
+  }
+
+  val mixtureTemperatureSql: String = """
+WITH a0 AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS sw
+  FROM documents GROUP BY source),
+a1 AS (
+  SELECT source, n_docs, sw,
+         CAST(sw * 200 // (SELECT SUM(sw) FROM a0) AS BIGINT) AS fq,
+         CAST(sw * 200 % (SELECT SUM(sw) FROM a0) AS BIGINT) AS rem
+  FROM a0)
+SELECT source, n_docs, sw,
+       fq + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                      <= 200 - (SELECT SUM(fq) FROM a1)
+                 THEN 1 ELSE 0 END AS quota
+FROM a1 ORDER BY source
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substr_dedup" -> (substrDedup _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_lm_score" -> (lmScore _),
+    "q_mixture_temperature" -> (mixtureTemperature _),
     "q_setsim_join" -> (setsimJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_substr_dedup" -> substrDedupSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_lm_score" -> lmScoreSql,
+    "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_setsim_join" -> setsimJoinSql)
 }
