@@ -205,13 +205,16 @@ FROM x ORDER BY doc_id
       .orderBy(col("n").desc, col("tok")).limit(100)
       .withColumn("id", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
       .select("tok", "id")
+    // ids is emitted space-joined, not as a raw array: the harness
+    // lexsorts every output column and list cells are unsortable there.
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"),
           coalesce(col("id"), lit(0)).cast("long").as("tid")))),
-        x => x.getField("tid")).as("ids"))
-      .select(col("doc_id"), col("ids"),
-        size(filter(col("ids"), x => x === 0)).cast("long").as("n_oov"))
+        x => x.getField("tid")).as("idarr"))
+      .select(col("doc_id"),
+        array_join(transform(col("idarr"), _.cast("string")), " ").as("ids"),
+        size(filter(col("idarr"), x => x === 0)).cast("long").as("n_oov"))
       .orderBy("doc_id")
   }
 
@@ -234,7 +237,7 @@ vocab AS (
 enc AS (
   SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS tid
   FROM tok t LEFT JOIN vocab v USING (tok))
-SELECT doc_id, list(tid ORDER BY pos) AS ids,
+SELECT doc_id, array_to_string(list(tid ORDER BY pos), ' ') AS ids,
        len(list_filter(list(tid ORDER BY pos), x -> x = 0)) AS n_oov
 FROM enc GROUP BY doc_id ORDER BY doc_id
 """

@@ -233,7 +233,7 @@ p$k AS (
     FROM s${k - 1}, unnest(range(1, len(syms))) g(i)
     WHERE len(syms) >= 2)
   GROUP BY a, b),
-b$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+b$k AS (SELECT a, b, CAST(cnt AS BIGINT) AS cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
 s$k AS (
   SELECT w, wt,
          list_reduce(list_transform(syms, x -> [x]),

@@ -62,6 +62,26 @@ class PlanGovernanceSpec extends GraftSuite {
       s"unexpected nested-loop/cartesian joins in: $offenders")
   }
 
+  test("no registered query outputs a top-level array/map/struct column") {
+    // The driver's oracle gate lexsorts result columns with pandas
+    // `sort_values`; a list cell raises `unhashable type: numpy.ndarray`
+    // and the whole query goes red even when values match (r5
+    // q_token_encode post-mortem, VERDICT r5 Missing #1). Nested types
+    // must be serialized (array_join / to_json) before the result edge.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with driver-unsortable output columns: $offenders")
+  }
+
   test("round-5 plan pins: temporal join broadcasts, graph/set ops stay window-free") {
     val dir = "/root/testdata/sf0.001"
     // point-in-time lookup must stay an equi-keyed BroadcastHashJoin —
