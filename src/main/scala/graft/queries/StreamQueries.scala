@@ -392,6 +392,96 @@ FROM l JOIN r ON l.k = r.k AND r_ms >= l_ms AND r_ms <= l_ms + 172800000
 ORDER BY 1, l_ms, r_ms
 """
 
+  /** Stream-stream LEFT OUTER join — the streaming restatement of the
+    * reference's R8 LEFT join (`RSS PARSER/gcp_rss.py:162`) for the case
+    * where the enrichment side is itself a stream that may never deliver
+    * a match: unmatched left rows must still be emitted, null-padded,
+    * once the watermark PROVES no match can arrive. Both sides carry a
+    * 1-hour watermark and the join carries the time-range residual state
+    * eviction needs (r within [l, l + 48 h]). Two chronological halves
+    * feed alternately (so matches form across batch boundaries from
+    * buffered state, as in q_stream_stream_join), then a far-future
+    * sentinel on BOTH streams drives the global watermark past every
+    * left row's match horizon — exercising the outer-join eviction path
+    * that emits the null-padded remainder. Feeding is chronologically
+    * batched, so no input row is ever late (batch-2 times all exceed the
+    * batch-1 watermark) and no legitimate match is droppable: the
+    * emitted set is therefore exactly the batch LEFT JOIN of the two
+    * slices, which is the oracle. Unmatched rows surface as r_ms = -1
+    * (COALESCE on both sides) — representational only: the harness
+    * coerces a nullable int column to float64, and the engine really did
+    * emit the row with a null right side before the COALESCE. */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = t(s, dir, "events")
+      .filter(col("event_id") < 20000 && col("user_id") < 40)
+      .select(col("user_id"), (col("event_id") % 50).as("k"),
+        unix_millis(col("ts")).as("ms"))
+    val lRows = ev.filter(col("user_id") % 2 === 0)
+      .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
+      .as[(Long, Long)].collect()
+    val rRows = ev.filter(col("user_id") % 2 === 1)
+      .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
+      .as[(Long, Long)].collect()
+    require(lRows.nonEmpty && rRows.nonEmpty, "empty slice")
+    val mid = lRows(lRows.length / 2)._2
+    val maxMs = (lRows.iterator ++ rRows.iterator).map(_._2).max
+    def halves(rows: Array[(Long, Long)]) =
+      Seq(rows.filter(_._2 < mid).toSeq, rows.filter(_._2 >= mid).toSeq)
+    s.catalog.dropTempView("q_stream_outer_out")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    val lIn = MemoryStream[(Long, Long)]
+    val rIn = MemoryStream[(Long, Long)]
+    val ldf = lIn.toDF().toDF("l_k", "l_ms")
+      .withColumn("l_ts", timestamp_millis(col("l_ms")))
+      .withWatermark("l_ts", "1 hour")
+    val rdf = rIn.toDF().toDF("r_k", "r_ms")
+      .withColumn("r_ts", timestamp_millis(col("r_ms")))
+      .withWatermark("r_ts", "1 hour")
+    val joined = ldf.join(rdf,
+      col("l_k") === col("r_k") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 48 HOURS"),
+      "left_outer")
+      .select(col("l_k").as("k"), col("l_ms"),
+        coalesce(col("r_ms"), lit(-1L)).as("r_ms"))
+    val q = joined.writeStream.format("memory").queryName("q_stream_outer_out")
+      .outputMode("append").start()
+    try {
+      (halves(lRows), halves(rRows)).zipped.foreach { (lb, rb) =>
+        lIn.addData(lb); rIn.addData(rb); q.processAllAvailable()
+      }
+      // Sentinel a year out on BOTH sides: the global watermark is the
+      // min across inputs, so each stream must advance for eviction.
+      val far = maxMs + 365L * 24 * 3600 * 1000
+      lIn.addData(Seq((-1L, far))); rIn.addData(Seq((-1L, far)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    s.table("q_stream_outer_out").filter(col("k") >= 0)
+      .orderBy("k", "l_ms", "r_ms")
+  }
+
+  /** Batch twin: plain LEFT JOIN of the two bounded slices — correct
+    * only if the engine both matched across batches and emitted every
+    * watermark-evicted unmatched left row exactly once. */
+  val streamOuterJoinSql: String = """
+WITH l AS (
+  SELECT event_id % 50 AS k, epoch_ms(ts) AS l_ms
+  FROM events WHERE event_id < 20000 AND user_id < 40 AND user_id % 2 = 0),
+r AS (
+  SELECT event_id % 50 AS k, epoch_ms(ts) AS r_ms
+  FROM events WHERE event_id < 20000 AND user_id < 40 AND user_id % 2 = 1)
+SELECT l.k, l_ms, COALESCE(r_ms, -1) AS r_ms
+FROM l LEFT JOIN r ON l.k = r.k AND r_ms >= l_ms AND r_ms <= l_ms + 172800000
+ORDER BY 1, l_ms, r_ms
+"""
+
   /** Stream–static dimension-enrichment join — the most common
     * production streaming shape and the streaming restatement of the
     * reference's only join (R8: per-account RSS facts × broadcast
@@ -592,7 +682,8 @@ GROUP BY event_type ORDER BY event_type
     "q_stream_sessionize" -> (streamingSessionize _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_file_source" -> (streamFileSource _),
-    "q_stream_stream_join" -> (streamStreamJoin _))
+    "q_stream_stream_join" -> (streamStreamJoin _),
+    "q_stream_outer_join" -> (streamOuterJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_stream_recovery" -> streamRecoverySql,
@@ -602,5 +693,6 @@ GROUP BY event_type ORDER BY event_type
     "q_stream_sessionize" -> streamingSessionizeSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_file_source" -> streamFileSourceSql,
-    "q_stream_stream_join" -> streamStreamJoinSql)
+    "q_stream_stream_join" -> streamStreamJoinSql,
+    "q_stream_outer_join" -> streamOuterJoinSql)
 }

@@ -81,6 +81,42 @@ class StreamingSpec extends GraftSuite {
     assert(out == Seq(1L))
   }
 
+  test("stream-stream LEFT OUTER join: unmatched rows null-emit only at watermark") {
+    // The outer-join contract: an unmatched left row is held in state,
+    // NOT emitted, until the watermark proves no match can arrive; then
+    // it comes out exactly once, null-padded. Ad 2 never gets a click
+    // inside its 5-minute horizon — its null row must appear only after
+    // the watermark (driven by a later batch) passes 10:00 + 5 min + 10
+    // min delay.
+    implicit val sqlCtx = spark.sqlContext
+    val imp = MemoryStream[(Long, Timestamp)]
+    val clk = MemoryStream[(Long, Timestamp)]
+    val i = imp.toDF().toDF("ad_id", "imp_time").withWatermark("imp_time", "10 minutes")
+    val c = clk.toDF().toDF("click_ad_id", "click_time").withWatermark("click_time", "10 minutes")
+    val joined = i.join(c,
+      expr("ad_id = click_ad_id AND " +
+        "click_time BETWEEN imp_time AND imp_time + INTERVAL 5 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("outer_attr_out")
+      .outputMode("append").start()
+    imp.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    clk.addData((1L, ts("2024-01-01 10:03:00")))
+    q.processAllAvailable()
+    // watermark still at 10:03 − 10 min: ad 2 must NOT have emitted yet
+    val early = spark.table("outer_attr_out").select("ad_id").as[Long].collect().toSeq
+    assert(early == Seq(1L), s"premature outer emission: $early")
+    // advance both sides past the horizon → eviction emits the null row
+    imp.addData((9L, ts("2024-01-01 11:00:00")))
+    clk.addData((9L, ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("outer_attr_out")
+      .select(col("ad_id"), col("click_ad_id").isNull.as("unmatched"))
+      .as[(Long, Boolean)].collect().toSet
+    assert(out.contains((2L, true)), s"missing null-padded row for ad 2: $out")
+    assert(out.contains((1L, false)))
+  }
+
   test("streaming state on RocksDB provider: same dedup semantics, spill-safe state") {
     // The 100 TB state-store choice: RocksDB keeps streaming state on
     // disk with incremental checkpoints instead of exhausting executor
