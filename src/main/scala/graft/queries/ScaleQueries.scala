@@ -41,6 +41,69 @@ FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_nationkey ORDER BY s.s_nationkey
 """
 
+  /** Confs that make AQE's skew-join re-plan observable at test scale:
+    * broadcast off (force a shuffled join), skew thresholds lowered to
+    * the planted-skew sizes, partition coalescing off (it would merge
+    * away the skew signal). Shared with ScaleTechniquesSpec, which
+    * asserts `skew=true` appears in this exact query's final plan. */
+  val skewJoinConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+
+  /** The skewed-join plan itself: a planted celebrity key collapses
+    * half of lineitem onto hk ∈ {0, 1} (the other half spreads over
+    * 2..24), equi-joined to the 25-row nation dim and aggregated per
+    * nation. Under `skewJoinConfs` the two hot shuffle partitions
+    * exceed factor×median and AQE splits them at runtime. */
+  def skewJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem").select(
+      when(col("l_orderkey") % 4 < 2, col("l_orderkey") % 4)
+        .otherwise(col("l_partkey") % 23 + 2).cast("long").as("hk"),
+      cents(col("l_extendedprice")).as("c"))
+    val dim = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("hk"), col("n_name"))
+    fact.join(dim, "hk")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"))
+      .select(col("n_name"), col("n"), (col("sum_cents") / 100.0).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** AQE skew-join, oracled — the zero-code-change counterpart to
+    * `Salted.join` (q_salted_join): same hot-key problem, solved by
+    * Spark's runtime re-plan instead of manual salting. The query runs
+    * eagerly under the scoped confs (set → execute → restore, the
+    * streaming-harness pattern — AQE finalizes the physical plan at
+    * execution, so the confs must be live then, not at plan build) and
+    * returns the 25-row aggregate, which must be identical however many
+    * splits AQE chose — that's what the oracle checks. */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val saved = skewJoinConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+    skewJoinConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    val plan = skewJoinPlan(s, dir)
+    val rows = try plan.collect() finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
+  }
+
+  val skewJoinSql: String = """
+WITH f AS (
+  SELECT CASE WHEN l_orderkey % 4 < 2 THEN l_orderkey % 4
+              ELSE l_partkey % 23 + 2 END AS hk,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem)
+SELECT n_name, COUNT(*) AS n,
+       CAST(SUM(c) AS BIGINT) / 100.0 AS revenue
+FROM f JOIN nation ON f.hk = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
   /** Broadcast backward as-of: every event looks up the latest per-type
     * daily rollup at-or-before its timestamp. The rollup is dim-sized →
     * broadcast; the only exchange is the max_by aggregation keyed by
@@ -308,6 +371,7 @@ SELECT id, label FROM l2 ORDER BY id
     "q_label_prop" -> (labelProp _),
     "q_triangle_knn" -> (triangleKnn _),
     "q_salted_join" -> (saltedJoin _),
+    "q_skew_join" -> (skewJoin _),
     "q_asof_broadcast" -> (asofBroadcast _),
     "q_zorder" -> (zorder _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
@@ -319,6 +383,7 @@ SELECT id, label FROM l2 ORDER BY id
     "q_label_prop" -> labelPropSql,
     "q_triangle_knn" -> triangleKnnSql,
     "q_salted_join" -> saltedJoinSql,
+    "q_skew_join" -> skewJoinSql,
     "q_asof_broadcast" -> asofBroadcastSql,
     "q_zorder" -> zorderSql,
     "q_orc_roundtrip" -> orcRoundtripSql,

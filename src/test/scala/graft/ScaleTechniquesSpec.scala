@@ -120,6 +120,27 @@ class ScaleTechniquesSpec extends GraftSuite {
     }
   }
 
+  test("q_skew_join's registered plan gets skew-split by AQE on testdata skew") {
+    // Same property as the synthetic test above, but on the REGISTERED
+    // query over real testdata with its planted celebrity key — the
+    // plan the correctness gate grades is the one AQE splits. Contrast:
+    // q_salted_join solves the identical hot-key join manually.
+    import graft.queries.ScaleQueries
+    val confs = ScaleQueries.skewJoinConfs
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = ScaleQueries.skewJoinPlan(spark, "/root/testdata/sf0.01")
+      assert(plan.collect().length === 25)
+      val s = plan.queryExecution.executedPlan.toString
+      assert(s.contains("skew=true"),
+        s"AQE must split q_skew_join's hot partitions:\n${s.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     import graft.sinks.PartitionedParquet
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/orders"
