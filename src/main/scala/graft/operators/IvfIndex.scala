@@ -43,12 +43,47 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Delta-append maintenance: assign NEW vectors against the STAGED
+    * centroids — no Lloyd's re-run, just the k-literal nearest-centroid
+    * projection (`KMeans.assign`) — and append them into the cluster
+    * partitioning, where the next probe's partition pruning picks them
+    * up alongside the original corpus. Centroids do NOT move: the index
+    * keeps serving the build-time geometry at the cost of assignment
+    * drift, which `drift` quantifies; past the operator's budget the
+    * answer is a fresh `build`, not incremental centroid nudging
+    * (rebuild cadence is the documented production knob). */
+  def append(spark: SparkSession, dir: String, delta: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    KMeans.assign(delta, idCol, vecCol, cents)
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/assignments")
+  }
+
+  /** Mean cosine-distance creep of the CURRENT assignment set against
+    * the staged centroids — the rebuild trigger: sample it at build time
+    * as the floor, re-measure after appends, rebuild when the ratio
+    * exceeds the corpus's tolerance (distribution shift has outrun the
+    * build-time geometry). One broadcast join + one scalar aggregate. */
+  def drift(spark: SparkSession, dir: String, vecCol: String): Double = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    spark.read.parquet(s"$dir/assignments")
+      .join(broadcast(cents), "cid")
+      .agg(avg(lit(1.0) - cosineFast(col(vecCol), col("cv"))))
+      .head.getDouble(0)
+  }
+
   /** Probe the staged index: (qid, qe) queries → top-k neighbors from
     * the nprobe nearest clusters. Reads only `dir`; never re-clusters. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
-            k: Int, nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-    val clustered = spark.read.parquet(s"$dir/assignments")
+            k: Int, nprobe: Int): DataFrame =
+    probeFrames(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"), queries, k, nprobe)
+
+  /** The probe plan over explicit (cid, cv) / (vec_id, e, cid) frames —
+    * `probe` is exactly this over the staged tables; specs call it with
+    * an in-memory reference assignment to pin append semantics. */
+  def probeFrames(cents: DataFrame, clustered: DataFrame,
+                  queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val wA = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
     val assignQ = queries.crossJoin(broadcast(cents))
       .select(col("qid"), col("qe"), col("cid"),
