@@ -31,7 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("mg_summary"),
       new ExpressionInfo(classOf[graft.plans.MisraGriesAgg].getName, "mg_summary"),
       (exprs: Seq[Expression]) => graft.plans.MisraGriesAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+        graft.functions.SketchFns.literalIntArg("mg_summary", "k", exprs(1)))
+        .toAggregateExpression()))
     e.injectPlannerStrategy(_ => new graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
   }

@@ -26,6 +26,22 @@ object SketchFns {
       ColumnBridge.expression(key), k).toAggregateExpression())
   }
 
+  /** SQL-builder argument validation: `mg_summary`'s k must be a
+    * literal — a column reference there would otherwise surface as an
+    * opaque NPE/ClassCastException from `eval()` at analysis time.
+    * Raises a proper AnalysisException naming the function instead. */
+  private[graft] def literalIntArg(fn: String, arg: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    val v = if (e.foldable) e.eval() else null
+    v match {
+      case n: Number => n.intValue()
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map("funcName" -> s"`$fn`",
+          "paramName" -> s"`$arg`", "paramType" -> "\"INT\""))
+    }
+  }
+
   /** Register the SQL surface (`cms_estimate(sketch, key)`) on an
     * already-built session; session-build-time users get it from
     * `GraftExtensions` instead. */
@@ -37,7 +53,7 @@ object SketchFns {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_summary",
       exprs => graft.plans.MisraGriesAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+        literalIntArg("mg_summary", "k", exprs(1))).toAggregateExpression(),
       "built-in")
   }
 }

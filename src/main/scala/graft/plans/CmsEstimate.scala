@@ -36,16 +36,23 @@ case class CmsEstimate(left: Expression, right: Expression)
         s"cms_estimate expects (binary sketch, bigint key), " +
           s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
-  @transient private var memoBytes: Array[Byte] = _
-  @transient private var memoSketch: CountMinSketch = _
+  // Memo is (bytes, sketch) swapped as ONE immutable pair through a
+  // single volatile slot: one expression instance can be evaluated from
+  // several task threads, and two separately-mutated fields could pair a
+  // sketch with another row's bytes. Worst case under contention is a
+  // redundant re-parse, never a wrong pairing; reference identity is the
+  // intended memo key (the broadcast 1-row sketch is the same object
+  // row-over-row).
+  @transient @volatile private var memo: (Array[Byte], CountMinSketch) = _
 
   override protected def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (memoSketch == null || (memoBytes ne bytes)) {
-      memoSketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      memoBytes = bytes
+    var m = memo
+    if (m == null || (m._1 ne bytes)) {
+      m = (bytes, CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes)))
+      memo = m
     }
-    memoSketch.estimateCount(key.asInstanceOf[Long])
+    m._2.estimateCount(key.asInstanceOf[Long])
   }
 
   override protected def withNewChildrenInternal(

@@ -59,7 +59,7 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
 
   private def listFiles(path: String): Seq[Path] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(HadoopConfs.sessionConf())
     val st = fs.getFileStatus(p)
     val files =
       if (st.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
@@ -72,7 +72,7 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-xlsx: 'path' option required"))
     val first = listFiles(path).headOption.getOrElse(
       throw new IllegalArgumentException(s"graft-xlsx: no .xlsx files under $path"))
-    val fs = first.getFileSystem(new Configuration())
+    val fs = first.getFileSystem(HadoopConfs.sessionConf())
     val in = fs.open(first)
     val bytes = try in.readAllBytes() finally in.close()
     val header = Xlsx.parseWorkbook(bytes).headOption.getOrElse(
@@ -83,6 +83,33 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new XlsxTable(schema, properties.get("path"), this)
+}
+
+/** Session-aware Hadoop configuration plumbing. Driver-side code asks
+  * the active session (so `spark.hadoop.*` settings, credentials, and
+  * non-default filesystems apply, as the built-in file sources do);
+  * executor-side code receives a [[HadoopConfs.SerConf]] snapshot —
+  * `Configuration` is Hadoop-`Writable` but not JDK-serializable, so
+  * the wrapper bridges it through task serialization. */
+private[graft] object HadoopConfs {
+  def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  final class SerConf(@transient private var conf: Configuration)
+      extends Serializable {
+    def value: Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
 }
 
 private[v2] class XlsxTable(schema: StructType, path: String,
@@ -96,40 +123,62 @@ private[v2] class XlsxTable(schema: StructType, path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new XlsxScanBuilder(schema, provider.listFilesForScan(path))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new XlsxWriteBuilder(info.schema(), path)
+    new XlsxWriteBuilder(info.schema(), path, info.queryId())
 }
 
-/** Write half of the V2 table: each task emits one workbook
-  * (`part-<pid>-<tid>.xlsx`) via the fixture writer's ECMA-376 parts;
-  * `truncate()` (DataFrameWriter overwrite mode) clears the directory
-  * driver-side before the job. Typed values survive: numerics land as
-  * numeric cells, everything else through shared strings — so a
-  * read-back sees the same schema-on-read strings the reader contract
-  * promises. */
-private[v2] class XlsxWriteBuilder(schema: StructType, path: String)
+/** Write half of the V2 table, with job-level atomicity: each task
+  * stages one workbook (`part-<pid>-<tid>.xlsx`) into a job-unique
+  * SIBLING staging directory (`<path>_staging-<queryId>` — outside the
+  * output dir, so readers and the truncate never see half a job), and
+  * only `BatchWrite.commit` publishes: it performs the truncate (if
+  * requested), renames exactly the files named in the task commit
+  * messages into the final directory, and deletes the staging dir —
+  * which also sweeps away stragglers from speculative/retried task
+  * attempts the driver rejected. `abort` just deletes the staging dir,
+  * leaving pre-existing output untouched. Typed values survive:
+  * numerics land as numeric cells, everything else through shared
+  * strings — so a read-back sees the same schema-on-read strings the
+  * reader contract promises. */
+private[v2] class XlsxWriteBuilder(schema: StructType, path: String, queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
+      private val staging = s"${path}_staging-$queryId"
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-        if (doTruncate) {
-          val p = new Path(path)
-          val fs = p.getFileSystem(new Configuration())
-          if (fs.exists(p)) fs.delete(p, true)
-          fs.mkdirs(p)
-        }
-        XlsxWriterFactory(schema, path)
+        val p = new Path(staging)
+        val fs = p.getFileSystem(HadoopConfs.sessionConf())
+        fs.mkdirs(p)
+        XlsxWriterFactory(schema, staging,
+          new HadoopConfs.SerConf(HadoopConfs.sessionConf()))
       }
-      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val out = new Path(path)
+        val fs = out.getFileSystem(HadoopConfs.sessionConf())
+        if (doTruncate) {
+          if (fs.exists(out)) fs.delete(out, true)
+        }
+        fs.mkdirs(out)
+        messages.foreach { case XlsxCommit(staged) =>
+          val src = new Path(staged)
+          require(fs.rename(src, new Path(out, src.getName)),
+            s"graft-xlsx: publish failed for $staged")
+        }
+        fs.delete(new Path(staging), true)
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val p = new Path(staging)
+        p.getFileSystem(HadoopConfs.sessionConf()).delete(p, true)
+      }
     }
   }
 }
 
 private[v2] case class XlsxCommit(file: String) extends WriterCommitMessage
 
-private[v2] case class XlsxWriterFactory(schema: StructType, path: String)
+private[v2] case class XlsxWriterFactory(schema: StructType, stagingPath: String,
+                                         conf: HadoopConfs.SerConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -149,13 +198,14 @@ private[v2] case class XlsxWriterFactory(schema: StructType, path: String)
         buf += vals
       }
       override def commit(): WriterCommitMessage = {
-        // one workbook per task; written only at commit, so a failed
-        // task leaves nothing behind (abort is a no-op on this path)
-        val target = s"$path/part-$partitionId-$taskId.xlsx"
+        // one workbook per task, staged only at task commit — nothing
+        // durable exists for a task that never commits, and the staged
+        // file is published solely by the driver's job commit
+        val target = s"$stagingPath/part-$partitionId-$taskId.xlsx"
         val local = java.io.File.createTempFile("graft_xlsx_w", ".xlsx")
         Xlsx.write(schema.fieldNames.toSeq, buf.toSeq, local)
         val p = new Path(target)
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(conf.value)
         fs.copyFromLocalFile(true, true, new Path(local.getAbsolutePath), p)
         XlsxCommit(target)
       }
@@ -199,7 +249,8 @@ private[v2] class XlsxScan(fullSchema: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => XlsxInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    XlsxReaderFactory(fullSchema.fieldNames, required.fieldNames, pushed)
+    XlsxReaderFactory(fullSchema.fieldNames, required.fieldNames, pushed,
+      new HadoopConfs.SerConf(HadoopConfs.sessionConf()))
 
   /** Workbook byte size on disk — an over-estimate of row-data size
     * (zip + XML markup), which is the SAFE direction for the planner's
@@ -207,7 +258,7 @@ private[v2] class XlsxScan(fullSchema: StructType, required: StructType,
     * small dim without an explicit hint (plan-asserted in XlsxSpec). */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = {
-      val conf = new Configuration()
+      val conf = HadoopConfs.sessionConf()
       files.map { f =>
         val p = new Path(f)
         p.getFileSystem(conf).getFileStatus(p).getLen
@@ -220,31 +271,38 @@ private[v2] class XlsxScan(fullSchema: StructType, required: StructType,
   }
 }
 
-private[v2] case class XlsxInputPartition(file: String) extends InputPartition
+private[graft] case class XlsxInputPartition(file: String) extends InputPartition
 
 /** Executor-side: parse the partition's workbook, skip its header row,
   * apply the pushed row filters, and materialize ONLY the pruned column
   * indices. */
-private[v2] case class XlsxReaderFactory(allCols: Array[String],
+private[graft] case class XlsxReaderFactory(allCols: Array[String],
                                          requiredCols: Array[String],
-                                         pushed: Array[Filter])
+                                         pushed: Array[Filter],
+                                         conf: HadoopConfs.SerConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[XlsxInputPartition].file
     new PartitionReader[InternalRow] {
       private val idx: Array[Int] = requiredCols.map(c => allCols.indexOf(c))
+      // Pushed filters are optimization-only (Spark keeps the residual):
+      // an unresolved attribute MUST degrade to constant-true — a
+      // constant-false lambda would silently drop every row, and rows
+      // the reader skips cannot be restored by Spark's post-filter.
       private val preds: Array[Vector[String] => Boolean] = pushed.map {
         case EqualTo(att, v: String) =>
           val j = allCols.indexOf(att)
-          cells => j >= 0 && j < cells.length && cells(j) == v
+          if (j < 0) (_: Vector[String]) => true
+          else cells => j < cells.length && cells(j) == v
         case IsNotNull(att) =>
           val j = allCols.indexOf(att)
-          cells => j >= 0 && j < cells.length && cells(j) != null
+          if (j < 0) (_: Vector[String]) => true
+          else cells => j < cells.length && cells(j) != null
         case _ => (_: Vector[String]) => true
       }
       private val rows: Iterator[Vector[String]] = {
         val p = new Path(file)
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(conf.value)
         val in = fs.open(p)
         val bytes = try in.readAllBytes() finally in.close()
         Xlsx.parseWorkbook(bytes).iterator.drop(1) // this file's header row

@@ -133,5 +133,65 @@ class XlsxSpec extends GraftSuite {
     // overwrite truncates: second write must not accumulate files
     df.limit(10).repartition(1).write.format("graft-xlsx").mode("overwrite").save(dir)
     assert(spark.read.format("graft-xlsx").load(dir).count() == 10)
+    // the staged-commit protocol must leave no staging dir behind
+    val siblings = new File(dir).getParentFile.listFiles().map(_.getName).toSeq
+    assert(!siblings.exists(_.contains("staging")), s"staging residue: $siblings")
+  }
+
+  test("DataSource V2: failed overwrite job leaves the old output intact") {
+    import org.apache.spark.sql.functions._
+    // Job-level atomicity: tasks stage into a sibling directory and the
+    // truncate + publish happen only at BatchWrite.commit, so a job
+    // that dies mid-write must neither destroy existing data nor leak
+    // committed-task part files into the readable directory.
+    val dir = Files.createTempDirectory("xlsxv2atomic").toFile.getAbsolutePath + "/out"
+    spark.range(0, 5).select(col("id"))
+      .write.format("graft-xlsx").mode("overwrite").save(dir)
+    val before = spark.read.format("graft-xlsx").load(dir)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val poison = spark.range(0, 10)
+      .select(when(col("id") === 7, raise_error(lit("boom")))
+        .otherwise(col("id").cast("string")).as("id"))
+      .repartition(2)
+    intercept[Exception] {
+      poison.write.format("graft-xlsx").mode("overwrite").save(dir)
+    }
+    val after = spark.read.format("graft-xlsx").load(dir)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(after == before, s"failed job corrupted output: $after != $before")
+    val siblings = new File(dir).getParentFile.listFiles().map(_.getName).toSeq
+    assert(!siblings.exists(_.contains("staging")), s"staging residue: $siblings")
+  }
+
+  test("DataSource V2: pushed filter on an unknown attribute is a no-op, not drop-all") {
+    // Pushdown is optimization-only; a lookup miss must degrade to
+    // constant-true — rows the reader drops can never be restored by
+    // Spark's residual filter.
+    import graft.sources.v2.{HadoopConfs, XlsxInputPartition, XlsxReaderFactory}
+    val dir = Files.createTempDirectory("xlsxv2ghost").toFile
+    val f = new File(dir, "x.xlsx")
+    Xlsx.write(Seq("k"), Seq(Seq(1), Seq(2)), f)
+    val rf = XlsxReaderFactory(Array("k"), Array("k"),
+      Array(org.apache.spark.sql.sources.EqualTo("ghost", "v"),
+        org.apache.spark.sql.sources.IsNotNull("ghost")),
+      new HadoopConfs.SerConf(spark.sessionState.newHadoopConf()))
+    val r = rf.createReader(XlsxInputPartition(f.getAbsolutePath))
+    var n = 0
+    while (r.next()) n += 1
+    assert(n == 2, s"unknown-attribute filter must not drop rows (got $n of 2)")
+  }
+
+  test("mg_summary rejects a non-literal k with a named analysis error") {
+    // pre-fix this surfaced as an opaque NPE/ClassCastException from
+    // eval() on the unfoldable expression; now the builder raises an
+    // AnalysisException naming the function (Spark may re-wrap it)
+    graft.functions.SketchFns.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT mg_summary(id, id) FROM range(5)").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("mg_summary") && msgs.contains("foldable"),
+      s"error must name the function and the contract: $msgs")
   }
 }
