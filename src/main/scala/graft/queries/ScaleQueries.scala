@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, PageRank, Salted}
+import graft.operators.{AsOfJoin, Bucketing, PageRank, Salted}
 import graft.sinks.ZOrderedParquet
 
 /** Scale-technique surface: each query exercises an operator whose
@@ -102,6 +102,54 @@ SELECT n_name, COUNT(*) AS n,
        CAST(SUM(c) AS BIGINT) / 100.0 AS revenue
 FROM f JOIN nation ON f.hk = n_nationkey
 GROUP BY n_name ORDER BY n_name
+"""
+
+  /** The bucketed join plan over already-staged tables (dir-tagged
+    * names, so scale factors don't collide in the warehouse). Both
+    * sides bucketed 8-way on the join key: bucket i joins bucket i with
+    * NO exchange on either side — pay the shuffle once at write time,
+    * never per join (the repeatedly-joined-fact layout at 100 TB).
+    * ScaleTechniquesSpec asserts zero `Exchange hashpartitioning` in
+    * exactly this plan. */
+  def bucketedJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val o = t(s, dir, "orders").filter(col("o_orderkey") < 8000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = t(s, dir, "lineitem").filter(col("l_orderkey") < 8000)
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("c"))
+    Bucketing.writeBucketed(o, s"orders_bj_$tag", "o_orderkey", 8, Some("o_orderkey"))
+    Bucketing.writeBucketed(l, s"lineitem_bj_$tag", "l_orderkey", 8, Some("l_orderkey"))
+    Bucketing.readBucketed(s, s"orders_bj_$tag")
+      .join(Bucketing.readBucketed(s, s"lineitem_bj_$tag"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"))
+      .select(col("o_orderpriority"), col("n"),
+        (col("sum_cents") / 100.0).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Bucketed co-located join, oracled. Runs eagerly under scoped
+    * broadcast-off conf (the no-exchange property is the point; at a
+    * bounded test slice Catalyst would otherwise just broadcast) and
+    * returns the 5-row priority rollup — which must equal the plain
+    * join of the raw tables, proving the bucketed layout changes the
+    * PLAN, never the answer. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "-1")
+    val plan = bucketedJoinPlan(s, dir)
+    val rows = try plan.collect() finally s.conf.set(key, prev)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
+  }
+
+  val bucketedJoinSql: String = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey < 8000 AND l_orderkey < 8000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
   /** Broadcast backward as-of: every event looks up the latest per-type
@@ -372,6 +420,7 @@ SELECT id, label FROM l2 ORDER BY id
     "q_triangle_knn" -> (triangleKnn _),
     "q_salted_join" -> (saltedJoin _),
     "q_skew_join" -> (skewJoin _),
+    "q_bucketed_join" -> (bucketedJoin _),
     "q_asof_broadcast" -> (asofBroadcast _),
     "q_zorder" -> (zorder _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
@@ -384,6 +433,7 @@ SELECT id, label FROM l2 ORDER BY id
     "q_triangle_knn" -> triangleKnnSql,
     "q_salted_join" -> saltedJoinSql,
     "q_skew_join" -> skewJoinSql,
+    "q_bucketed_join" -> bucketedJoinSql,
     "q_asof_broadcast" -> asofBroadcastSql,
     "q_zorder" -> zorderSql,
     "q_orc_roundtrip" -> orcRoundtripSql,

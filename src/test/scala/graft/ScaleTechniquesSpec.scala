@@ -200,6 +200,24 @@ class ScaleTechniquesSpec extends GraftSuite {
     }
   }
 
+  test("q_bucketed_join's registered plan joins bucket-to-bucket with zero exchanges") {
+    import graft.queries.ScaleQueries
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try {
+      val plan = ScaleQueries.bucketedJoinPlan(spark, "/root/testdata/sf0.001")
+      val s = plan.queryExecution.executedPlan.toString
+      // the rollup above the join may exchange on o_orderpriority; the
+      // JOIN KEYS must never be re-shuffled — that's what bucketing buys
+      assert(!s.contains("Exchange hashpartitioning(o_orderkey") &&
+        !s.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join must not shuffle either side on the join key:\n${s.take(3000)}")
+      assert(plan.collect().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("salted equi-join equals the plain join exactly") {
     val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .select(col("l_suppkey").as("suppkey"), col("l_orderkey"), col("l_linenumber"))
