@@ -17,6 +17,16 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, sortCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    // A fresh session's metastore may not know the table while its
+    // managed location survives from a previous JVM; saveAsTable then
+    // fails with LOCATION_ALREADY_EXISTS. Drop both.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(wh), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
