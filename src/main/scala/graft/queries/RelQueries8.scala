@@ -203,13 +203,92 @@ FROM facts f LEFT JOIN dim
 ORDER BY f.event_id
 """
 
+  /** Gap sessionization via Spark's NATIVE `session_window` — the
+    * built-in that makes q_sessionize's window-arithmetic form a
+    * one-liner (Spark-first: prefer the engine primitive when it
+    * exists; it plans as a single `SessionWindow`+aggregate, and in
+    * streaming the same expression gets state-store merging for free).
+    * Session rule: an event extends the session iff its time is
+    * strictly before prev-event-time + gap, so a gap of EXACTLY 45 min
+    * starts a new session — the oracle's island form flags `diff >=
+    * gap` to match. Session start = first event time, exact µs. */
+  def sessionWindowAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "45 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
+  /** Island-form twin: new-session flag on >= gap, running sum = id. */
+  val sessionWindowSql: String = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w >= 2700000000 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, start_us
+"""
+
+  /** Dynamic partition overwrite — the lakehouse backfill primitive: a
+    * partitioned fact gets ONE partition recomputed and republished;
+    * `partitionOverwriteMode=dynamic` rewrites exactly the partitions
+    * present in the incoming frame and never touches siblings (static
+    * mode would truncate the whole table first — the difference between
+    * a backfill and a data-loss incident at 100 TB). Staged: the slice
+    * partitioned by event_type, then the 'click' partition re-landed
+    * with doubled cents under scoped dynamic mode; the read-back rollup
+    * must show doubled clicks and byte-identical siblings — either a
+    * truncated sibling or a double-published partition flips the hash. */
+  def dynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val base = s"target/dynpart_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ev = t(s, dir, "events").filter(col("event_id") < 10000)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(base)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.get(key, "STATIC")
+    s.conf.set(key, "dynamic")
+    try ev.filter(col("event_type") === "click")
+      .withColumn("cents", col("cents") * 2)
+      .write.partitionBy("event_type").mode("overwrite").parquet(base)
+    finally s.conf.set(key, prev)
+    s.read.parquet(base)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("event_type")
+  }
+
+  val dynamicOverwriteSql: String = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM((CASE WHEN event_type = 'click' THEN 2 ELSE 1 END)
+                * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events WHERE event_id < 10000
+GROUP BY event_type ORDER BY event_type
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interpolate" -> (interpolate _),
     "q_seasonal_anomaly" -> (seasonalAnomaly _),
-    "q_temporal_join" -> (temporalJoin _))
+    "q_temporal_join" -> (temporalJoin _),
+    "q_session_window" -> (sessionWindowAgg _),
+    "q_dynamic_overwrite" -> (dynamicOverwrite _))
 
   val oracles: Map[String, String] = Map(
     "q_interpolate" -> interpolateSql,
     "q_seasonal_anomaly" -> seasonalAnomalySql,
-    "q_temporal_join" -> temporalJoinSql)
+    "q_temporal_join" -> temporalJoinSql,
+    "q_session_window" -> sessionWindowSql,
+    "q_dynamic_overwrite" -> dynamicOverwriteSql)
 }
