@@ -392,6 +392,71 @@ FROM l JOIN r ON l.k = r.k AND r_ms >= l_ms AND r_ms <= l_ms + 172800000
 ORDER BY 1, l_ms, r_ms
 """
 
+  /** Streaming windowed APPROX-DISTINCT — the sketch×streaming
+    * intersection: `approx_count_distinct` (HyperLogLog++) as a
+    * windowed streaming aggregate, its sketch buffer carried in the
+    * state store ACROSS micro-batches (each window receives rows from
+    * both chronological batches, so the merged estimate is only right
+    * if partial sketches merge through state). Watermark sits beyond
+    * the slice span (nothing drops; q_stream_late owns that semantics);
+    * a far-future sentinel closes all real windows for append output.
+    * Exposure follows the house in-tolerance-boolean pattern (q_mg_topk,
+    * q_hll_union): the streamed estimate joins the exact batch distinct
+    * per window and ships ok ⇔ |est − exact|·10 ≤ exact ∨ est = exact —
+    * HLL++'s sparse mode is exact at these cardinalities, the 10% band
+    * keeps the oracle honest if the estimator ever leaves it. */
+  def streamApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = t(s, dir, "events").filter(col("event_id") < 20000)
+      .select(unix_millis(col("ts")).as("ms"), col("user_id"))
+      .orderBy("ms", "user_id").limit(StreamRowCap)
+      .as[(Long, Long)].collect()
+    require(rows.nonEmpty, "empty slice")
+    val mid = rows(rows.length / 2)._1
+    val maxMs = rows.map(_._1).max
+    s.catalog.dropTempView("q_stream_approx_out")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("ms", "user_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withWatermark("ts", "48 hours")
+      .groupBy(window(col("ts"), "6 hours").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("est"))
+      .select(unix_millis(col("w.start")).as("win_ms"), col("est"))
+      .writeStream.format("memory").queryName("q_stream_approx_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.filter(_._1 < mid).toSeq); q.processAllAvailable()
+      in.addData(rows.filter(_._1 >= mid).toSeq); q.processAllAvailable()
+      in.addData(Seq((maxMs + 400L * 24 * 3600 * 1000, -1L))); q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    // exact per-window distinct over the same slice; the inner join
+    // also drops the sentinel's own window (absent from the batch side)
+    val exact = s.createDataset(rows.toSeq).toDF("ms", "user_id")
+      .groupBy((col("ms") - pmod(col("ms"), lit(21600000L))).as("win_ms"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    s.table("q_stream_approx_out").join(exact, "win_ms")
+      .select((col("win_ms") / 1000).cast("long").as("win_start_s"),
+        col("n_exact"),
+        (abs(col("est") - col("n_exact")) * 10 <= col("n_exact") ||
+          col("est") === col("n_exact")).as("ok"))
+      .orderBy("win_start_s")
+  }
+
+  /** Batch twin: exact distinct per epoch-aligned 6-hour window. */
+  val streamApproxDistinctSql: String = """
+SELECT CAST(epoch_ms(ts) // 21600000 * 21600 AS BIGINT) AS win_start_s,
+       COUNT(DISTINCT user_id) AS n_exact, TRUE AS ok
+FROM events WHERE event_id < 20000
+GROUP BY 1 ORDER BY 1
+"""
+
   /** Stream-stream LEFT OUTER join — the streaming restatement of the
     * reference's R8 LEFT join (`RSS PARSER/gcp_rss.py:162`) for the case
     * where the enrichment side is itself a stream that may never deliver
@@ -683,7 +748,8 @@ GROUP BY event_type ORDER BY event_type
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_file_source" -> (streamFileSource _),
     "q_stream_stream_join" -> (streamStreamJoin _),
-    "q_stream_outer_join" -> (streamOuterJoin _))
+    "q_stream_outer_join" -> (streamOuterJoin _),
+    "q_stream_approx_distinct" -> (streamApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q_stream_recovery" -> streamRecoverySql,
@@ -694,5 +760,6 @@ GROUP BY event_type ORDER BY event_type
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_file_source" -> streamFileSourceSql,
     "q_stream_stream_join" -> streamStreamJoinSql,
-    "q_stream_outer_join" -> streamOuterJoinSql)
+    "q_stream_outer_join" -> streamOuterJoinSql,
+    "q_stream_approx_distinct" -> streamApproxDistinctSql)
 }
