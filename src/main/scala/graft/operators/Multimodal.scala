@@ -434,4 +434,62 @@ object Multimodal {
       Features(r.id, r.group, bins)
     })
   }
+
+  case class ImageBlocks(id: Long, width: Long, height: Long,
+                         b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels — the
+    * image analogue of SimHash near-dup: decode via ImageIO, downsample
+    * band 0 to an 8×8 grid by exact integer area mean (block-sum `div`
+    * block-area — no float resampling, so a cross-engine oracle can
+    * recompute the hash arithmetically), then one bit per cell set iff
+    * `64 * cell > total` (the integer-exact form of `cell > mean`).
+    * Bit k = row-major cell index, MSB-first within each of four 16-bit
+    * blocks (b0 = bits 0..15, …) — emitted as blocks rather than one
+    * packed 64-bit value both for the Manku-style banded Hamming join
+    * (block equality catches Hamming ≤ 3 by pigeonhole) and because a
+    * top-level signed 64-bit hash would overflow the oracle's BIGINT
+    * arithmetic at bit 63. Images whose dimensions are not multiples of
+    * 8 are dropped (quarantine routing, same as `decodeImage`). */
+  def ahashBlocks(media: Dataset[MediaRow]): Dataset[ImageBlocks] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null || img.getWidth % 8 != 0 || img.getHeight % 8 != 0) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (bw, bh) = (w / 8, h / 8)
+          val raster = img.getRaster
+          val cells = new Array[Long](64)
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              var s = 0L
+              var y = cy * bh
+              while (y < (cy + 1) * bh) {
+                var x = cx * bw
+                while (x < (cx + 1) * bw) { s += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              cells(cy * 8 + cx) = s / (bw.toLong * bh)
+              cx += 1
+            }
+            cy += 1
+          }
+          val total = cells.sum
+          val blocks = new Array[Long](4)
+          var k = 0
+          while (k < 64) {
+            if (64L * cells(k) > total) blocks(k / 16) |= 1L << (15 - k % 16)
+            k += 1
+          }
+          Some(ImageBlocks(r.id, w.toLong, h.toLong,
+            blocks(0), blocks(1), blocks(2), blocks(3)))
+        }
+      }
+    }
+  }
 }
