@@ -247,15 +247,183 @@ SELECT o_orderstatus, o_orderpriority, n_obs, exp_micro, contrib_micro,
 FROM ct ORDER BY o_orderstatus, o_orderpriority
 """
 
+  // ------------------------------------------------- Q21 waiting supplier
+
+  /** TPC-H Q21 shape (the lone-blamed-supplier query, restated over the
+    * columns this schema carries: "late" = shipped > 60 days after the
+    * order date): lines of finished multi-supplier orders whose supplier
+    * is the ONLY late one, counted per supplier. The reference SQL is
+    * doubly-correlated (EXISTS other-supplier ∧ NOT EXISTS other-late-
+    * supplier — and that literal form IS the oracle); the Spark plan
+    * decorrelates both subqueries into ONE per-order profile pass
+    * (distinct suppliers, distinct late suppliers) joined back — two
+    * shuffles keyed by orderkey instead of three correlated scans of
+    * lineitem, the 100 TB rewrite Catalyst cannot do on its own for
+    * this doubly-nested shape. */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    val lo = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 60))
+      .select("l_orderkey", "l_suppkey", "late")
+    val prof = lo.groupBy("l_orderkey").agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    lo.filter(col("late"))
+      .join(prof, "l_orderkey")
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val q21WaitingSql: String = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+  // ------------------------------------------------------------ OLS trend
+
+  /** Per-type linear trend of daily event revenue — exact OLS from the
+    * five classic sufficient statistics (n, Σx, Σy, Σxy, Σx²), which
+    * are map-side-combinable integer sums over cents and day indexes:
+    * the closed-form slope numerator/denominator are BIGINT-exact, and
+    * the only float ops are two scalar divisions at the very end (one
+    * per coefficient) — no order-sensitive float accumulation anywhere.
+    * The 100 TB shape: one hash aggregation to days, one to types. */
+  def olsTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .withColumn("x", datediff(col("day"), lit("2024-01-01")).cast("long"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_cents",
+        col("num").cast("double") / col("den").cast("double"))
+      .withColumn("intercept_cents",
+        (col("sy").cast("double") - col("slope_cents") * col("sx").cast("double"))
+          / col("n").cast("double"))
+      .select("event_type", "n", "num", "den", "slope_cents", "intercept_cents")
+      .orderBy("event_type")
+  }
+
+  val olsTrendSql: String = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+xy AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS x, y FROM daily),
+st AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY event_type),
+co AS (
+  SELECT event_type, n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           AS slope_cents
+  FROM st)
+SELECT c.event_type, c.n, c.num, c.den, c.slope_cents,
+       (CAST(s.sy AS DOUBLE) - c.slope_cents * CAST(s.sx AS DOUBLE))
+         / CAST(c.n AS DOUBLE) AS intercept_cents
+FROM co c JOIN st s USING (event_type)
+ORDER BY c.event_type
+"""
+
+  // ------------------------------------------------------------ winsorize
+
+  /** Winsorized statistics per return flag: order-statistic cutpoints
+    * at the ceil(5%)/ceil(95%) row positions under a TOTAL order (value,
+    * orderkey, linenumber — duplicate cents exist by construction), all
+    * values clipped into [lo, hi], then exact integer sums. Rank-based
+    * winsorization (not interpolated percentiles) keeps every
+    * intermediate a long, so Spark and DuckDB agree bit-for-bit. Cost
+    * shape: one window rank + one windowed cutpoint broadcast within
+    * the partition, both on the same groupBy key partitioning. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val c = round(col("l_extendedprice") * 100).cast("long")
+    val base = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), c.as("c"), col("l_orderkey"), col("l_linenumber"))
+    val wOrd = Window.partitionBy("l_returnflag")
+      .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
+    val wAll = Window.partitionBy("l_returnflag")
+    val ranked = base
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("lo_pos", expr("(n * 5 + 99) div 100"))
+      .withColumn("hi_pos", expr("(n * 95 + 99) div 100"))
+    ranked
+      .withColumn("lo", max(when(col("rn") === col("lo_pos"), col("c"))).over(wAll))
+      .withColumn("hi", max(when(col("rn") === col("hi_pos"), col("c"))).over(wAll))
+      .withColumn("clipped", least(greatest(col("c"), col("lo")), col("hi")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("lo")).as("lo_c"), max(col("hi")).as("hi_c"),
+        sum(col("clipped")).as("sum_clip"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("lo_c") / 100.0).as("lo_cut"), (col("hi_c") / 100.0).as("hi_cut"),
+        (col("sum_clip").cast("double") / 100.0 / col("n_rows").cast("double"))
+          .as("wins_mean"))
+      .orderBy("l_returnflag")
+  }
+
+  val winsorizeSql: String = """
+WITH base AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+ranked AS (
+  SELECT l_returnflag, c,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY c, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM base),
+cuts AS (
+  SELECT l_returnflag,
+         MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN c END) AS lo,
+         MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN c END) AS hi
+  FROM ranked GROUP BY l_returnflag)
+SELECT r.l_returnflag, COUNT(*) AS n_rows,
+       MAX(t.lo) / 100.0 AS lo_cut, MAX(t.hi) / 100.0 AS hi_cut,
+       CAST(SUM(least(greatest(r.c, t.lo), t.hi)) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS DOUBLE)
+         AS wins_mean
+FROM ranked r JOIN cuts t USING (l_returnflag)
+GROUP BY r.l_returnflag ORDER BY r.l_returnflag
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bfs_hops" -> (bfsHops _),
     "q_bm25" -> (bm25 _),
     "q_dsir_select" -> (dsirSelect _),
-    "q_chi_square" -> (chiSquare _))
+    "q_chi_square" -> (chiSquare _),
+    "q21_waiting" -> (q21Waiting _),
+    "q_ols_trend" -> (olsTrend _),
+    "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
     "q_bfs_hops" -> bfsHopsSql,
     "q_bm25" -> bm25Sql,
     "q_dsir_select" -> dsirSelectSql,
-    "q_chi_square" -> chiSquareSql)
+    "q_chi_square" -> chiSquareSql,
+    "q21_waiting" -> q21WaitingSql,
+    "q_ols_trend" -> olsTrendSql,
+    "q_winsorize" -> winsorizeSql)
 }
