@@ -739,7 +739,93 @@ FROM events WHERE event_id < 4000
 GROUP BY event_type ORDER BY event_type
 """
 
+  /** Streaming heavy hitters with CUSTOM state — `flatMapGroupsWithState`
+    * holding a bounded Misra–Gries summary (k = 8 counters) per group,
+    * the streaming restatement of the batch `mg_summary` aggregate
+    * (q_mg_topk): per-key state is a fixed-size map no matter how many
+    * distinct keys flow past, the property that makes unbounded-key
+    * streams survivable where an exact per-key count's state grows
+    * without bound. A planted skew (half of each group's rows on keys
+    * {0,1}, the rest spread over 97 tail keys) flows in three
+    * chronological micro-batches, then a sentinel batch per group
+    * flushes the final summary (append mode emits exactly once).
+    *
+    * MG estimates depend on arrival order, so raw counters are NOT
+    * comparable cross-engine; what IS deterministic is the sketch's
+    * guarantee, and that's what the query emits (same discipline as
+    * q_stream_approx_distinct / q_cms_freq): for every key whose exact
+    * count exceeds n/(k+1) — which MG must capture — `found` and
+    * `in_bound` (0 ≤ exact − est ≤ n div (k+1)) are emitted as
+    * booleans the oracle states as TRUE. */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val hk = when(col("event_id") % 4 < 2, col("event_id") % 4)
+      .otherwise(col("event_id") % 97 + 4).cast("long")
+    val slice = t(s, dir, "events")
+      .filter(col("user_id") < 50 && col("event_id") < 20000)
+      .select((col("user_id") % 4).cast("long").as("grp"), hk.as("hk"), col("ts"))
+    val rows = slice.orderBy("ts", "grp", "hk")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    require(rows.nonEmpty && rows.length <= 2 * StreamRowCap, "slice out of bounds")
+    val k = 8
+    def mgAdd(m: Map[Long, Long], key: Long): Map[Long, Long] =
+      if (m.contains(key)) m.updated(key, m(key) + 1)
+      else if (m.size < k) m.updated(key, 1L)
+      else m.map { case (ky, c) => ky -> (c - 1) }.filter(_._2 > 0)
+    def step(grp: Long, it: Iterator[(Long, Long)],
+             state: GroupState[Map[Long, Long]]): Iterator[(Long, Long, Long)] = {
+      var m = state.getOption.getOrElse(Map.empty[Long, Long])
+      var flush = false
+      it.foreach { case (_, key) => if (key < 0) flush = true else m = mgAdd(m, key) }
+      state.update(m)
+      if (flush) m.toSeq.sorted.map { case (ky, est) => (grp, ky, est) }.iterator
+      else Iterator.empty
+    }
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    val sentinel = (0L until 4L).map(g => (g, -1L))
+    s.catalog.dropTempView("q_stream_topk_out")
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+      .toDF("grp", "hk", "est")
+      .writeStream.format("memory").queryName("q_stream_topk_out")
+      .outputMode("append").start()
+    try {
+      thirds.foreach { b => in.addData(b.map(r => (r._1, r._2)).toSeq); q.processAllAvailable() }
+      in.addData(sentinel); q.processAllAvailable()
+    } finally q.stop()
+    val exact = slice.groupBy("grp", "hk").agg(count(lit(1)).as("exact_cnt"))
+      .withColumn("n_grp", sum("exact_cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+      .filter(col("exact_cnt") > expr(s"n_grp div ${k + 1}"))
+    exact.join(s.table("q_stream_topk_out"), Seq("grp", "hk"), "left")
+      .select(col("grp"), col("hk"), col("exact_cnt"),
+        col("est").isNotNull.as("found"),
+        (col("est").isNotNull && col("est") <= col("exact_cnt") &&
+          col("exact_cnt") - col("est") <= expr(s"n_grp div ${k + 1}")).as("in_bound"))
+      .orderBy("grp", "hk")
+  }
+
+  /** Batch twin: the probe set (keys MG must capture) with the sketch
+    * guarantees stated as facts. */
+  val streamTopkSql: String = """
+WITH e AS (
+  SELECT user_id % 4 AS grp,
+         CASE WHEN event_id % 4 < 2 THEN event_id % 4
+              ELSE event_id % 97 + 4 END AS hk
+  FROM events WHERE user_id < 50 AND event_id < 20000),
+c AS (SELECT grp, hk, COUNT(*) AS exact_cnt FROM e GROUP BY grp, hk),
+n AS (SELECT grp, CAST(SUM(exact_cnt) AS BIGINT) AS n_grp FROM c GROUP BY grp)
+SELECT c.grp, c.hk, c.exact_cnt, TRUE AS found, TRUE AS in_bound
+FROM c JOIN n USING (grp) WHERE c.exact_cnt > n_grp // 9
+ORDER BY grp, hk
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_topk" -> (streamTopk _),
     "q_stream_recovery" -> (streamRecovery _),
     "q_stream_late" -> (streamLate _),
     "q_stream_static_join" -> (streamStaticJoin _),
@@ -752,6 +838,7 @@ GROUP BY event_type ORDER BY event_type
     "q_stream_approx_distinct" -> (streamApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_topk" -> streamTopkSql,
     "q_stream_recovery" -> streamRecoverySql,
     "q_stream_late" -> streamLateSql,
     "q_stream_static_join" -> streamStaticJoinSql,
