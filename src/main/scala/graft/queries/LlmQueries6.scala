@@ -91,9 +91,79 @@ ham AS (
 SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b
 """
 
+  /** Corpus drift monitoring via the Population Stability Index — the
+    * production tripwire between a reference snapshot and the current
+    * feed (here: even vs odd doc_ids, a balanced split): token mass per
+    * 256 md5-prefix buckets on each side from ONE aggregation pass (no
+    * join — the side flag rides the token stream), Laplace-smoothed
+    * shares, and PSI = Σ (p−q)·ln(p/q). Float discipline: each bucket's
+    * contribution is one scalar chain over four integers floored to
+    * NANO units (PSI contributions are O(1e-4) — micro would quantize
+    * to zero), then the index is the order-independent long sum.
+    * PSI < 0.1 = stable is the classic credit-scoring rule of thumb;
+    * the near-identical halves here land well under it. */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.{normalizeText, tokens}
+    import org.apache.spark.sql.expressions.Window
+    val tk = t(s, dir, "documents")
+      .select((col("doc_id") % 2 === 0).as("is_ref"),
+        explode(tokens(normalizeText(col("text")))).as("tok"))
+      .withColumn("bucket", substring(md5(col("tok")), 1, 2))
+    val w = Window.partitionBy()
+    val b = tk.groupBy("bucket").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("refc"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("curc"))
+      .withColumn("refn", sum("refc").over(w))
+      .withColumn("curn", sum("curc").over(w))
+    val p = (col("refc") + 1L).cast("double") / (col("refn") + 256L).cast("double")
+    val q = (col("curc") + 1L).cast("double") / (col("curn") + 256L).cast("double")
+    val lr = log(((col("refc") + 1L) * (col("curn") + 256L)).cast("double")
+      / ((col("curc") + 1L) * (col("refn") + 256L)).cast("double"))
+    b.withColumn("contrib_nano", floor((p - q) * lr * 1e9).cast("long"))
+      .withColumn("psi_nano", sum("contrib_nano").over(w))
+      .select("bucket", "refc", "curc", "contrib_nano", "psi_nano")
+      .orderBy("bucket")
+  }
+
+  val psiDriftSql: String = """
+WITH d AS (
+  SELECT doc_id % 2 = 0 AS is_ref,
+         CASE WHEN length(s) > 0 THEN string_split(s, ' ') ELSE [] END AS toks
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+        FROM documents)),
+tk AS (
+  SELECT is_ref, substr(md5(tok), 1, 2) AS bucket
+  FROM (SELECT is_ref, unnest(toks) AS tok FROM d)),
+b AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS refc,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS curc
+  FROM tk GROUP BY bucket),
+n AS (
+  SELECT bucket, refc, curc,
+         CAST(SUM(refc) OVER () AS BIGINT) AS refn,
+         CAST(SUM(curc) OVER () AS BIGINT) AS curn
+  FROM b),
+c AS (
+  SELECT bucket, refc, curc,
+    CAST(floor(
+      (CAST(refc + 1 AS DOUBLE) / CAST(refn + 256 AS DOUBLE)
+       - CAST(curc + 1 AS DOUBLE) / CAST(curn + 256 AS DOUBLE))
+      * ln(CAST((refc + 1) * (curn + 256) AS DOUBLE)
+           / CAST((curc + 1) * (refn + 256) AS DOUBLE))
+      * 1e9) AS BIGINT) AS contrib_nano
+  FROM n)
+SELECT bucket, refc, curc, contrib_nano,
+       CAST(SUM(contrib_nano) OVER () AS BIGINT) AS psi_nano
+FROM c ORDER BY bucket
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_image_neardup" -> (imageNearDup _))
+    "q_image_neardup" -> (imageNearDup _),
+    "q_psi_drift" -> (psiDrift _))
 
   val oracles: Map[String, String] = Map(
-    "q_image_neardup" -> imageNearDupSql)
+    "q_image_neardup" -> imageNearDupSql,
+    "q_psi_drift" -> psiDriftSql)
 }

@@ -261,21 +261,25 @@ FROM ct ORDER BY o_orderstatus, o_orderpriority
     * lineitem, the 100 TB rewrite Catalyst cannot do on its own for
     * this doubly-nested shape. */
   def q21Waiting(s: SparkSession, dir: String): DataFrame = {
-    val lo = t(s, dir, "lineitem")
+    // One pass to (order, supplier) grain — lineitem is scanned ONCE;
+    // the order profile and the join back both key on l_orderkey, so
+    // the second aggregation and the join reuse one partitioning.
+    val os = t(s, dir, "lineitem")
       .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 60))
-      .select("l_orderkey", "l_suppkey", "late")
-    val prof = lo.groupBy("l_orderkey").agg(
-      countDistinct(col("l_suppkey")).as("n_supp"),
-      countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-    lo.filter(col("late"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+    val prof = os.groupBy("l_orderkey").agg(
+      count(lit(1)).as("n_supp"),
+      sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+    os.filter(col("late_lines") > 0)
       .join(prof, "l_orderkey")
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
-      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .groupBy("s_name").agg(sum(col("late_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(10)
   }
@@ -409,7 +413,52 @@ FROM ranked r JOIN cuts t USING (l_returnflag)
 GROUP BY r.l_returnflag ORDER BY r.l_returnflag
 """
 
+  // ---------------------------------------------------------- attribution
+
+  /** Last-touch conversion attribution: each purchase credits the most
+    * recent earlier view/click/signup of the same user (no touch →
+    * 'direct'), rolled up to conversions + revenue per channel — the
+    * marketing restatement of the backward as-of join, reusing
+    * [[graft.operators.AsOfJoin.backward]] (union + window, one
+    * user-keyed shuffle). Touches are pre-deduped to unique (user, ts)
+    * with a max(channel) tiebreak so equal-timestamp touches cannot
+    * make the as-of pick engine-dependent; DuckDB's native ASOF LEFT
+    * JOIN over the identically-deduped feed is the oracle. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val ev = t(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("rev"))
+    val tch = ev.filter(col("event_type").isin("view", "click", "signup"))
+      .groupBy(col("user_id").as("t_user"), col("ts").as("touch_ts"))
+      .agg(max(col("event_type")).as("channel"))
+    AsOfJoin.backward(p, "user_id", "ts", tch, "t_user", "touch_ts", Seq("channel"))
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conv"),
+        (sum(col("rev")).cast("double") / 100.0).as("revenue"))
+      .orderBy("channel")
+  }
+
+  val attributionSql: String = """
+WITH p AS (
+  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS rev
+  FROM events WHERE event_type = 'purchase'),
+tch AS (
+  SELECT user_id AS t_user, ts AS touch_ts, max(event_type) AS channel
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+  GROUP BY user_id, ts),
+a AS (
+  SELECT p.rev, t.channel
+  FROM p ASOF LEFT JOIN tch t
+    ON p.user_id = t.t_user AND t.touch_ts <= p.ts)
+SELECT COALESCE(channel, 'direct') AS channel, COUNT(*) AS n_conv,
+       CAST(SUM(rev) AS DOUBLE) / 100.0 AS revenue
+FROM a GROUP BY COALESCE(channel, 'direct') ORDER BY channel
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (attribution _),
     "q_bfs_hops" -> (bfsHops _),
     "q_bm25" -> (bm25 _),
     "q_dsir_select" -> (dsirSelect _),
@@ -419,6 +468,7 @@ GROUP BY r.l_returnflag ORDER BY r.l_returnflag
     "q_winsorize" -> (winsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" -> attributionSql,
     "q_bfs_hops" -> bfsHopsSql,
     "q_bm25" -> bm25Sql,
     "q_dsir_select" -> dsirSelectSql,

@@ -415,7 +415,45 @@ SELECT id, label FROM l2 ORDER BY id
 """
   }
 
+  /** Malformed-record isolation on the JSON source — the R-job's C12
+    * per-record error quarantine restated for JSON lines (reference:
+    * the CSV side already proves it via PERMISSIVE from_csv): a staged
+    * feed plants a corrupt line on every orderkey % 7 == 0 row, the
+    * PERMISSIVE read routes breakage into `_corrupt_record` without
+    * failing the job or poisoning neighbors, and the aggregate reports
+    * good/bad counts plus the exact cents total of the surviving rows.
+    * The oracle knows only the planting arithmetic — rows the reader
+    * wrongly dropped or kept flip the hash. */
+  def jsonCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("c"))
+    val good = to_json(struct(col("o_orderkey"), col("c")))
+    val line = when(col("o_orderkey") % 7 === 0,
+      concat(lit("{corrupt "), col("o_orderkey").cast("string"))).otherwise(good)
+    val path = "target/json_corrupt_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    src.select(line.as("value")).write.mode("overwrite").text(path)
+    s.read
+      .schema("o_orderkey LONG, c LONG, _corrupt_record STRING")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        (sum(when(col("_corrupt_record").isNull, col("c")).otherwise(0L))
+          .cast("double") / 100.0).as("total_good"))
+  }
+
+  val jsonCorruptSql: String = """
+SELECT CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+         / 100.0 AS total_good
+FROM orders WHERE o_orderkey < 3000
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_corrupt" -> (jsonCorrupt _),
     "q_label_prop" -> (labelProp _),
     "q_triangle_knn" -> (triangleKnn _),
     "q_salted_join" -> (saltedJoin _),
@@ -429,6 +467,7 @@ SELECT id, label FROM l2 ORDER BY id
     "q_json_source" -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    "q_json_corrupt" -> jsonCorruptSql,
     "q_label_prop" -> labelPropSql,
     "q_triangle_knn" -> triangleKnnSql,
     "q_salted_join" -> saltedJoinSql,

@@ -66,6 +66,13 @@ class GraphRetrievalSpec extends GraftSuite {
     assert(ham <= 3, s"one-pixel bump must stay within the near-dup radius, got $ham")
   }
 
+  test("q21 decorrelation scans lineitem exactly once") {
+    val plan = RelQueries9.q21Waiting(spark, sf).queryExecution.executedPlan.toString
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"the doubly-correlated shape must collapse to ONE lineitem scan, saw $scans:\n$plan")
+  }
+
   test("chi-square cell table: margins consistent, statistic is the cell sum") {
     val df = RelQueries9.chiSquare(spark, sf)
     val cells = df.select("n_obs", "contrib_micro", "chi2_micro")
