@@ -271,6 +271,13 @@ FROM ct ORDER BY o_orderstatus, o_orderpriority
       .withColumn("late", col("l_shipdate") > date_add(col("o_orderdate"), 60))
       .groupBy("l_orderkey", "l_suppkey")
       .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+      // Materialized once — the (order, supplier) grain feeds BOTH the
+      // per-order profile and the join back, so lineitem is scanned a
+      // single time structurally (AQE's runtime exchange reuse would
+      // dedup the stages anyway, but only after execution starts; the
+      // checkpoint makes the one-scan shape hold in the static plan and
+      // caps the recompute risk if the two consumers schedule apart).
+      .localCheckpoint(true)
     val prof = os.groupBy("l_orderkey").agg(
       count(lit(1)).as("n_supp"),
       sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"))

@@ -66,11 +66,19 @@ class GraphRetrievalSpec extends GraftSuite {
     assert(ham <= 3, s"one-pixel bump must stay within the near-dup radius, got $ham")
   }
 
-  test("q21 decorrelation scans lineitem exactly once") {
+  test("q21 decorrelation never re-scans lineitem in the consuming plan") {
+    // The (order, supplier) grain is materialized ONCE (localCheckpoint —
+    // that job holds the sole lineitem file scan); the consuming plan must
+    // show zero lineitem scans and exactly two readers of the checkpointed
+    // grain (profile pass + join back) — i.e. the doubly-correlated shape
+    // collapsed to one pass over the fact table, not a scan per subquery.
     val plan = RelQueries9.q21Waiting(spark, sf).queryExecution.executedPlan.toString
     val scans = "lineitem\\.parquet".r.findAllIn(plan).size
-    assert(scans == 1,
-      s"the doubly-correlated shape must collapse to ONE lineitem scan, saw $scans:\n$plan")
+    val grainReads = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"consuming plan must read the materialized grain, saw $scans lineitem scans:\n$plan")
+    assert(grainReads == 2,
+      s"profile + join-back must both read the checkpointed grain, saw $grainReads:\n$plan")
   }
 
   test("chi-square cell table: margins consistent, statistic is the cell sum") {
