@@ -824,7 +824,81 @@ FROM c JOIN n USING (grp) WHERE c.exact_cnt > n_grp // 9
 ORDER BY grp, hk
 """
 
+  /** Gap sessionization via the NATIVE `session_window` aggregation
+    * under a RUNNING streaming query — the streaming restatement of
+    * q_session_window, and the built-in contrast to the custom
+    * flatMapGroupsWithState path (q_stream_sessionize): the same
+    * expression gets state-store session MERGING for free (sessions
+    * that grow across micro-batches are combined by the state store,
+    * the engine-managed form of what SessionizeStream codes by hand).
+    * Staging follows the house pattern: chronological value-split
+    * batches (equal timestamps can't straddle a boundary, so
+    * watermark(0s) drops nothing), one far-future sentinel event per
+    * user whose still-open session closes every REAL session at the
+    * final watermark while itself staying unemitted. Session rule
+    * matches the batch twin: an event extends a session iff strictly
+    * within gap, so diff >= gap breaks — island form on exact µs. */
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = t(s, dir, "events").filter(col("user_id") < 25)
+      .select(col("user_id"), col("ts"))
+      .orderBy("ts", "user_id").limit(StreamRowCap)
+      .as[(Long, java.sql.Timestamp)].collect()
+    require(rows.nonEmpty, "empty slice")
+    val t1 = rows(rows.length / 2)._2.getTime
+    val batches = Seq(
+      rows.filter(_._2.getTime < t1),
+      rows.filter(_._2.getTime >= t1)).filter(_.nonEmpty).map(_.toSeq)
+    val maxMs = rows.map(_._2.getTime).max
+    val sentinel = rows.map(_._1).distinct.sorted.toSeq
+      .map(u => (u, new java.sql.Timestamp(maxMs + 48L * 3600 * 1000)))
+    s.catalog.dropTempView("q_stream_swin_out")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"), col("n_events"))
+      .writeStream.format("memory").queryName("q_stream_swin_out")
+      .outputMode("append").start()
+    try {
+      (batches :+ sentinel).foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    s.table("q_stream_swin_out").orderBy("user_id", "start_us")
+  }
+
+  /** Island-form twin on exact µs; session end = last event + gap. */
+  val streamSessionWindowSql: String = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us
+  FROM (SELECT user_id, ts FROM events WHERE user_id < 25
+        ORDER BY ts, user_id LIMIT 10000) x),
+b AS (
+  SELECT user_id, us,
+    CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+g AS (
+  SELECT user_id, us,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM b)
+SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) + 1800000000 AS BIGINT) AS end_us, COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, start_us
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_session_window" -> (streamSessionWindow _),
     "q_stream_topk" -> (streamTopk _),
     "q_stream_recovery" -> (streamRecovery _),
     "q_stream_late" -> (streamLate _),
@@ -838,6 +912,7 @@ ORDER BY grp, hk
     "q_stream_approx_distinct" -> (streamApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_session_window" -> streamSessionWindowSql,
     "q_stream_topk" -> streamTopkSql,
     "q_stream_recovery" -> streamRecoverySql,
     "q_stream_late" -> streamLateSql,

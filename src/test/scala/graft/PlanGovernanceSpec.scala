@@ -51,7 +51,8 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_cms_freq", // broadcast 1-row sketch × bounded 20-key probe set
       "q_mg_topk", // broadcast 1-row MG summary × bounded 7-key probe set
       "q_bpe_merges", // 1-row best-pair argmax × 100-row vocabulary, 3 rounds
-      "q_bm25" // broadcast singleton (N, sum_dl) corpus-stats row
+      "q_bm25", // broadcast singleton (N, sum_dl) corpus-stats row
+      "q_mmr_rerank" // 1-row query broadcast + bounded 20-candidate greedy rounds
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -280,6 +280,42 @@ class ScaleTechniquesSpec extends GraftSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffled join") {
+    // Catalyst's InjectRuntimeFilter: a selective predicate on the
+    // build side of a shuffled join gets turned into a bloom filter
+    // that prunes the probe side BEFORE the shuffle — the zero-code
+    // scan-reduction a 100 TB fact⋈filtered-dim join leans on when the
+    // dim is too big to broadcast. Thresholds are floored to fire at
+    // test scale (production defaults gate on a 10 GB probe scan).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // Raw scans, not Tables(): the small-scan compaction repartition
+      // Tables inserts breaks InjectRuntimeFilter's filter-over-scan
+      // pattern match on the creation side (at production scale the
+      // guard doesn't fire, so raw is the representative shape here).
+      val sf = "/root/testdata/sf0.001"
+      val dim = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(count(lit(1)).as("n"))
+      assert(j.collect().head.getLong(0) > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"probe side must carry the injected bloom-filter predicate:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("pagerank: exact integer ranks on a known graph, sinks rank highest") {
     import graft.operators.PageRank
     // Star into node 0 plus a 2-cycle; node 0 must out-rank everything,
