@@ -99,6 +99,25 @@ object MinHashDedup {
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Banded bucket rows (id, band, bucket) of a signature frame — the
+    * join key surface of the LSH step, factored out so the persisted
+    * index ([[MinHashIndex]]) stages exactly the rows the in-query
+    * pipeline joins on. */
+  def banded(sig: DataFrame, idCol: String,
+             nHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(nHashes % bands == 0, "bands must divide nHashes")
+    val r = nHashes / bands
+    sig.select(
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        // "," separator: signature values are variable-width decimal
+        // renderings now, so unseparated concatenation would be ambiguous.
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
   /** Candidate pairs via banding over a signature frame (id, mh0..mhN).
     * With r = nHashes/bands rows per band the s-curve midpoint sits at
     * ≈ (1/bands)^(1/r); the defaults (16, 4 → r=4) put it at ~0.71, so
@@ -122,32 +141,22 @@ object MinHashDedup {
   def candidatePairs(sig: DataFrame, idCol: String,
                      nHashes: Int = 16, bands: Int = 4,
                      maxBucket: Int = 64): DataFrame = {
-    require(nHashes % bands == 0, "bands must divide nHashes")
-    val r = nHashes / bands
-    val banded = sig.select(
-      col(idCol),
-      explode(array((0 until bands).map { b =>
-        // "," separator: signature values are variable-width decimal
-        // renderings now, so unseparated concatenation would be ambiguous.
-        struct(lit(b).as("band"),
-          md5(concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val bandedRows = banded(sig, idCol, nHashes, bands)
     // Over-cap buckets only (rarities by construction): aggregated
     // map-side to one row per distinct bucket, then broadcast — the
     // narrow/wide split is an anti/equi broadcast join, costing the
     // banded frame no sort and no shuffle.
-    val wide = banded.groupBy("band", "bucket")
+    val wide = bandedRows.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bw"), min(col(idCol)).as("__rep"))
       .filter(col("__bw") > maxBucket)
-    val narrow = banded.join(broadcast(wide.select("band", "bucket")),
+    val narrow = bandedRows.join(broadcast(wide.select("band", "bucket")),
       Seq("band", "bucket"), "left_anti")
     val narrowPairs = narrow.as("x").join(narrow.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-    val starPairs = banded
+    val starPairs = bandedRows
       .join(broadcast(wide), Seq("band", "bucket"))
       .filter(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"))

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH near-dup index — the build-once / probe-many
+  * split for CONTENT dedup, sibling of [[IvfIndex]] for embeddings: a
+  * streaming-ingest corpus checks every new batch against everything
+  * already accepted, and recomputing corpus signatures per batch is the
+  * cost this index amortizes away.
+  *
+  *  - `build` stages the banded bucket rows (id, band, bucket) of the
+  *    corpus — exactly the rows [[MinHashDedup.candidatePairs]] would
+  *    join on — as parquet PARTITIONED BY band, so each band's
+  *    equi-join probes only its own directory.
+  *  - `append` signatures ONLY the delta batch and appends its bucket
+  *    rows. Nothing about earlier docs is touched or recomputed —
+  *    signatures are per-doc, so unlike IVF there is no geometry to
+  *    drift and no rebuild trigger: the index stays exact forever.
+  *  - `probeNew` answers the ingest question — "which newly appended
+  *    docs near-duplicate any EARLIER doc?" — with the keep-first
+  *    orientation (id order = arrival order): staged buckets of all
+  *    docs equi-join the delta's bucket rows, mega-buckets degrade to
+  *    star pairing against the bucket's min-id representative (same
+  *    skew cap discipline as candidatePairs), and candidates are
+  *    verified by exact Jaccard against the corpus text, semi-join
+  *    pruned to candidate ids only.
+  *
+  * At 100 TB: build is one signature pass + one partitioned write;
+  * per-batch cost is proportional to the BATCH (signature pass) plus
+  * one bucket equi-join whose corpus side is pre-partitioned by band —
+  * never a corpus-wide recompute.
+  */
+object MinHashIndex {
+
+  private def bucketRows(docs: DataFrame, idCol: String, textNorm: Column,
+                         nHashes: Int, bands: Int): DataFrame =
+    MinHashDedup.banded(
+      MinHashDedup.signatures(docs, idCol, textNorm, nHashes = nHashes),
+      idCol, nHashes, bands)
+
+  /** Stage the corpus bucket table at `dir` (overwrite). */
+  def build(docs: DataFrame, idCol: String, textNorm: Column, dir: String,
+            nHashes: Int = 16, bands: Int = 4): Unit =
+    bucketRows(docs, idCol, textNorm, nHashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/buckets")
+
+  /** Append a delta batch's bucket rows — per-doc work only. */
+  def append(delta: DataFrame, idCol: String, textNorm: Column, dir: String,
+             nHashes: Int = 16, bands: Int = 4): Unit =
+    bucketRows(delta, idCol, textNorm, nHashes, bands)
+      .write.mode("append").partitionBy("band").parquet(s"$dir/buckets")
+
+  /** Near-dup pairs (id_a, id_b, jaccard ≥ threshold) whose LATER side
+    * (id_b) is a delta doc (id ≥ minNewId) — new-vs-corpus, including
+    * new-vs-new. `corpus` supplies the text for exact verification;
+    * only candidate ids ever materialize shingle arrays. */
+  def probeNew(spark: SparkSession, dir: String, corpus: DataFrame,
+               idCol: String, textNorm: Column, threshold: Double,
+               minNewId: Long, maxBucket: Int = 64): DataFrame = {
+    val staged = spark.read.parquet(s"$dir/buckets")
+    val wide = staged.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bw"), min(col(idCol)).as("__rep"))
+      .filter(col("__bw") > maxBucket)
+    val narrow = staged.join(broadcast(wide.select("band", "bucket")),
+      Seq("band", "bucket"), "left_anti")
+    val narrowPairs = narrow.as("x")
+      .join(narrow.filter(col(idCol) >= minNewId).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    val starPairs = staged.filter(col(idCol) >= minNewId)
+      .join(broadcast(wide), Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    // Star reps are min-ids, so id_a < id_b holds on both branches; the
+    // keep-first restriction is id_b ≥ minNewId, already enforced on
+    // each branch's delta side (kept implicit — asserted by the twin).
+    val pairs = narrowPairs.union(starPairs).distinct().localCheckpoint(true)
+    val ids = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val shArr = corpus.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), MinHashDedup.shingles(textNorm).as("__sh"))
+    pairs
+      .join(shArr.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+      .join(shArr.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .withColumn("jaccard", MinHashDedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

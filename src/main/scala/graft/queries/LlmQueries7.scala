@@ -132,11 +132,46 @@ SELECT doc_id, n, CAST(1 + nb AS BIGINT) AS n_chunks,
 FROM pos ORDER BY doc_id
 """
 
+  /** Persisted LSH dedup index exercised end-to-end ([[MinHashIndex]]):
+    * build on the doc_id < 400 corpus, delta-append the rest, probe for
+    * new-vs-corpus near-dups in keep-first orientation (id_b ≥ 400) —
+    * the ingest-time "is this batch already in the corpus?" gate,
+    * served from staged bucket rows instead of a corpus re-signature.
+    * Staging runs inside the query for oracle determinism (house
+    * pattern of q_ann_ivf_persisted: the architecture is the point;
+    * at scale build amortizes over batches). */
+  def lshIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val norm = normalizeText(col("text"))
+    val idxDir = "target/lsh_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.operators.MinHashIndex.build(
+      docs.filter(col("doc_id") < 400), "doc_id", norm, idxDir)
+    graft.operators.MinHashIndex.append(
+      docs.filter(col("doc_id") >= 400), "doc_id", norm, idxDir)
+    graft.operators.MinHashIndex.probeNew(
+        s, idxDir, docs, "doc_id", norm, threshold = 0.7, minNewId = 400L)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Twin = the full-corpus minhash twin restricted to pairs whose later
+    * side is a delta doc — derived by text substitution from
+    * [[LlmQueries.minhashNearDupSql]] so index and in-query pipelines
+    * can never drift apart. */
+  val lshIndexSql: String = {
+    val full = LlmQueries.minhashNearDupSql
+    val restricted = full.replace(
+      "WHERE jaccard >= 0.7", "WHERE jaccard >= 0.7 AND id_b >= 400")
+    require(restricted != full, "minhash twin anchor moved; update lshIndexSql")
+    restricted
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mmr_rerank" -> (mmrRerank _),
-    "q_cdc_chunks" -> (cdcChunks _))
+    "q_cdc_chunks" -> (cdcChunks _),
+    "q_lsh_index" -> (lshIndex _))
 
   val oracles: Map[String, String] = Map(
     "q_mmr_rerank" -> mmrRerankSql,
-    "q_cdc_chunks" -> cdcChunksSql)
+    "q_cdc_chunks" -> cdcChunksSql,
+    "q_lsh_index" -> lshIndexSql)
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns.normalizeText
+import graft.operators.{MinHashDedup, MinHashIndex}
+
+class MinHashIndexSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("build+append+probe equals the inline pipeline restricted to new-vs-corpus") {
+    val docs = Tables(spark, sf, "documents")
+    val norm = normalizeText(col("text"))
+    val dir = "target/lsh_index_spec"
+    val split = 150L
+    MinHashIndex.build(docs.filter(col("doc_id") < split), "doc_id", norm, dir)
+    MinHashIndex.append(docs.filter(col("doc_id") >= split), "doc_id", norm, dir)
+
+    val probed = MinHashIndex
+      .probeNew(spark, dir, docs, "doc_id", norm, threshold = 0.7, minNewId = split)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // The staged index must answer exactly what the inline pipeline
+    // answers when its full pair set is restricted to the keep-first
+    // delta orientation — index staging may lose or invent nothing.
+    val inline = MinHashDedup
+      .nearDuplicates(docs, "doc_id", norm, threshold = 0.7)
+      .filter(col("id_b") >= split)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probed == inline, s"probe=${probed.size} inline=${inline.size}")
+    assert(probed.nonEmpty, "testdata plants near-dups; an empty probe means a broken index")
+    assert(probed.forall(_._2 >= split), "keep-first orientation: id_b must be a delta doc")
+  }
+
+  test("append stages only the delta's bucket rows (per-batch cost)") {
+    val docs = Tables(spark, sf, "documents")
+    val norm = normalizeText(col("text"))
+    val dir = "target/lsh_index_spec2"
+    val split = 150L
+    MinHashIndex.build(docs.filter(col("doc_id") < split), "doc_id", norm, dir)
+    val afterBuild = spark.read.parquet(s"$dir/buckets").count()
+    MinHashIndex.append(docs.filter(col("doc_id") >= split), "doc_id", norm, dir)
+    val afterAppend = spark.read.parquet(s"$dir/buckets").count()
+    val full = MinHashDedup.banded(
+      MinHashDedup.signatures(docs, "doc_id", norm), "doc_id").count()
+    // Build + append together must stage exactly the full corpus's
+    // banded rows — append added the delta's share and nothing else.
+    assert(afterAppend == full, s"staged=$afterAppend expected=$full")
+    assert(afterBuild < afterAppend)
+  }
+}
