@@ -165,13 +165,135 @@ FROM pos ORDER BY doc_id
     restricted
   }
 
+  /** Near-dup canonicalization — the composite that turns q_dedup_clusters'
+    * components into a DEDUP DECISION: within every cluster keep the
+    * highest-quality member (ties → smallest doc_id), mark the rest as
+    * duplicates of it. This is the end of the dedup funnel a corpus
+    * actually executes (clusters alone don't shrink a corpus; choosing
+    * canonicals does). Shape on top of the cluster pass: one broadcast-
+    * sized quality join and one per-component argmax window — components
+    * are near-dup clusters, so partitions are small by construction.
+    * Quality score doubles order identically cross-engine (same closed
+    * form as q_quality_scores, already hash-verified); the score itself
+    * never reaches the output. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.{fingerprint, qualityScore, tokens}
+    import graft.operators.{ConnectedComponents, SimHash}
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      .localCheckpoint(true)
+    val fpMin = fp.groupBy("fingerprint").agg(min(col("doc_id")).as("src"))
+    val fpEdges = fp.join(fpMin, "fingerprint")
+      .filter(col("doc_id") =!= col("src"))
+      .select(col("src"), col("doc_id").as("dst"))
+    val sim = SimHash.withSimhash(docs, "doc_id", tokens(normalizeText(col("text"))))
+    val hamEdges = SimHash.hammingPairs(sim, "doc_id", nBits = 32, maxDist = 2)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents.components(fpEdges.union(hamEdges))
+    val scored = comp.join(
+      docs.select(col("doc_id"), qualityScore(col("text")).as("__q")),
+      col("id") === col("doc_id"))
+    val w = Window.partitionBy("component").orderBy(col("__q").desc, col("doc_id"))
+    val rep = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("canonical_id"))
+    comp.join(rep, "component")
+      .select(col("id").as("doc_id"), col("component"), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Twin derived from the cluster twin by replacing its final SELECT
+    * with the quality-argmax canonical choice (same substitution
+    * discipline as lshIndexSql — composites may not drift from their
+    * base queries). */
+  val dedupCanonicalSql: String = {
+    val base = LlmQueries2.dedupClustersSql
+    val anchor = """SELECT c.doc_id, c.component, s.cluster_size
+FROM comp c JOIN sizes s USING (component)
+ORDER BY doc_id
+"""
+    require(base.contains(anchor), "cluster twin anchor moved; update dedupCanonicalSql")
+    base.replace(anchor, """, q AS (
+  SELECT doc_id,
+    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+      + least(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|was)\b')) AS DOUBLE)
+              / CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE) * 4.0, 1.0) * 0.5
+      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.2 AS score
+  FROM documents),
+canon AS (
+  SELECT c.doc_id, c.component,
+         row_number() OVER (PARTITION BY c.component ORDER BY q.score DESC, c.doc_id) AS rn
+  FROM comp c JOIN q USING (doc_id)),
+rep AS (SELECT component, doc_id AS canonical_id FROM canon WHERE rn = 1)
+SELECT c.doc_id, c.component, r.canonical_id,
+       c.doc_id = r.canonical_id AS is_canonical
+FROM comp c JOIN rep r USING (component)
+ORDER BY doc_id
+""")
+  }
+
+  /** Preprocessing-funnel yield accounting per source: raw docs →
+    * keep-first exact dedup survivors → quality-gate survivors, with the
+    * kept token mass — the shrinkage report every corpus build publishes
+    * alongside its output (which stage ate the data, per slice). One
+    * pass computes all three stage flags as columns; the rollup is a
+    * single map-side-combinable aggregation — the funnel costs one scan,
+    * not one scan per stage. */
+  def pipelineYield(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.{fingerprint, qualityScore, tokenCount}
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val w = Window.partitionBy("__fp").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("__fp"),
+        qualityScore(col("text")).as("__q"), tokenCount(col("text")).as("__tok"))
+      .withColumn("__first", row_number().over(w) === 1)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("__first"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("__first") && col("__q") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__first") && col("__q") >= 0.5, col("__tok")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val pipelineYieldSql: String = """
+WITH base AS (
+  SELECT doc_id, source, text,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok,
+    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+      + least(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|it|was)\b')) AS DOUBLE)
+              / CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) AS DOUBLE) * 4.0, 1.0) * 0.5
+      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.2 AS score
+  FROM documents),
+flagged AS (
+  SELECT source, tok, score,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS first
+  FROM base)
+SELECT source, COUNT(*) AS n_raw,
+       CAST(SUM(CASE WHEN first THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN first AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN first AND score >= 0.5 THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM flagged GROUP BY source ORDER BY source
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mmr_rerank" -> (mmrRerank _),
     "q_cdc_chunks" -> (cdcChunks _),
-    "q_lsh_index" -> (lshIndex _))
+    "q_lsh_index" -> (lshIndex _),
+    "q_dedup_canonical" -> (dedupCanonical _),
+    "q_pipeline_yield" -> (pipelineYield _))
 
   val oracles: Map[String, String] = Map(
     "q_mmr_rerank" -> mmrRerankSql,
     "q_cdc_chunks" -> cdcChunksSql,
-    "q_lsh_index" -> lshIndexSql)
+    "q_lsh_index" -> lshIndexSql,
+    "q_dedup_canonical" -> dedupCanonicalSql,
+    "q_pipeline_yield" -> pipelineYieldSql)
 }
