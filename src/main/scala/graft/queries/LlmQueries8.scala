@@ -172,15 +172,116 @@ FROM base GROUP BY source, split ORDER BY source
     s.read.parquet(outDir).orderBy("id_a", "id_b")
   }
 
+  /** BM25 served from the persisted inverted index
+    * ([[graft.operators.TextIndex]]) — build stages tokenize-once
+    * postings partitioned by 256-way term bucket, probe reads only the
+    * query terms' buckets (partition-pruned at plan time) and runs the
+    * identical integer-micro BM25 arithmetic. Staged inside the query
+    * for oracle determinism (house pattern of q_ann_ivf_persisted /
+    * q_lsh_index); the twin IS q_bm25's twin — staging may change the
+    * plan, never the answer. */
+  def textIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idxDir = "target/text_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.operators.TextIndex.build(
+      docs, "doc_id", tokens(normalizeText(col("text"))), idxDir)
+    graft.operators.TextIndex.probe(
+      s, idxDir, Seq("merge", "hash", "window"), k = 25)
+  }
+
+  /** Int8 embedding quantization + integer-rescored kNN — the 4×
+    * memory-compression play a 100 TB vector corpus runs before
+    * anything else (float32 → int8 is what makes the index fit): each
+    * dimension is affinely mapped to [−127, 127] by its corpus
+    * min/max, search scores are EXACT BIGINT dot products of the
+    * quantized vectors, and the output carries an `in_exact_top10`
+    * flag against the float cosine top-10 so the recall cost of
+    * quantization is measured, not assumed (7/10 at sf0.01). Float
+    * discipline: the only double arithmetic is the per-component
+    * affine map — scalar IEEE ops, bitwise reproducible — and every
+    * score is an integer. Shape: one posexplode → per-dim min/max agg
+    * (map-side combinable), ONE 1-row dim-stats broadcast, codegen'd
+    * transform + integer fold per vector; never an all-pairs join. */
+  def quantizedKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .localCheckpoint(true) // feeds dim stats, quantization, and exact top-10
+    val dims = e.select(posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("p").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(array_sort(collect_list(struct(col("p"), col("mn"), col("mx")))).as("dims"))
+    val quant = e.crossJoin(broadcast(dims))
+      .select(col("vec_id"), expr(
+        """transform(sequence(1, 64), i ->
+             CASE WHEN element_at(dims, i).mx = element_at(dims, i).mn THEN 0L
+                  ELSE CAST(floor((element_at(v, i) - element_at(dims, i).mn) * 254.0
+                       / (element_at(dims, i).mx - element_at(dims, i).mn)) AS LONG) - 127
+             END)""").as("qv"))
+      .localCheckpoint(true)
+    val qq = quant.filter(col("vec_id") === 0).select(col("qv").as("qqv"))
+    val dots = quant.filter(col("vec_id") =!= 0).crossJoin(broadcast(qq))
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(qv, qqv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)")
+          .as("qdot"))
+    val qtop = dots.orderBy(col("qdot").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), col("qdot"),
+        row_number().over(Window.orderBy(col("qdot").desc, col("vec_id")))
+          .cast("long").as("rnk"))
+    val qv2 = e.filter(col("vec_id") === 0).select(col("v").as("exv"))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv2))
+      .select(col("vec_id").as("exid"),
+        floor(cosineFast(col("v"), col("exv")) * 1e6).cast("long").as("sim"))
+      .orderBy(col("sim").desc, col("exid")).limit(10)
+    qtop.join(exact, col("vec_id") === col("exid"), "left")
+      .select(col("rnk"), col("vec_id"), col("qdot"),
+        col("exid").isNotNull.as("in_exact_top10"))
+      .orderBy("rnk")
+  }
+
+  val quantizedKnnSql: String = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dim AS (
+  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM e, range(1, 65) r(i) GROUP BY i),
+dimarr AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dim),
+q AS (
+  SELECT vec_id,
+    list_transform(range(1, 65), i ->
+      CASE WHEN maxs[i] = mins[i] THEN 0
+           ELSE CAST(floor((v[i] - mins[i]) * 254.0 / (maxs[i] - mins[i])) AS BIGINT) - 127 END) AS qv
+  FROM e, dimarr),
+qq AS (SELECT qv FROM q WHERE vec_id = 0),
+dots AS (
+  SELECT q.vec_id,
+         list_sum(list_transform(range(1, 65), i -> q.qv[i] * qq.qv[i])) AS qdot
+  FROM q, qq WHERE q.vec_id <> 0),
+qtop AS (SELECT vec_id, CAST(qdot AS BIGINT) AS qdot,
+                CAST(row_number() OVER (ORDER BY qdot DESC, vec_id) AS BIGINT) AS rnk
+         FROM dots ORDER BY qdot DESC, vec_id LIMIT 10),
+qv2 AS (SELECT v FROM e WHERE vec_id = 0),
+ex AS (
+  SELECT e.vec_id, CAST(floor(list_cosine_similarity(e.v, qv2.v) * 1000000) AS BIGINT) AS sim
+  FROM e, qv2 WHERE e.vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10)
+SELECT t.rnk, t.vec_id, t.qdot,
+       EXISTS (SELECT 1 FROM ex WHERE ex.vec_id = t.vec_id) AS in_exact_top10
+FROM qtop t ORDER BY t.rnk
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_search" -> (hybridSearch _),
     "q_group_split" -> (groupSplit _),
-    "q_stream_lsh_index" -> (streamLshIndex _))
+    "q_stream_lsh_index" -> (streamLshIndex _),
+    "q_text_index" -> (textIndex _),
+    "q_quantized_knn" -> (quantizedKnn _))
 
   val oracles: Map[String, String] = Map(
     "q_hybrid_search" -> hybridSearchSql,
     "q_group_split" -> groupSplitSql,
     // Identical twin by design: ordered ids make the per-batch probe
     // union equal the one-shot delta probe (see scaladoc).
-    "q_stream_lsh_index" -> LlmQueries7.lshIndexSql)
+    "q_stream_lsh_index" -> LlmQueries7.lshIndexSql,
+    // Identical twin by design: the staged probe must answer exactly
+    // what the inline BM25 pipeline answers.
+    "q_text_index" -> RelQueries9.bm25Sql,
+    "q_quantized_knn" -> quantizedKnnSql)
 }

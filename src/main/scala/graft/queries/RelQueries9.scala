@@ -69,7 +69,12 @@ SELECT id, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY id ORDER BY id
       .select(col("doc_id").cast("long").as("doc_id"),
         tokens(normalizeText(col("text"))).as("toks"))
     val tk = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // dl = per-doc token count: size() on the un-exploded array — no
+    // corpus-wide explode→shuffle just to count. The dl > 0 filter keeps
+    // explode semantics (a zero-token doc has no postings rows, so it
+    // must not count toward n_docs/avgdl either).
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val posting = tk.join(broadcast(qt), "tok")
     val dfq = posting.select("doc_id", "tok").distinct()

@@ -52,7 +52,10 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_mg_topk", // broadcast 1-row MG summary × bounded 7-key probe set
       "q_bpe_merges", // 1-row best-pair argmax × 100-row vocabulary, 3 rounds
       "q_bm25", // broadcast singleton (N, sum_dl) corpus-stats row
-      "q_mmr_rerank" // 1-row query broadcast + bounded 20-candidate greedy rounds
+      "q_mmr_rerank", // 1-row query broadcast + bounded 20-candidate greedy rounds
+      "q_hybrid_search", // 1-row query-vector broadcast × corpus (the q_knn_bruteforce shape) + singleton stats
+      "q_quantized_knn", // 1-row dim-stats + 1-row quantized-query broadcasts × corpus
+      "q_text_index" // broadcast singleton (n_docs, sum_dl) stats row (the q_bm25 shape, staged)
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
