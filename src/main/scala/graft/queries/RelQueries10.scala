@@ -210,15 +210,104 @@ SELECT event_type, lag, n,
 FROM m ORDER BY event_type, lag
 """
 
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence — the behavioral-model summary (what follows what, with
+    * probabilities) behind next-event prediction and anomaly scoring.
+    * Probabilities are integral micro-units (n·10⁶ div row-total) so
+    * every output is BIGINT. Shape: one lead() window per user (the
+    * sequence is already the partition), then two map-side-combinable
+    * aggregations; transition-matrix size is |types|², bounded. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val cnt = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("src").agg(sum("n").as("row_tot"))
+    cnt.join(broadcast(tot), "src")
+      .select(col("src"), col("dst"), col("n"),
+        expr("n * 1000000 div row_tot").as("p_micro"))
+      .orderBy("src", "dst")
+  }
+
+  val markovTransitionsSql: String = """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+pairs AS (SELECT src, dst FROM seq WHERE dst IS NOT NULL),
+cnt AS (SELECT src, dst, COUNT(*) AS n FROM pairs GROUP BY src, dst),
+tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS row_tot FROM cnt GROUP BY src)
+SELECT c.src, c.dst, c.n, CAST(c.n * 1000000 // t.row_tot AS BIGINT) AS p_micro
+FROM cnt c JOIN tot t USING (src) ORDER BY src, dst
+"""
+
+  /** Top session paths: gap-sessionize (the q_sessionize island
+    * arithmetic on exact µs), take each session's first 3 event types
+    * as a '>'-joined path, rank paths by session count — the classic
+    * "how do sessions start" product-analytics query. Deterministic
+    * string assembly: collect_list is order-free, so the path is built
+    * by sorting (rn, type) structs — never by aggregation order. */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val brk = e.withColumn("brk",
+      when(lag(col("us"), 1).over(w).isNull ||
+        col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+    val sess = brk.withColumn("sid",
+      sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val rn = sess.withColumn("rn", row_number().over(
+      Window.partitionBy("user_id", "sid").orderBy("us", "event_id")))
+      .filter(col("rn") <= 3)
+    rn.groupBy("user_id", "sid")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, event_type)))," +
+        " x -> x.event_type), '>')").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(10)
+  }
+
+  val sessionPathsSql: String = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+b AS (
+  SELECT user_id, event_type, event_id, us,
+    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+g AS (
+  SELECT user_id, event_type, event_id, us,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM b),
+rn AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+  FROM g),
+paths AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM rn WHERE rn <= 3 GROUP BY user_id, sid)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kcore" -> (kcore _),
     "q_geo_radius" -> (geoRadius _),
     "q_kanonymity" -> (kAnonymity _),
-    "q_acf" -> (acf _))
+    "q_acf" -> (acf _),
+    "q_markov_transitions" -> (markovTransitions _),
+    "q_session_paths" -> (sessionPaths _))
 
   val oracles: Map[String, String] = Map(
     "q_kcore" -> kcoreSql,
     "q_geo_radius" -> geoRadiusSql,
     "q_kanonymity" -> kAnonymitySql,
-    "q_acf" -> acfSql)
+    "q_acf" -> acfSql,
+    "q_markov_transitions" -> markovTransitionsSql,
+    "q_session_paths" -> sessionPathsSql)
 }
