@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, LlmQueries5, LlmQueries6, LlmQueries7, LlmQueries8, RefQueries, RelQueries, RelQueries2, RelQueries3, RelQueries4, RelQueries5, RelQueries6, RelQueries7, RelQueries8, RelQueries9, RelQueries10, RelQueries11, ScaleQueries, SqlQueries, StreamQueries}
+import graft.queries.{LlmQueries, LlmQueries2, LlmQueries3, LlmQueries4, LlmQueries5, LlmQueries6, LlmQueries7, LlmQueries8, LlmQueries9, RefQueries, RelQueries, RelQueries2, RelQueries3, RelQueries4, RelQueries5, RelQueries6, RelQueries7, RelQueries8, RelQueries9, RelQueries10, RelQueries11, ScaleQueries, SqlQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
       RelQueries9.defs ++ RelQueries10.defs ++ RelQueries11.defs ++
       LlmQueries.defs ++ LlmQueries2.defs ++ LlmQueries3.defs ++
       LlmQueries4.defs ++ LlmQueries5.defs ++ LlmQueries6.defs ++
-      LlmQueries7.defs ++ LlmQueries8.defs ++
+      LlmQueries7.defs ++ LlmQueries8.defs ++ LlmQueries9.defs ++
       ScaleQueries.defs ++ SqlQueries.defs ++ StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,6 +37,6 @@ object SparkEntry {
       RelQueries9.oracles ++ RelQueries10.oracles ++ RelQueries11.oracles ++
       LlmQueries.oracles ++ LlmQueries2.oracles ++ LlmQueries3.oracles ++
       LlmQueries4.oracles ++ LlmQueries5.oracles ++ LlmQueries6.oracles ++
-      LlmQueries7.oracles ++ LlmQueries8.oracles ++
+      LlmQueries7.oracles ++ LlmQueries8.oracles ++ LlmQueries9.oracles ++
       ScaleQueries.oracles ++ SqlQueries.oracles ++ StreamQueries.oracles
 }

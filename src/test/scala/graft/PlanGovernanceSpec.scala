@@ -55,7 +55,10 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_mmr_rerank", // 1-row query broadcast + bounded 20-candidate greedy rounds
       "q_hybrid_search", // 1-row query-vector broadcast × corpus (the q_knn_bruteforce shape) + singleton stats
       "q_quantized_knn", // 1-row dim-stats + 1-row quantized-query broadcasts × corpus
-      "q_text_index" // broadcast singleton (n_docs, sum_dl) stats row (the q_bm25 shape, staged)
+      "q_text_index", // broadcast singleton (n_docs, sum_dl) stats row (the q_bm25 shape, staged)
+      "q_cusum", // broadcast singleton (n, total) series-stats row onto the day series
+      "q_fk_discovery", // five 1-row (n_child × n_contained) singleton joins, one per candidate pair
+      "q_seqpair_support" // broadcast singleton distinct-user-count row onto |types|² pairs
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
