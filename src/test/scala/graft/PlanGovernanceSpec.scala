@@ -58,7 +58,10 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_text_index", // broadcast singleton (n_docs, sum_dl) stats row (the q_bm25 shape, staged)
       "q_cusum", // broadcast singleton (n, total) series-stats row onto the day series
       "q_fk_discovery", // five 1-row (n_child × n_contained) singleton joins, one per candidate pair
-      "q_seqpair_support" // broadcast singleton distinct-user-count row onto |types|² pairs
+      "q_seqpair_support", // broadcast singleton distinct-user-count row onto |types|² pairs
+      "q_assoc_rules", // broadcast singleton basket-count row onto |brands|² rule pairs
+      "q_benford", // broadcast singleton total-count row onto 9 digit rows
+      "q_seq_triple" // three 1-row step-count aggregates + singleton user-count, all broadcast
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
