@@ -278,6 +278,58 @@ object Multimodal {
     })
   }
 
+  case class AudioFingerprint(id: Long, n_frames: Long, fp: String)
+
+  /** Energy-delta acoustic fingerprint over REAL decoded PCM — the
+    * simplified Haitsma–Kalker (2002) scheme: frame the sample stream,
+    * per-frame energy Σs², emit one bit per frame boundary
+    * (e_f > e_{f−1}). Amplitude-invariant by construction (a uniform
+    * positive gain scales every energy equally, preserving the
+    * comparisons), so a re-encoded / re-leveled copy of the same
+    * signal collides — which is exactly what audio near-dup wants.
+    * Decode path is the same javax.sound pipeline as `decodeAudio`
+    * (16-bit LE mono); energies are exact Long sums of Short squares,
+    * so the bit string is deterministic. */
+  def fingerprintAudio(media: Dataset[MediaRow], frame: Int): Dataset[AudioFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      parseWav(r.payload).flatMap { _ =>
+        val res = scala.util.Try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          try {
+            val f = in.getFormat
+            val buf = in.readAllBytes()
+            if (f.getSampleSizeInBits != 16 || f.isBigEndian || f.getChannels != 1) None
+            else {
+              val n = buf.length / 2
+              val nFrames = n / frame
+              val energies = Array.tabulate(nFrames) { fi =>
+                var e = 0L
+                var i = fi * frame
+                val end = i + frame
+                while (i < end) {
+                  val s = ((buf(2 * i) & 0xff) | (buf(2 * i + 1).toInt << 8)).toShort.toLong
+                  e += s * s
+                  i += 1
+                }
+                e
+              }
+              val bits = new StringBuilder
+              var fi = 1
+              while (fi < nFrames) {
+                bits += (if (energies(fi) > energies(fi - 1)) '1' else '0')
+                fi += 1
+              }
+              Some(AudioFingerprint(r.id, nFrames, bits.toString))
+            }
+          } finally in.close()
+        }
+        res.toOption.flatten
+      }
+    })
+  }
+
   /** Deterministic mono PCM16 WAV encoder (fixture side of the audio
     * round trip, mirroring `encodeGrayPng`): canonical 44-byte RIFF
     * header + little-endian samples. Lossless, so `decodeAudio` must

@@ -69,6 +69,27 @@ class MultimodalSpec extends GraftSuite {
     assert(d.n_samples == 5L && d.sample_sum == samples.map(_.toLong).sum)
   }
 
+  test("fingerprintAudio is amplitude-invariant and frame-exact over real decode") {
+    import spark.implicits._
+    // One signal at 1x and 3x gain, one genuinely different signal, one
+    // undecodable payload. The energy-delta bits must collide for the
+    // re-leveled copy and differ for the other signal.
+    val base = Array.tabulate[Short](48)(i => (((i * i * 5) % 157) - 78).toShort)
+    val loud = base.map(s => (s * 3).toShort)
+    val other = Array.tabulate[Short](48)(i => (((i * 13) % 157) - 78).toShort)
+    val rows = spark.createDataset(Seq(
+      MediaRow(1L, "a", Multimodal.encodePcmWav(8000, base)),
+      MediaRow(2L, "a", Multimodal.encodePcmWav(8000, loud)),
+      MediaRow(3L, "a", Multimodal.encodePcmWav(8000, other)),
+      MediaRow(4L, "a", Array[Byte](9, 9, 9))))
+    val fp = Multimodal.fingerprintAudio(rows, frame = 8).collect()
+      .map(f => f.id -> f).toMap
+    assert(fp.keySet == Set(1L, 2L, 3L))
+    assert(fp(1L).n_frames == 6L && fp(1L).fp.length == 5)
+    assert(fp(1L).fp == fp(2L).fp) // gain-invariant
+    assert(fp(1L).fp != fp(3L).fp) // discriminative
+  }
+
   test("parseMp4 walks the ISO-BMFF box tree to the real movie/track fields") {
     val mp4 = Multimodal.encodeMp4("isom", 600, 1234, 320, 240)
     assert(Multimodal.parseMp4(mp4).contains(("isom", 600L, 1234L, 320L, 240L)))
