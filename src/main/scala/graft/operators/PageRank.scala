@@ -52,4 +52,37 @@ object PageRank {
     }
     r
   }
+
+  /** Personalized PageRank (random walk with restart to ONE seed node):
+    * identical integer discipline to [[ranks]], but all teleport mass
+    * returns to `source` — r0 puts the whole `scale` on the seed and
+    * the damping step adds the 15% restart only at the seed row. The
+    * result is the seed's proximity distribution, the standard
+    * recommendation/similarity primitive. Same per-iteration shape and
+    * per-round lineage cut as [[ranks]]. */
+  def personalized(edges: DataFrame, source: Long, iters: Int = 3,
+                   scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val restart = 15L * scale / 100L
+    var r = nodes.select(col("id"),
+      when(col("id") === source, scale).otherwise(0L).as("rank"))
+    for (_ <- 0 until iters) {
+      val m = e.join(r.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      r = nodes.join(m.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          (when(col("id") === source, restart).otherwise(0L)
+            + expr("(85 * coalesce(m, 0L)) DIV 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
 }

@@ -62,7 +62,8 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_assoc_rules", // broadcast singleton basket-count row onto |brands|² rule pairs
       "q_benford", // broadcast singleton total-count row onto 9 digit rows
       "q_seq_triple", // three 1-row step-count aggregates + singleton user-count, all broadcast
-      "q_trending_decay" // broadcast singleton max-orderdate row onto the fact join
+      "q_trending_decay", // broadcast singleton max-orderdate row onto the fact join
+      "q_kaplan_meier" // singleton horizon row + event-times (≤ #days) × subjects at-risk inequality join, both bounded
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
