@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns.{normalizeText, tokens}
+
+/** Tenth LLM-data batch — document-level NLP scoring: Flesch-style
+  * readability in exact integer micros, per-doc TF-IDF keyword
+  * extraction (serialized, never an array column at the result edge),
+  * and a trained-and-applied multinomial naive-Bayes source classifier
+  * with Laplace smoothing (the classic quality/domain tagger a corpus
+  * pipeline runs before mixture sampling).
+  */
+object LlmQueries10 {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  // -------------------------------------------------- readability
+
+  /** Flesch reading-ease per document, exact-integer end to end:
+    * words from the house tokenizer, sentences = runs of [.!?] on the
+    * RAW text (normalization strips punctuation), syllables ≈ vowel
+    * groups. The two rate terms are integral divisions in micro units,
+    * so no float ever enters — the score is reproducible bit-for-bit
+    * on any engine. One scan, pure codegen'd expressions, no shuffle
+    * at all until the bounded ORDER BY 30-row gate. */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .filter(length(normalizeText(col("text"))) > 0)
+      .select(col("doc_id"),
+        size(tokens(normalizeText(col("text")))).cast("long").as("w"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("s"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("y"))
+      .select(col("doc_id"), col("w").as("n_words"), col("s").as("n_sents"),
+        col("y").as("n_syll"),
+        (lit(206835000L) - expr("(1015 * ((w*1000000) DIV s)) DIV 1000")
+          - expr("(84600 * ((y*1000000) DIV w)) DIV 1000")).as("flesch_micro"))
+      .orderBy("doc_id").limit(30)
+  }
+
+  val readabilitySql: String = """
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS w,
+    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS s,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+  FROM documents WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0)
+SELECT doc_id, w AS n_words, s AS n_sents, y AS n_syll,
+       CAST(206835000 - (1015 * ((w*1000000) // s)) // 1000
+                      - (84600 * ((y*1000000) // w)) // 1000 AS BIGINT) AS flesch_micro
+FROM m ORDER BY doc_id LIMIT 30
+"""
+
+  // ---------------------------------------------- keyword extraction
+
+  /** Per-document top-3 TF-IDF keywords, emitted as ONE space-joined
+    * string (the r5 q_token_encode lesson: the result edge never
+    * carries an array). idf = ⌊ln(N/df)·1e6⌋ — one scalar ln per
+    * DISTINCT term, floored before the exact integer tf·idf product;
+    * ranking is a per-doc window (partition width = doc vocabulary)
+    * with a total-order tiebreak. Scale shape: tf and df are map-side
+    * combinable aggs; the singleton N row is broadcast. */
+  def keywordExtract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = docs.filter(length(normalizeText(col("text"))) > 0)
+      .select(col("doc_id"), explode(tokens(normalizeText(col("text")))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n"))
+    val idf = df_.crossJoin(broadcast(n))
+      .select(col("w"),
+        floor(log(col("n").cast("double") / col("df")) * 1e6).cast("long").as("idf"))
+    val rk = Window.partitionBy("doc_id").orderBy((col("tf") * col("idf")).desc, col("w"))
+    tf.join(idf, "w")
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 3)
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("rk"), col("w")))),
+        x => x.getField("w")), " ").as("keywords"))
+      .orderBy("doc_id").limit(30)
+  }
+
+  val keywordExtractSql: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+idf AS (SELECT w, CAST(floor(ln(CAST(n AS DOUBLE)/df)*1000000.0) AS BIGINT) AS idf FROM df, n),
+sc AS (
+  SELECT t.doc_id, t.w,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY t.tf * i.idf DESC, t.w) AS rk
+  FROM tf t JOIN idf i USING (w))
+SELECT doc_id, string_agg(w, ' ' ORDER BY rk) AS keywords
+FROM sc WHERE rk <= 3 GROUP BY doc_id ORDER BY doc_id LIMIT 30
+"""
+
+  // ------------------------------------------------- naive Bayes
+
+  /** Multinomial naive-Bayes source classifier, trained and applied in
+    * one plan (resubstitution — the corpus-tagger shape): top-100
+    * vocabulary, Laplace-smoothed log-likelihoods ⌊ln((c+1)/(tot+|V|))·1e6⌋
+    * on the complete bounded source×vocab grid (20×100 rows — the only
+    * cross join, dim×dim), log-priors from doc counts; each doc scores
+    * all 20 candidates via an equi-join on the term and an exact
+    * integer Σ tf·llh (per-term floor BEFORE the sum — the q_bigram_lm
+    * float discipline), argmax with a total-order tiebreak. Output:
+    * the confusion rollup (≤|sources|² rows). */
+  def naiveBayes(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.filter(length(normalizeText(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(normalizeText(col("text")))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("nw"))
+      .orderBy(col("nw").desc, col("w")).limit(100).select("w")
+    val vt = tok.join(broadcast(vocab), "w")
+    val cnt = vt.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val srcs = docs.select("source").distinct()
+    val tots = cnt.groupBy("source").agg(sum("c").as("tot"))
+    val llh = broadcast(srcs).crossJoin(broadcast(vocab))
+      .join(cnt, Seq("source", "w"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(tots), "source")
+      .select(col("source"), col("w"),
+        floor(log((col("c") + 1).cast("double") / (col("tot") + 100)) * 1e6)
+          .cast("long").as("llh"))
+    val nd = docs.agg(count(lit(1)).as("n"))
+    val prior = docs.groupBy("source").agg(countDistinct("doc_id").as("cd"))
+      .crossJoin(broadcast(nd))
+      .select(col("source"),
+        floor(log(col("cd").cast("double") / col("n")) * 1e6).cast("long").as("pri"))
+    val tf = vt.groupBy(col("doc_id"), col("source").as("true_source"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val score = tf.join(broadcast(llh.withColumnRenamed("source", "cand")), "w")
+      .groupBy("doc_id", "true_source", "cand")
+      .agg(sum(col("tf") * col("llh")).as("ssum"))
+      .join(broadcast(prior.withColumnRenamed("source", "cand")), "cand")
+      .select(col("doc_id"), col("true_source"), col("cand"),
+        (col("ssum") + col("pri")).as("sc"))
+    val rk = Window.partitionBy("doc_id").orderBy(col("sc").desc, col("cand"))
+    score.withColumn("rk", row_number().over(rk)).filter(col("rk") === 1)
+      .groupBy(col("true_source"), col("cand").as("pred_source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_source", "pred_source")
+  }
+
+  val naiveBayesSql: String = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+  FROM documents WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0),
+vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS n FROM tok GROUP BY 1 ORDER BY n DESC, w LIMIT 100)),
+vt AS (SELECT doc_id, source, w FROM tok JOIN vocab USING (w)),
+cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM vt GROUP BY 1, 2),
+srcs AS (SELECT DISTINCT source FROM documents),
+tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+grid AS (
+  SELECT s.source, v.w, COALESCE(c.c, 0) AS c, t.tot
+  FROM srcs s CROSS JOIN vocab v
+  LEFT JOIN cnt c ON c.source = s.source AND c.w = v.w
+  JOIN tots t ON t.source = s.source),
+llh AS (
+  SELECT source, w,
+         CAST(floor(ln(CAST(c + 1 AS DOUBLE) / (tot + 100)) * 1000000.0) AS BIGINT) AS llh
+  FROM grid),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+prior AS (
+  SELECT source, CAST(floor(ln(CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / n) * 1000000.0) AS BIGINT) AS pri
+  FROM documents, nd GROUP BY source, n),
+tf AS (SELECT doc_id, source AS true_source, w, CAST(COUNT(*) AS BIGINT) AS tf FROM vt GROUP BY 1, 2, 3),
+score AS (
+  SELECT f.doc_id, f.true_source, l.source AS cand,
+         CAST(SUM(f.tf * l.llh) AS BIGINT) + p.pri AS sc
+  FROM tf f JOIN llh l ON l.w = f.w JOIN prior p ON p.source = l.source
+  GROUP BY f.doc_id, f.true_source, l.source, p.pri),
+pred AS (
+  SELECT doc_id, true_source, cand AS pred_source,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, cand) AS rk
+  FROM score)
+SELECT true_source, pred_source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+  // ------------------------------------------------------- registry
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (readability _),
+    "q_keyword_extract" -> (keywordExtract _),
+    "q_naive_bayes" -> (naiveBayes _))
+
+  def oracles: Map[String, String] = Map(
+    "q_readability" -> readabilitySql,
+    "q_keyword_extract" -> keywordExtractSql,
+    "q_naive_bayes" -> naiveBayesSql)
+}

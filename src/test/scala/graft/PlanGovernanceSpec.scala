@@ -63,7 +63,11 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_benford", // broadcast singleton total-count row onto 9 digit rows
       "q_seq_triple", // three 1-row step-count aggregates + singleton user-count, all broadcast
       "q_trending_decay", // broadcast singleton max-orderdate row onto the fact join
-      "q_kaplan_meier" // singleton horizon row + event-times (≤ #days) × subjects at-risk inequality join, both bounded
+      "q_kaplan_meier", // singleton horizon row + event-times (≤ #days) × subjects at-risk inequality join, both bounded
+      "q_info_gain", // broadcast singleton total-count row onto |brands|×|flags| cells; 1×1 final join
+      "q_rfm", // broadcast singleton max-orderdate + customer-count rows onto bounded aggregates
+      "q_keyword_extract", // broadcast singleton n-docs row onto the distinct-term idf table
+      "q_naive_bayes" // bounded dim×dim grid (|sources|×|vocab| = 20×100) + singleton doc-count row
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
