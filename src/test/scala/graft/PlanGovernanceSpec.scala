@@ -67,7 +67,10 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_info_gain", // broadcast singleton total-count row onto |brands|×|flags| cells; 1×1 final join
       "q_rfm", // broadcast singleton max-orderdate + customer-count rows onto bounded aggregates
       "q_keyword_extract", // broadcast singleton n-docs row onto the distinct-term idf table
-      "q_naive_bayes" // bounded dim×dim grid (|sources|×|vocab| = 20×100) + singleton doc-count row
+      "q_naive_bayes", // bounded dim×dim grid (|sources|×|vocab| = 20×100) + singleton doc-count row
+      "q_theil_sen", // calendar-bounded 120-day pair join (≤7140 pairs) + singleton min/max/count rows
+      "q_holt_smooth", // broadcast singleton min-date row onto the fact scan
+      "q_file_skipping" // broadcast singleton (min,span) bounds row onto the fact scan
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
