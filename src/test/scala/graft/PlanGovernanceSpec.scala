@@ -70,7 +70,9 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_naive_bayes", // bounded dim×dim grid (|sources|×|vocab| = 20×100) + singleton doc-count row
       "q_theil_sen", // calendar-bounded 120-day pair join (≤7140 pairs) + singleton min/max/count rows
       "q_holt_smooth", // broadcast singleton min-date row onto the fact scan
-      "q_file_skipping" // broadcast singleton (min,span) bounds row onto the fact scan
+      "q_file_skipping", // broadcast singleton (min,span) bounds row onto the fact scan
+      "q11_value_share", // broadcast singleton (total,count) row — the decorrelated HAVING
+      "q15_top_supplier" // broadcast singleton max-revenue row — the decorrelated max subquery
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -118,6 +120,32 @@ class PlanGovernanceSpec extends GraftSuite {
       .queryExecution.executedPlan.toString
     assert(!lp.contains("Window"),
       s"q_label_prop must not plan a window:\n${lp.take(2000)}")
+  }
+
+  test("round-6 plan pins: Q2 broadcasts dims, NB classifier stays doc-partitioned") {
+    val dir = "/root/testdata/sf0.001"
+    // the decorrelated Q2 must keep the supplier→nation→region chain on
+    // BroadcastHashJoin and never fall to a nested loop: the min-cost
+    // join-back has a composite equi-key (pk, cost)
+    val q2 = SparkEntry.queries("q2_min_cost_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(q2.contains("BroadcastHashJoin"),
+      s"q2_min_cost_supplier must broadcast the dim chain:\n${q2.take(2000)}")
+    assert(!q2.contains("BroadcastNestedLoopJoin") && !q2.contains("CartesianProduct"),
+      s"q2_min_cost_supplier must keep equi-keys:\n${q2.take(2000)}")
+    // the NB argmax window must be partitioned by doc_id — an
+    // unpartitioned window would serialize the whole corpus through one
+    // reducer (the WindowExec all-to-one-partition catastrophe)
+    val nb = SparkEntry.queries("q_naive_bayes")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(nb.contains("windowspecdefinition(doc_id"),
+      s"q_naive_bayes argmax must partition by doc_id:\n${nb.take(2000)}")
+    // link prediction's wedge join must stay equi-keyed on the shared
+    // neighbor — governance already bans cartesians, but pin the shape
+    val lk = SparkEntry.queries("q_link_prediction")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!lk.contains("CartesianProduct"),
+      s"q_link_prediction wedge join must stay equi-keyed:\n${lk.take(2000)}")
   }
 
   test("sketch-binning plans stay sort-free: no window exec, one result-edge sort") {
