@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the engine's landed parquet tables (see TESTDATA.md).
   *
@@ -34,9 +34,19 @@ object Tables {
     val fixed = nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       // Integral `div`, not `/`: ns-epoch longs (~1.7e18) exceed double's
       // exact integer range, so float division would corrupt the low bits.
-      if (d.schema(c).dataType == LongType)
-        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-      else d
+      d.schema(c).dataType match {
+        case LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case TimestampNTZType =>
+          // Data generators have landed `ts` both as TIMESTAMP(NANOS)
+          // (→ long via nanosAsLong) and as plain TIMESTAMP(MICROS,
+          // isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ.
+          // The session TZ is pinned UTC, so casting NTZ→TIMESTAMP preserves
+          // every instant; downstream unix_micros/window/watermark code all
+          // expects TimestampType. Loader must be robust to both encodings.
+          d.withColumn(c, col(c).cast(TimestampType))
+        case _ => d
+      }
     }
     // Small-scan compaction guard: a fact table landed as one parquet
     // row-group scans as ONE partition, serializing all per-row compute

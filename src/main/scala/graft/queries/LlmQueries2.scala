@@ -23,19 +23,9 @@ object LlmQueries2 {
     * Docs in no pair (the vast majority) are untouched singletons and do
     * not appear. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    // fp feeds itself (rows + group-mins) across a self-join — checkpoint
-    // the tiny (id, md5) frame so the documents scan and md5 run once.
-    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
-      .localCheckpoint(true)
-    val fpMin = fp.groupBy("fingerprint").agg(min(col("doc_id")).as("src"))
-    val fpEdges = fp.join(fpMin, "fingerprint")
-      .filter(col("doc_id") =!= col("src"))
-      .select(col("src"), col("doc_id").as("dst"))
-    val sim = SimHash.withSimhash(docs, "doc_id", tokens(normalizeText(col("text"))))
-    val hamEdges = SimHash.hammingPairs(sim, "doc_id", nBits = 32, maxDist = 2)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val comp = ConnectedComponents.components(fpEdges.union(hamEdges))
+    // Edge build + CC staged once per (session, dir) and shared with
+    // q_dedup_canonical — see operators/DedupStage.
+    val comp = graft.operators.DedupStage.components(s, dir)
     comp.join(ConnectedComponents.clusterSizes(comp), "component")
       .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
       .orderBy("doc_id")

@@ -381,29 +381,36 @@ ORDER BY d.doc_id
     * prep: a 200-doc budget allocated across sources proportionally to
     * each source's share of the corpus (largest-remainder rounding on
     * exact integer arithmetic), each source's quota filled by md5 rank
-    * (the same seedless draw as q_stratified_sample). One aggregation
-    * for the allocation (broadcast back — it is one row per source) and
-    * one rank window per stratum. */
+    * (the same seedless draw as q_stratified_sample). Largest-remainder
+    * rounding on exact integers: floor quotas first, then the leftover
+    * budget goes one doc at a time to the sources with the largest
+    * remainders (source name breaks remainder ties). Scale discipline
+    * (r7): scalar totals are broadcast singleton rows, the remainder
+    * rank runs through the range-partitioned PrefixSum, and the
+    * quota-fill rank pre-prunes with the bounded-heap TopKPerGroup
+    * (every quota ≤ budget) so the per-stratum window sorts at most
+    * budget·sources survivors instead of the whole corpus — the
+    * q_stratified_sample fix applied to the mixture draw. */
   def mixtureSample(s: SparkSession, dir: String): DataFrame = {
     val budget = 200L
     val docs = t(s, dir, "documents")
     val tot = docs.count()
-    // Largest-remainder rounding on exact integers: floor quotas first,
-    // then the leftover budget goes one doc at a time to the sources
-    // with the largest remainders (source name breaks remainder ties).
-    // The window runs over the per-source allocation table — one row
-    // per source, so the unpartitioned window is a few rows, not data.
-    val wRem = Window.orderBy(col("rem").desc, col("source"))
-    val alloc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val alloc0 = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("fq", expr(s"(n_docs * $budget) DIV $tot"))
       .withColumn("rem", expr(s"(n_docs * $budget) % $tot"))
-      .withColumn("leftover", lit(budget) - sum(col("fq")).over(Window.partitionBy()))
+    val leftover = alloc0.agg((lit(budget) - sum(col("fq"))).as("leftover"))
+    val alloc = graft.operators.PrefixSum
+      .rank(alloc0, -col("rem"), Seq(col("rem").desc, col("source")), "rn")
+      .crossJoin(broadcast(leftover))
       .withColumn("quota",
-        col("fq") + when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
-    val w = Window.partitionBy("source")
-      .orderBy(md5(concat(lit("mix|"), col("doc_id").cast("string"))))
-    docs.select(col("doc_id"), col("source"))
-      .withColumn("rk", row_number().over(w))
+        col("fq") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+    val w = Window.partitionBy("source").orderBy("__ord")
+    val picked = graft.plans.TopKPerGroup.topK(
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("__ord",
+          md5(concat(lit("mix|"), col("doc_id").cast("string")))),
+      Seq(col("source")), Seq(col("__ord")), k = budget.toInt)
+    picked.withColumn("rk", row_number().over(w))
       .join(broadcast(alloc.select("source", "quota")), "source")
       .filter(col("rk") <= col("quota"))
       .select(col("source"), col("doc_id"), col("rk"), col("quota"))

@@ -337,23 +337,25 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
     * scalar sqrt per source, floor-truncated to integer micro-units;
     * everything after — the shares, the floor quotas, the
     * largest-remainder distribution of the leftover budget — is exact
-    * long arithmetic (house pattern shared with q_mixture_sample). The
-    * windows run over the per-source table: a handful of rows, not
-    * data. */
+    * long arithmetic (house pattern shared with q_mixture_sample).
+    * Scalar totals arrive as broadcast singleton rows and the
+    * remainder rank runs through the range-partitioned PrefixSum, so
+    * no global single-partition window exists even when the source
+    * dimension grows with the corpus (per-domain sources at 100 TB). */
   def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val budget = 200L
-    val alloc0 = t(s, dir, "documents")
+    val src = t(s, dir, "documents")
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("sw", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
-      .withColumn("stot", sum(col("sw")).over(Window.partitionBy()))
+    val alloc0 = src.crossJoin(broadcast(src.agg(sum("sw").as("stot"))))
       .withColumn("fq", expr(s"(sw * $budget) DIV stot"))
       .withColumn("rem", expr(s"(sw * $budget) % stot"))
-    val wRem = Window.orderBy(col("rem").desc, col("source"))
-    alloc0
-      .withColumn("leftover", lit(budget) - sum(col("fq")).over(Window.partitionBy()))
+    val leftover = alloc0.agg((lit(budget) - sum(col("fq"))).as("leftover"))
+    graft.operators.PrefixSum
+      .rank(alloc0, -col("rem"), Seq(col("rem").desc, col("source")), "rn")
+      .crossJoin(broadcast(leftover))
       .withColumn("quota",
-        col("fq") + when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
+        col("fq") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
       .select(col("source"), col("n_docs"), col("sw"), col("quota"))
       .orderBy("source")
   }

@@ -177,20 +177,12 @@ FROM pos ORDER BY doc_id
     * form as q_quality_scores, already hash-verified); the score itself
     * never reaches the output. */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFns.{fingerprint, qualityScore, tokens}
-    import graft.operators.{ConnectedComponents, SimHash}
+    import graft.functions.TextFns.qualityScore
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
-      .localCheckpoint(true)
-    val fpMin = fp.groupBy("fingerprint").agg(min(col("doc_id")).as("src"))
-    val fpEdges = fp.join(fpMin, "fingerprint")
-      .filter(col("doc_id") =!= col("src"))
-      .select(col("src"), col("doc_id").as("dst"))
-    val sim = SimHash.withSimhash(docs, "doc_id", tokens(normalizeText(col("text"))))
-    val hamEdges = SimHash.hammingPairs(sim, "doc_id", nBits = 32, maxDist = 2)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val comp = ConnectedComponents.components(fpEdges.union(hamEdges))
+    // Edge build + CC staged once per (session, dir) and shared with
+    // q_dedup_clusters — see operators/DedupStage.
+    val comp = graft.operators.DedupStage.components(s, dir)
     val scored = comp.join(
       docs.select(col("doc_id"), qualityScore(col("text")).as("__q")),
       col("id") === col("doc_id"))

@@ -100,8 +100,11 @@ FROM c ORDER BY abs_cusum_n DESC, day LIMIT 5
       sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"),
       sum(when(col("grp") === 2, 1L).otherwise(0L)).as("c2"),
       count(lit(1)).as("c"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    val r = g.withColumn("cumbelow", coalesce(sum(col("c")).over(w), lit(0L)))
+    // cum-below ranks over DISTINCT values via the range-partitioned
+    // two-pass prefix sum — a global `Window.orderBy(v)` would funnel
+    // the whole value-cardinality through one sorting task.
+    val r = graft.operators.PrefixSum.runningSum(
+      g, col("v"), Seq(col("v")), col("c"), "cumbelow")
     r.agg(
       sum(col("c1") * (lit(2L) * col("cumbelow") + col("c") + 1)).as("r1_x2"),
       sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))

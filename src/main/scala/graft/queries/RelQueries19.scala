@@ -17,12 +17,20 @@ object RelQueries19 {
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
   /** Per-(part,supplier) minimum unit cost in exact cents — the
-    * partsupp stand-in: unit cost = extendedprice·100 DIV quantity. */
-  private def ps(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").filter(col("l_quantity") > 0)
+    * partsupp stand-in: unit cost = extendedprice·100 DIV quantity.
+    * `keys` (if given) left-semi-joins a broadcast part-key set below
+    * the aggregation, so the fact scan and the groupBy shrink to just
+    * the parts a caller can actually emit. */
+  private def ps(s: SparkSession, dir: String,
+                 keys: Option[DataFrame] = None): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") > 0)
+    val pruned = keys.fold(li)(k =>
+      li.join(broadcast(k), col("l_partkey") === col("p_partkey"), "left_semi"))
+    pruned
       .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .agg(min(expr("CAST(round(l_extendedprice*100) AS BIGINT) DIV CAST(l_quantity AS BIGINT)"))
         .as("cost"))
+  }
 
   // --------------------------------------------------- Q2 shape
 
@@ -33,7 +41,15 @@ object RelQueries19 {
     * The twin keeps the correlated form so DuckDB plans it its own
     * way and values must still agree. */
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    val p = ps(s, dir).localCheckpoint(true) // scanned twice: per-part min + detail
+    // The correlated min is per-part over ALL suppliers, so the p_size
+    // predicate commutes below it: semi-join the filtered part keys into
+    // the fact BEFORE aggregating and both the groupBy and the min-join
+    // shrink ~25×. No localCheckpoint — at 100 TB an eager full-partsupp
+    // cache is a table materialization; re-scanning the pruned,
+    // filter-pushed parquet scan twice is strictly cheaper.
+    val smallParts = t(s, dir, "part")
+      .filter(col("p_size") <= 10).select("p_partkey")
+    val p = ps(s, dir, keys = Some(smallParts))
     val minCost = p.groupBy("pk").agg(min("cost").as("mc"))
       .withColumnRenamed("pk", "mpk")
     val dims = t(s, dir, "supplier").as("s")

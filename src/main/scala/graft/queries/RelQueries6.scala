@@ -150,17 +150,23 @@ ORDER BY a.event_type
 
   /** Deterministic stratified sample: 5 rows per event-type stratum,
     * picked by md5 of the row id — a seedless pseudo-random draw both
-    * engines replay exactly. The rank window partitions by stratum, so
-    * the only exchange is keyed by the (low-cardinality) stratum; at
-    * scale the same shape runs with TopKPerGroup to avoid the full
-    * sort. */
+    * engines replay exactly. A ranking window partitioned by the
+    * handful of strata would sort the WHOLE fact table across ~5 tasks
+    * (one task per stratum — the r6 scale-killer); the bounded-heap
+    * TopKPerGroup keeps 5 rows per stratum with map-side partials, so
+    * only k·strata rows cross the shuffle and nothing sorts. The rank
+    * is then re-derived by a window over the ≤ k·strata survivors —
+    * trivially bounded. */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(md5(concat(lit("smp|"), col("event_id").cast("string"))))
-    t(s, dir, "events")
-      .select(col("event_type"), col("event_id"), col("user_id"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    val w = Window.partitionBy("event_type").orderBy("__ord")
+    val picked = graft.plans.TopKPerGroup.topK(
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("user_id"))
+        .withColumn("__ord",
+          md5(concat(lit("smp|"), col("event_id").cast("string")))),
+      Seq(col("event_type")), Seq(col("__ord")), k = 5)
+    picked.withColumn("rk", row_number().over(w))
+      .drop("__ord")
       .orderBy("event_type", "rk")
   }
 

@@ -95,6 +95,11 @@ private[graft] object HadoopConfs {
   def sessionConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
+      // Bare `new Configuration()` (site-xml defaults only, no
+      // spark.hadoop.* overlay) is reachable ONLY with no active session
+      // — i.e. outside any query execution, where no session settings
+      // exist to lose. Kept deliberately: throwing here would break
+      // schema inference from bare-JVM tooling contexts.
       .getOrElse(new Configuration())
 
   final class SerConf(@transient private var conf: Configuration)

@@ -22,6 +22,20 @@ class PlanGovernanceSpec extends GraftSuite {
     assert(offenders.isEmpty, s"queries with UDFs in their plans: $offenders")
   }
 
+  test("doc query counts match the registry (README.md, COVERAGE.md)") {
+    // r5/r6 both shipped stale counts; keep the docs honest mechanically.
+    val n = SparkEntry.queries.size
+    Seq("README.md", "COVERAGE.md").foreach { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/repo/$f")))
+      val claims = "(\\d+) registered quer".r
+        .findAllMatchIn(text).map(_.group(1).toInt).toList
+      assert(claims.nonEmpty, s"$f no longer states a registered-query count")
+      assert(claims.forall(_ == n),
+        s"$f claims $claims registered queries; registry has $n")
+    }
+  }
+
   test("every registered query has an oracle, and no orphan oracles exist") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
@@ -72,7 +86,13 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_holt_smooth", // broadcast singleton min-date row onto the fact scan
       "q_file_skipping", // broadcast singleton (min,span) bounds row onto the fact scan
       "q11_value_share", // broadcast singleton (total,count) row — the decorrelated HAVING
-      "q15_top_supplier" // broadcast singleton max-revenue row — the decorrelated max subquery
+      "q15_top_supplier", // broadcast singleton max-revenue row — the decorrelated max subquery
+      // PrefixSum consumers: the triangular bucket-offset join is ≤
+      // numShufflePartitions² cells (config-bounded, not data) — the
+      // price of having ZERO single-partition windows in these plans.
+      "q_mannwhitney",
+      "q_mixture_temperature",
+      "q_mixture_sample"
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
