@@ -28,7 +28,23 @@ object Tables {
     * them; never worth a repartition. */
   private val dims = Set("region", "nation", "supplier", "part", "customer")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Loaded-table memo. `apply` is called inside every registered query
+    * — hundreds of times per suite run — and each un-memoized load pays
+    * a driver file listing, a parquet footer read, AND a full physical
+    * planning pass (the `rdd.getNumPartitions` probe below). Reusing
+    * the DataFrame per (session, dir, table) keeps one InMemoryFileIndex
+    * and one resolved relation per table — the same listing-reuse a
+    * catalog table gets from the shared session catalog. Keyed on the
+    * session so frames never leak across sessions; testdata is
+    * immutable, so staleness is not a concern. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, dir, name),
+      { case (s, d, n) => load(s, d, n) })
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val fixed = nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
