@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[graft.plans.BloomContains].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => graft.plans.BloomContains(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("mg_summary"),
       new ExpressionInfo(classOf[graft.plans.MisraGriesAgg].getName, "mg_summary"),
       (exprs: Seq[Expression]) => graft.plans.MisraGriesAgg(exprs(0),

@@ -15,6 +15,16 @@ object SketchFns {
       ColumnBridge.expression(sketch), ColumnBridge.expression(key)))
   }
 
+  /** Bloom-filter membership probe for a string key — the read half of
+    * a builder-held Bloom filter; false ⇒ DEFINITELY absent, which is
+    * what lets a probe stream discard with certainty. See
+    * [[graft.plans.BloomContains]]. */
+  def bloomContains(filter: Column, key: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.BloomContains(
+      ColumnBridge.expression(filter), ColumnBridge.expression(key)))
+  }
+
   /** Misra–Gries heavy-hitter summary over a long key column: at most
     * `k` counters per aggregation buffer regardless of input size —
     * see [[graft.plans.MisraGriesAgg]] for the merge-order-independent
@@ -49,6 +59,10 @@ object SketchFns {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_estimate",
       exprs => graft.plans.CmsEstimate(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_contains",
+      exprs => graft.plans.BloomContains(exprs(0), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_summary",
