@@ -183,8 +183,12 @@ FROM base GROUP BY source, split ORDER BY source
   def textIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val idxDir = "target/text_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-    graft.operators.TextIndex.build(
-      docs, "doc_id", tokens(normalizeText(col("text"))), idxDir)
+    // Staged once per session (StagedOnce) — probes after the first
+    // read only the postings buckets.
+    graft.operators.StagedOnce(s, idxDir) {
+      graft.operators.TextIndex.build(
+        docs, "doc_id", tokens(normalizeText(col("text"))), idxDir)
+    }
     graft.operators.TextIndex.probe(
       s, idxDir, Seq("merge", "hash", "window"), k = 25)
   }
