@@ -142,6 +142,35 @@ class PlanGovernanceSpec extends GraftSuite {
       s"q_label_prop must not plan a window:\n${lp.take(2000)}")
   }
 
+  test("round-7 plan pins: prefix-sum consumers window-safe, top-k samplers sort-free, Q2 cache-free") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    // The PrefixSum rewrites exist to remove single-partition windows;
+    // an empty partitionSpec reappearing means someone reintroduced the
+    // global-window spelling.
+    Seq("q_mannwhitney", "q_mixture_temperature", "q_mixture_sample").foreach { q =>
+      val bad = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      assert(bad.isEmpty, s"$q plans an unpartitioned window again")
+    }
+    // Both samplers must keep the bounded-heap operator (no full-stratum
+    // sort behind a handful of low-cardinality partitions).
+    Seq("q_stratified_sample", "q_mixture_sample").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"),
+        s"$q must pre-prune with TopKPerGroup:\n${p.take(2000)}")
+    }
+    // q2 must not eagerly materialize partsupp: a localCheckpoint
+    // surfaces as an ExistingRDD scan in the plan.
+    val q2 = SparkEntry.queries("q2_min_cost_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q2.contains("ExistingRDD"),
+      s"q2_min_cost_supplier re-grew an eager checkpoint:\n${q2.take(2000)}")
+  }
+
   test("round-6 plan pins: Q2 broadcasts dims, NB classifier stays doc-partitioned") {
     val dir = "/root/testdata/sf0.001"
     // the decorrelated Q2 must keep the supplier→nation→region chain on
