@@ -89,11 +89,52 @@ HAVING COUNT(DISTINCT ng) >= 2
 ORDER BY doc_id
 """
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor, the top-5 most-similar vectors carrying a DIFFERENT label
+    * (the negatives the loss learns most from; easy negatives teach
+    * nothing). Shape: the q_knn_bruteforce exhaustive baseline (8-row
+    * anchor broadcast × corpus — allowlisted bounded nested loop) with
+    * the label-mismatch gate BELOW the ranking, then the r7 discipline:
+    * bounded-heap TopKPerGroup prunes to 5·anchors survivors before the
+    * rank window, so no per-anchor full sort exists even though anchors
+    * are low-cardinality. At 100 TB the corpus side swaps to the staged
+    * IVF probe (q_ann_ivf_persisted) unchanged above this line. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns.{cosineFast, toDoubleVec}
+    import graft.operators.Knn
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("e").as("qe"))
+    val sims = e.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        Knn.truncSim(cosineFast(col("qe"), col("e"))).as("sim"))
+    val picked = graft.plans.TopKPerGroup.topK(
+      sims, Seq(col("qid")), Seq(col("sim").desc, col("vec_id")), k = 5)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    picked.withColumn("rank", row_number().over(w))
+      .orderBy("qid", "rank")
+  }
+
+  val hardNegativesSql: String = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe FROM e WHERE vec_id < 8),
+sims AS (
+  SELECT qid, vec_id,
+         CAST(floor(list_cosine_similarity(qe, e.e) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+  FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM sims)
+SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
+"""
+
   // ------------------------------------------------------- registry
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bloom_decontaminate" -> (bloomDecontaminate _))
+    "q_bloom_decontaminate" -> (bloomDecontaminate _),
+    "q_hard_negatives" -> (hardNegatives _))
 
   def oracles: Map[String, String] = Map(
-    "q_bloom_decontaminate" -> bloomDecontaminateSql)
+    "q_bloom_decontaminate" -> bloomDecontaminateSql,
+    "q_hard_negatives" -> hardNegativesSql)
 }

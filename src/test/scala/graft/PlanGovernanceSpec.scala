@@ -92,7 +92,8 @@ class PlanGovernanceSpec extends GraftSuite {
       // price of having ZERO single-partition windows in these plans.
       "q_mannwhitney",
       "q_mixture_temperature",
-      "q_mixture_sample"
+      "q_mixture_sample",
+      "q_hard_negatives" // the q_knn_bruteforce shape: broadcast 8-anchor set × corpus
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
