@@ -15,11 +15,12 @@ object LlmQueries12 {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
-  /** Doc → hashed 3-gram stream (the q_decontaminate token pipeline:
-    * normalize → whitespace tokens → positional lead-2 shingles). */
-  private def grams(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, text) → hashed 3-gram stream (the q_decontaminate token
+    * pipeline: normalize → whitespace tokens → positional lead-2
+    * shingles). */
+  private def gramsOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"),
         posexplode(tokens(normalizeText(col("text")))).as(Seq("pos", "tk")))
       .withColumn("t2", lead(col("tk"), 2).over(w))
@@ -28,6 +29,9 @@ object LlmQueries12 {
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("ng"))
   }
+
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    gramsOf(t(s, dir, "documents"))
 
   /** Bloom-gated benchmark decontamination: build a Bloom filter over
     * the held-out benchmark's 3-gram hashes (distributed partial build,
@@ -89,6 +93,88 @@ HAVING COUNT(DISTINCT ng) >= 2
 ORDER BY doc_id
 """
 
+  /** Asymmetric containment dedup — the sub-document duplication MinHash
+    * cannot see: Jaccard of a snippet against its source is tiny (union
+    * dominated by the source), but containment |A∩B|/|A| is ~1. Classic
+    * case: quoted excerpts, syndicated fragments, boilerplate-wrapped
+    * copies. Pipeline: 3-gram shingle postings (distinct per doc) →
+    * document-frequency cap (shingles in > 64 docs are boilerplate
+    * connectors — dropping them is the same mega-bucket skew discipline
+    * as MinHashDedup's maxBucket, and df-capped postings bound the
+    * self-join at Σ df² ≤ 64·|postings|) → postings equi-join →
+    * per-ordered-pair shared count over the CONTAINED side's shingle
+    * count, exact integer micros. Never all-pairs. Sub-documents are
+    * PLANTED (60%-prefix slices at doc_id+1000000, the setsimJoin
+    * discipline) so the oracle pins asymmetric hits, not just exact
+    * dups. */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val withToks = docs.withColumn("tks", tokens(normalizeText(col("text"))))
+    val planted = withToks.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("array_join(slice(tks, 1, greatest(CAST((size(tks)*3) DIV 5 AS INT), 5)), ' ')")
+          .as("text"))
+    val corpus = docs.unionByName(planted)
+    val g = gramsOf(corpus).distinct()
+    val dfCap = g.groupBy("ng").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select("ng")
+    val kept = g.join(dfCap, "ng")
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = kept.as("a")
+      .join(kept.as("b"),
+        col("a.ng") === col("b.ng") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .withColumn("cont_micros", expr("(shared * 1000000) DIV sz_a"))
+      .filter(col("cont_micros") >= 800000)
+      .select("id_a", "id_b", "sz_a", "shared", "cont_micros")
+      .orderBy("id_a", "id_b")
+  }
+
+  val containmentDedupSql: String = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+  FROM documents),
+bt AS (SELECT doc_id, string_split(s, ' ') AS ts FROM base WHERE length(s) > 0),
+planted AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice(ts, 1, greatest((len(ts)*3)//5, 5)), ' ') AS s
+  FROM bt WHERE doc_id % 11 = 0),
+corpus AS (SELECT doc_id, s FROM base UNION ALL SELECT doc_id, s FROM planted),
+ctok AS (SELECT doc_id, string_split(s, ' ') AS ts FROM corpus WHERE length(s) > 0),
+tok AS (
+  SELECT doc_id, u.i - 1 AS pos, u.tk FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts) + 1),
+                                 i -> struct_pack(i := i, tk := ts[i]))) AS u
+    FROM ctok) y),
+g AS (
+  SELECT doc_id,
+         md5(concat_ws(' ', tk,
+                       lead(tk, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                       lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos))) AS ng,
+         lead(tk, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+  FROM tok),
+grams AS (SELECT DISTINCT doc_id, ng FROM g WHERE t2 IS NOT NULL),
+kept AS (
+  SELECT doc_id, ng FROM grams
+  WHERE ng IN (SELECT ng FROM grams GROUP BY ng HAVING COUNT(*) <= 64)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM kept a JOIN kept b ON a.ng = b.ng AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT s.id_a, s.id_b, z.sz AS sz_a, s.shared,
+       (s.shared * 1000000) // z.sz AS cont_micros
+FROM shared s JOIN sz z ON z.doc_id = s.id_a
+WHERE (s.shared * 1000000) // z.sz >= 800000
+ORDER BY id_a, id_b
+"""
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * anchor, the top-5 most-similar vectors carrying a DIFFERENT label
     * (the negatives the loss learns most from; easy negatives teach
@@ -132,9 +218,11 @@ SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_decontaminate" -> (bloomDecontaminate _),
+    "q_containment_dedup" -> (containmentDedup _),
     "q_hard_negatives" -> (hardNegatives _))
 
   def oracles: Map[String, String] = Map(
     "q_bloom_decontaminate" -> bloomDecontaminateSql,
+    "q_containment_dedup" -> containmentDedupSql,
     "q_hard_negatives" -> hardNegativesSql)
 }
