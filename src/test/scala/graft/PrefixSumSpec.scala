@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrefixSum
+
+class PrefixSumSpec extends GraftSuite {
+
+  test("runningSum matches the single-partition window on a total order") {
+    import spark.implicits._
+    // Deterministic scramble: values arrive in md5 order, keys 0..999.
+    val df = (0 until 1000).map(i => (i.toLong, (i % 37 + 1).toLong))
+      .toDF("k", "v")
+      .orderBy(md5(col("k").cast("string")))
+    val expected = df
+      .withColumn("cum", coalesce(sum("v").over(
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    val got = PrefixSum.runningSum(df, col("k"), Seq(col("k")), col("v"), "cum")
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // Inclusive form shifts by exactly the row's own value.
+    val incl = PrefixSum.runningSum(df, col("k"), Seq(col("k")), col("v"), "cum",
+        inclusive = true)
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert(incl === expected.map { case (k, c) => k -> (c + (k % 37 + 1)) })
+  }
+
+  test("rank matches row_number under bucket-key ties broken by a second column") {
+    import spark.implicits._
+    // Many ties on the bucket key (only 5 distinct) — percentile cut
+    // points MUST not split equal keys across buckets, or exclusive
+    // counts go nondeterministic. The tiebreak column completes the
+    // total order.
+    val df = (0 until 500).map(i => (i.toLong % 5, s"s${i / 5}%03d-$i"))
+      .toDF("b", "s")
+    val expected = df
+      .withColumn("rn", row_number().over(Window.orderBy(col("b"), col("s"))))
+      .select("s", "rn").as[(String, Int)].collect().toMap
+    val got = PrefixSum.rank(df, col("b"), Seq(col("b"), col("s")), "rn")
+      .select("s", "rn").as[(String, Long)].collect().toMap
+    assert(got === expected.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("no single-partition window in the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("k", "v")
+    val plan = PrefixSum.runningSum(df, col("k"), Seq(col("k")), col("v"), "cum")
+      .queryExecution.optimizedPlan
+    val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, "PrefixSum itself reintroduced a global window")
+  }
+}
