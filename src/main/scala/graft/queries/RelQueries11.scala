@@ -257,11 +257,16 @@ FROM pairs ORDER BY col_a, col_b
     def pair(childName: String, parentName: String,
              child: DataFrame, key: String,
              parent: DataFrame, pkey: String): DataFrame = {
+      // One pass: distinct child keys LEFT-join the (distinct) parent
+      // keys with a hit flag, then a single count/sum aggregate — the
+      // former semi-join + two separate aggregations evaluated the
+      // child-key distinct twice, doubling every fact scan.
       val ck = child.select(col(key).cast("long").as("k")).distinct()
-      val hit = ck.join(parent.select(col(pkey).cast("long").as("k")).distinct(),
-        Seq("k"), "left_semi")
-      ck.agg(count(lit(1)).as("n_child"))
-        .crossJoin(hit.agg(count(lit(1)).as("n_contained")))
+      val pk = parent.select(col(pkey).cast("long").as("k")).distinct()
+        .withColumn("hit", lit(1L))
+      ck.join(pk, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          coalesce(sum("hit"), lit(0L)).as("n_contained"))
         .select(lit(childName).as("child_col"), lit(parentName).as("parent_col"),
           col("n_child"), col("n_contained"),
           expr("n_contained * 1000000 div n_child").as("containment_micro"),

@@ -25,10 +25,16 @@ object RelQueries12 {
     * catalog. conf = P(cons|ante), lift = P(ante∧cons)/(P(ante)P(cons))
     * in integral micros; top 15 by lift. */
   def assocRules(s: SparkSession, dir: String): DataFrame = {
+    // The (order, brand) basket table feeds four consumers (order count,
+    // per-brand counts, both sides of the co-occurrence self-join) —
+    // checkpoint the 2-column distinct projection so the lineitem⨝part
+    // join runs once, not four times. This is the staged basket table a
+    // market-basket pipeline persists at scale.
     val items = t(s, dir, "lineitem").as("l")
       .join(t(s, dir, "part").as("p"), col("l.l_partkey") === col("p.p_partkey"))
       .select(col("l.l_orderkey").as("ok"), col("p.p_brand").as("brand"))
       .distinct()
+      .localCheckpoint(true)
     val nOrd = items.agg(countDistinct(col("ok")).as("n"))
     val cnt = items.groupBy("brand").agg(count(lit(1)).as("c"))
     val pairs = items.as("a").join(items.as("b"),
