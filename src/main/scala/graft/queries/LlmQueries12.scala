@@ -108,8 +108,13 @@ ORDER BY doc_id
     * discipline) so the oracle pins asymmetric hits, not just exact
     * dups. */
   def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    // Bounded corpus slice (house precedent: q_setsim_join doc_id<150,
+    // q_ngram_jaccard doc_id<100): the operator's cost story is the
+    // df-capped postings join, which the slice exercises fully; the
+    // slice keeps the all-docs shingle build out of the suite budget.
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") < 2000)
     val withToks = docs.withColumn("tks", tokens(normalizeText(col("text"))))
     val planted = withToks.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -138,7 +143,7 @@ ORDER BY doc_id
 WITH base AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
-  FROM documents),
+  FROM documents WHERE doc_id < 2000),
 bt AS (SELECT doc_id, string_split(s, ' ') AS ts FROM base WHERE length(s) > 0),
 planted AS (
   SELECT doc_id + 1000000 AS doc_id,
