@@ -219,15 +219,64 @@ r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) A
 SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 5 ORDER BY qid, rank
 """
 
+  /** Embedding-corpus QA — the vector-side data-quality gate a 100 TB
+    * embedding pipeline runs before indexing: per label, how many
+    * vectors are DEGENERATE (all-zero — a failed encoder call) and how
+    * many are EXACT DUPLICATES (a stuck upstream batch re-emitting one
+    * vector). Both signals are pure element comparisons — no float
+    * summation anywhere, so no cross-engine accumulation-order risk.
+    * Degenerates and duplicates are PLANTED deterministically (every
+    * 50th vector zeroed, every 71st replaced by its predecessor — the
+    * setsimJoin planting discipline) so the oracle pins non-trivial
+    * counts. One self-join on the shifted id (equi — never all-pairs)
+    * + one grouped aggregate with a distinct-vector count. */
+  def embeddingQa(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns.toDoubleVec
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+    val prev = e.select((col("vec_id") + 1).as("vec_id"), col("v").as("pv"))
+    val staged = e.join(prev, Seq("vec_id"), "left")
+      .withColumn("v1",
+        when(col("vec_id") % 71 === 0 && col("pv").isNotNull, col("pv"))
+          .otherwise(col("v")))
+      .withColumn("v2",
+        when(col("vec_id") % 50 === 0, transform(col("v1"), _ => lit(0.0)))
+          .otherwise(col("v1")))
+    staged.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(forall(col("v2"), x => x === 0.0), 1L).otherwise(0L))
+          .as("n_zero_vec"),
+        (count(lit(1)) - countDistinct(col("v2"))).as("n_dup"))
+      .orderBy("label")
+  }
+
+  val embeddingQaSql: String = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+j AS (
+  SELECT e.vec_id, e.label,
+         CASE WHEN e.vec_id % 71 = 0 AND p.v IS NOT NULL THEN p.v ELSE e.v END AS v1
+  FROM e LEFT JOIN e p ON p.vec_id = e.vec_id - 1),
+st AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 50 = 0 THEN list_transform(v1, x -> 0.0) ELSE v1 END AS v2
+  FROM j)
+SELECT label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN len(list_filter(v2, x -> x <> 0.0)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec,
+       CAST(COUNT(*) - COUNT(DISTINCT v2) AS BIGINT) AS n_dup
+FROM st GROUP BY label ORDER BY label
+"""
+
   // ------------------------------------------------------- registry
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bloom_decontaminate" -> (bloomDecontaminate _),
     "q_containment_dedup" -> (containmentDedup _),
+    "q_embedding_qa" -> (embeddingQa _),
     "q_hard_negatives" -> (hardNegatives _))
 
   def oracles: Map[String, String] = Map(
     "q_bloom_decontaminate" -> bloomDecontaminateSql,
     "q_containment_dedup" -> containmentDedupSql,
+    "q_embedding_qa" -> embeddingQaSql,
     "q_hard_negatives" -> hardNegativesSql)
 }
