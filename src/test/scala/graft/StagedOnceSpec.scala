@@ -1,0 +1,49 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.operators.{DedupStage, StagedOnce}
+
+class StagedOnceSpec extends GraftSuite {
+
+  test("StagedOnce runs a build exactly once per (session, key)") {
+    val n = new AtomicInteger(0)
+    val key = "staged_once_spec_" + System.nanoTime()
+    StagedOnce(spark, key) { n.incrementAndGet() }
+    StagedOnce(spark, key) { n.incrementAndGet() }
+    StagedOnce(spark, key) { n.incrementAndGet() }
+    assert(n.get() === 1)
+    // A different key builds independently.
+    StagedOnce(spark, key + "_b") { n.incrementAndGet() }
+    assert(n.get() === 2)
+  }
+
+  test("StagedOnce is a memo, not a lock leak: concurrent callers build once") {
+    val n = new AtomicInteger(0)
+    val key = "staged_once_conc_" + System.nanoTime()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => StagedOnce(spark, key) {
+        Thread.sleep(50); n.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(n.get() === 1)
+  }
+
+  test("DedupStage serves both dedup queries from one staged components table") {
+    val dir = "/root/testdata/sf0.001"
+    // Identity, not just equality: the memo must hand back the SAME
+    // frame, which is what makes the clusters/canonical pair share one
+    // edge build + CC run.
+    val a = DedupStage.components(spark, dir)
+    val b = DedupStage.components(spark, dir)
+    assert(a eq b)
+    // And the staged result is what the registered queries agree on:
+    // every (id, component) pair appears in q_dedup_clusters' output.
+    val comp = a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromQuery = SparkEntry.queries("q_dedup_clusters")(spark, dir)
+      .select("doc_id", "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comp === fromQuery)
+  }
+}
