@@ -9,32 +9,39 @@ import org.apache.spark.sql.functions._
   * holding (and sorting) every row (`WindowExec: No Partition Defined`
   * — the warning wall in the r6 bench).
   *
-  * Two passes, both distributed:
+  * The textbook scan-then-propagate parallel prefix (Blelloch '90):
   *   1. each row gets a range-bucket id; buckets compute their local
   *      running sums via a window PARTITIONED by bucket (parallel,
   *      spillable);
   *   2. per-bucket totals (≤ numShufflePartitions rows — bounded by
-  *      cluster config, not data) get their own tiny prefix to form
-  *      each bucket's offset, broadcast-joined back.
-  * The textbook scan-then-propagate parallel prefix (Blelloch '90) in
-  * DataFrame ops, so Catalyst still prunes and pushes below it.
+  *      cluster config, not data) become each bucket's exclusive
+  *      offset, added back as a literal-map lookup.
   *
-  * The bucket id is a PURE FUNCTION of the row — `bucketKey` compared
-  * against an approx-percentile cut-point array computed once and
-  * broadcast — NOT `spark_partition_id()` over `repartitionByRange`.
-  * The physical-partition spelling is wrong under AQE: the offsets
-  * branch and the main branch re-evaluate the exchange independently
-  * and may coalesce to different bucketings, silently corrupting the
-  * offsets. Data-derived ids agree across any number of plan branches
-  * by construction. Ties on `bucketKey` always share a bucket
-  * (strictly-greater comparison), so boundary placement can never
-  * split equal keys.
+  * Determinism is pinned BY CONSTRUCTION (the r7 advisory): the input
+  * is staged once behind a lazy localCheckpoint, the percentile cut
+  * array is collected ONCE and embedded as literals, and the bucket
+  * offsets are folded on the driver from the collected per-bucket
+  * totals. No plan branch re-derives the cuts, so correctness cannot
+  * depend on exchange reuse or on Greenwald-Khanna partial-merge order
+  * (which is fetch-order-sensitive) agreeing across branches — the
+  * same failure class as the `spark_partition_id()` spelling this
+  * operator was written to avoid. Both driver collects are
+  * config-bounded (n-1 cut doubles; ≤ n total rows), never
+  * data-bounded, and the literal spelling also deletes the former
+  * cuts crossJoin + triangular offsets join: the main pass is one
+  * scan of the staged blocks plus one bucket-partitioned window.
+  *
+  * Ties on `bucketKey` always share a bucket (strictly-greater
+  * comparison against the cut), so boundary placement can never split
+  * equal keys.
   *
   * Contract: `orderCols` must be a TOTAL order (same contract as
   * Dedup.keepFirst); `bucketKey` must be non-null, numeric, and
   * ascending along that order (pass a negated column for descending
-  * heads); `value` must be long-typed (exact integer discipline —
-  * doubles would make results depend on bucket boundaries).
+  * heads); `value` must be long-typed and non-null (exact integer
+  * discipline — doubles would make results depend on bucket
+  * boundaries). Calling this is eager: it runs two small jobs (stage +
+  * cuts, totals) at plan-construction time.
   */
 object PrefixSum {
 
@@ -44,41 +51,60 @@ object PrefixSum {
     * shape). `inclusive = true` gives the current-row-included form. */
   def runningSum(df: DataFrame, bucketKey: Column, orderCols: Seq[Column],
                  value: Column, out: String,
-                 inclusive: Boolean = false): DataFrame = {
+                 inclusive: Boolean = false,
+                 preStaged: Boolean = false,
+                 keyRange: Option[(Double, Double)] = None): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val probs = (1 until n).map(_.toDouble / n).toArray
-    // Greenwald-Khanna is deterministic for a given input, and the cut
-    // array is evaluated once per branch to the same values — every
-    // consumer sees identical bucket boundaries.
-    val cuts = df.agg(
-      percentile_approx(bucketKey, typedLit(probs), lit(10000)).as("__pscuts"))
-    val bucketed = df.crossJoin(broadcast(cuts))
-      .withColumn("__psbucket",
-        aggregate(col("__pscuts"), lit(0),
-          (acc, c) => acc + when(bucketKey > c, 1).otherwise(0)))
-      .drop("__pscuts")
+    // Lazy checkpoint: the first action below materializes the blocks;
+    // the totals pass and the main pass then read the SAME data.
+    // `preStaged = true` promises df is ALREADY materialized
+    // (checkpointed/cached) by the caller — skip the second staging so
+    // small consumers don't pay a redundant persist pass.
+    val keyed = df.withColumn("__pskey", bucketKey.cast("double"))
+    val staged = if (preStaged) keyed else keyed.localCheckpoint(false)
+    // `keyRange = Some((lo, hi))` declares bucketKey ∈ [lo, hi]: cut
+    // points come from a uniform literal grid and the percentile stats
+    // job is skipped entirely. Right when the key is (pseudo-)uniform
+    // over a caller-known range (e.g. a mod-stot remainder); the
+    // percentile path remains the default for unknown/skewed keys.
+    val cuts = keyRange match {
+      case Some((lo, hi)) =>
+        (1 until n).map(i => lo + (hi - lo) * i / n).distinct.sorted
+      case None =>
+        val probs = (1 until n).map(_.toDouble / n).toArray
+        val cutsRaw = staged
+          .agg(percentile_approx(col("__pskey"), typedLit(probs), lit(10000)).as("c"))
+          .head().getSeq[Double](0)
+        Option(cutsRaw).map(_.distinct.sorted.toSeq).getOrElse(Seq.empty[Double])
+    }
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("__pskey") > lit(c), 1).otherwise(0)
+    }
+    val bucketed = staged.withColumn("__psbucket", bucket)
+    // Exclusive bucket offsets, folded on the driver over ≤ n rows.
+    val totals = bucketed.groupBy("__psbucket").agg(sum(value).as("__pstot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = totals.map { case (b, t) =>
+      val o = b -> acc; acc += t; o
+    }.toMap
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col("__psbucket")), lit(0L))
     val wLocal = Window.partitionBy("__psbucket").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Bucket offsets via a triangular self-join over the per-bucket
-    // totals — ≤ n² cells with n bounded by cluster config, not data.
-    // Spelled as a join (not an unpartitioned window) so NO plan node
-    // anywhere funnels rows to a single partition.
-    val totals = bucketed.groupBy("__psbucket").agg(sum(value).as("__pstot"))
-    val offsets = totals.as("a")
-      .join(totals.as("b"), col("b.__psbucket") < col("a.__psbucket"), "left")
-      .groupBy(col("a.__psbucket").as("__psbucket"))
-      .agg(coalesce(sum(col("b.__pstot")), lit(0L)).as("__psoff"))
-    val incl = col("__psoff") + sum(value).over(wLocal)
-    bucketed.join(broadcast(offsets), "__psbucket")
-      .withColumn(out, if (inclusive) incl else incl - value)
-      .drop("__psbucket", "__psoff")
+    val incl = offExpr + sum(value).over(wLocal)
+    bucketed.withColumn(out, if (inclusive) incl else incl - value)
+      .drop("__psbucket", "__pskey")
   }
 
   /** 1-based rank under the total order `orderCols` — `row_number()
     * .over(Window.orderBy(...))` without the single-partition sort.
     * A prefix count of 1s: rank = (# strictly-preceding rows) + 1. */
   def rank(df: DataFrame, bucketKey: Column, orderCols: Seq[Column],
-           out: String): DataFrame =
-    runningSum(df, bucketKey, orderCols, lit(1L), out)
+           out: String, preStaged: Boolean = false,
+           keyRange: Option[(Double, Double)] = None): DataFrame =
+    runningSum(df, bucketKey, orderCols, lit(1L), out, preStaged = preStaged,
+      keyRange = keyRange)
       .withColumn(out, col(out) + lit(1L))
 }

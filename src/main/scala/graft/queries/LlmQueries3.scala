@@ -394,13 +394,23 @@ ORDER BY d.doc_id
   def mixtureSample(s: SparkSession, dir: String): DataFrame = {
     val budget = 200L
     val docs = t(s, dir, "documents")
-    val tot = docs.count()
-    val alloc0 = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    // Per-source counts staged once (lazy checkpoint): the corpus total
+    // folds out of the same blocks (Σ n_docs) instead of a separate
+    // full-table count, and the leftover scalar and PrefixSum rank read
+    // the blocks too — ONE corpus scan for the whole allocation (r8 fix).
+    val srcCounts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(false)
+    val tot = srcCounts.agg(sum("n_docs")).head().getLong(0)
+    val alloc0 = srcCounts
       .withColumn("fq", expr(s"(n_docs * $budget) DIV $tot"))
       .withColumn("rem", expr(s"(n_docs * $budget) % $tot"))
     val leftover = alloc0.agg((lit(budget) - sum(col("fq"))).as("leftover"))
     val alloc = graft.operators.PrefixSum
-      .rank(alloc0, -col("rem"), Seq(col("rem").desc, col("source")), "rn")
+      .rank(alloc0, -col("rem"), Seq(col("rem").desc, col("source")), "rn",
+        preStaged = true,
+        // rem ∈ [0, tot) and is pseudo-uniform (a mod-tot residue) —
+        // literal grid cuts, no stats job
+        keyRange = Some((-tot.toDouble, 0d)))
       .crossJoin(broadcast(leftover))
       .withColumn("quota",
         col("fq") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))

@@ -344,16 +344,29 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
     * dimension grows with the corpus (per-domain sources at 100 TB). */
   def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
     val budget = 200L
+    // The source dimension is staged once (lazy checkpoint): the stot
+    // scalar, the leftover scalar, and the PrefixSum rank all read the
+    // same sources-cardinality blocks instead of each branch re-scanning
+    // the documents table — ONE corpus scan per invocation (r8 fix).
+    // stot rides as a collected literal (one head over the blocks)
+    // rather than a broadcast crossJoin plan branch; leftover still
+    // needs a second tiny aggregate (fq is stot-dependent) but reads
+    // the same blocks.
     val src = t(s, dir, "documents")
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("sw", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
-    val alloc0 = src.crossJoin(broadcast(src.agg(sum("sw").as("stot"))))
-      .withColumn("fq", expr(s"(sw * $budget) DIV stot"))
-      .withColumn("rem", expr(s"(sw * $budget) % stot"))
-    val leftover = alloc0.agg((lit(budget) - sum(col("fq"))).as("leftover"))
+      .localCheckpoint(false)
+    val stot = src.agg(sum("sw")).head().getLong(0)
+    val alloc0 = src
+      .withColumn("fq", expr(s"(sw * $budget) DIV ${stot}"))
+      .withColumn("rem", expr(s"(sw * $budget) % ${stot}"))
     graft.operators.PrefixSum
-      .rank(alloc0, -col("rem"), Seq(col("rem").desc, col("source")), "rn")
-      .crossJoin(broadcast(leftover))
+      .rank(alloc0, -col("rem"), Seq(col("rem").desc, col("source")), "rn",
+        preStaged = true,
+        // rem ∈ [0, stot) and is pseudo-uniform (a mod-stot residue) —
+        // literal grid cuts, no stats job
+        keyRange = Some((-stot.toDouble, 0d)))
+      .crossJoin(broadcast(alloc0.agg((lit(budget) - sum(col("fq"))).as("leftover"))))
       .withColumn("quota",
         col("fq") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
       .select(col("source"), col("n_docs"), col("sw"), col("quota"))
