@@ -53,7 +53,9 @@ object PrefixSum {
                  value: Column, out: String,
                  inclusive: Boolean = false,
                  preStaged: Boolean = false,
-                 keyRange: Option[(Double, Double)] = None): DataFrame = {
+                 keyRange: Option[(Double, Double)] = None,
+                 cutsOverride: Option[Seq[Double]] = None,
+                 offsetsOverride: Option[Map[Int, Long]] = None): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     // Lazy checkpoint: the first action below materializes the blocks;
     // the totals pass and the main pass then read the SAME data.
@@ -67,27 +69,33 @@ object PrefixSum {
     // job is skipped entirely. Right when the key is (pseudo-)uniform
     // over a caller-known range (e.g. a mod-stot remainder); the
     // percentile path remains the default for unknown/skewed keys.
-    val cuts = keyRange match {
+    // `cutsOverride` supplies the cut array directly — for callers that
+    // batch the stats for several runningSum calls into one job.
+    val cuts = cutsOverride.map(_.distinct.sorted).getOrElse(keyRange match {
       case Some((lo, hi)) =>
         (1 until n).map(i => lo + (hi - lo) * i / n).distinct.sorted
       case None =>
         val probs = (1 until n).map(_.toDouble / n).toArray
+        // accuracy 1000: cut points only balance bucket load — they
+        // never touch result values — so sketch precision is wasted
+        // merge cost
         val cutsRaw = staged
-          .agg(percentile_approx(col("__pskey"), typedLit(probs), lit(10000)).as("c"))
+          .agg(percentile_approx(col("__pskey"), typedLit(probs), lit(1000)).as("c"))
           .head().getSeq[Double](0)
         Option(cutsRaw).map(_.distinct.sorted.toSeq).getOrElse(Seq.empty[Double])
-    }
-    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col("__pskey") > lit(c), 1).otherwise(0)
-    }
-    val bucketed = staged.withColumn("__psbucket", bucket)
+    })
+    val bucketed = staged.withColumn("__psbucket",
+      bucketExpr(col("__pskey"), cuts))
     // Exclusive bucket offsets, folded on the driver over ≤ n rows.
-    val totals = bucketed.groupBy("__psbucket").agg(sum(value).as("__pstot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] = totals.map { case (b, t) =>
-      val o = b -> acc; acc += t; o
-    }.toMap
+    // `offsetsOverride` promises offsets(b) = Σ value over buckets < b
+    // (same batching rationale as cutsOverride); with both overrides
+    // this operator runs fully lazily — zero jobs at build time.
+    val offsets: Map[Int, Long] = offsetsOverride.getOrElse {
+      val totals = bucketed.groupBy("__psbucket").agg(sum(value).as("__pstot"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      totals.map { case (b, t) => val o = b -> acc; acc += t; o }.toMap
+    }
     val offExpr =
       if (offsets.isEmpty) lit(0L)
       else coalesce(element_at(typedLit(offsets), col("__psbucket")), lit(0L))
@@ -97,6 +105,15 @@ object PrefixSum {
     bucketed.withColumn(out, if (inclusive) incl else incl - value)
       .drop("__psbucket", "__pskey")
   }
+
+  /** The bucket id a row with key `key` gets for cut array `cuts`
+    * (must be sorted distinct): # cuts strictly below the key. Public
+    * so offsetsOverride callers can histogram rows by the IDENTICAL
+    * bucket function in their own batched job. */
+  def bucketExpr(key: Column, cuts: Seq[Double]): Column =
+    cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(key.cast("double") > lit(c), 1).otherwise(0)
+    }
 
   /** 1-based rank under the total order `orderCols` — `row_number()
     * .over(Window.orderBy(...))` without the single-partition sort.

@@ -24,12 +24,15 @@ import org.apache.spark.sql.functions._
   *      lower bucket's best — conservative, never drops a true skyline
   *      head: lower buckets hold only strictly smaller x.
   *   3. exact pass: running max-y over the pruned survivors ordered by
-  *      x. Sound because the prefix maximum over survivors equals the
-  *      prefix maximum over all heads (the head attaining any prefix
-  *      max survives pruning, or ties a surviving equal). The window is
-  *      single-partition but its input is the pruned candidate set —
-  *      at 100 TB the survivors of step 2 are O(skyline + stragglers
-  *      sharing a bucket with it), not O(rows).
+  *      x, PARTITIONED by bucket (r8). Sound because a survivor already
+  *      beats every strictly-lower bucket's best (step 2's filter), so
+  *      the only dominators left to check share its bucket; and within
+  *      a bucket, heads dropped by the coarse prune have y ≤ that same
+  *      lower-bucket best, so they can never exceed the surviving
+  *      prefix max. No single-partition window over a data-growing
+  *      frame remains — the only global-ordered window left is step
+  *      2's bucket series (one row per fixed-width x-range:
+  *      granularity-bounded by the key domain, not by row count).
   *   4. join back on (x, y = max y) to recover every id at a surviving
   *      head, keeping exact tie semantics: two rows with identical
   *      (x, y) dominate each other only weakly, so both are skyline.
@@ -51,7 +54,8 @@ object Skyline {
     val prevB = bmax.withColumn("sk_prevbmax", max(col("sk_bmax")).over(wB))
     val pruned = bucketed.join(prevB.select("sk_b", "sk_prevbmax"), "sk_b")
       .filter(col("sk_prevbmax").isNull || col("sk_y") > col("sk_prevbmax"))
-    val wX = Window.orderBy("sk_x").rowsBetween(Window.unboundedPreceding, -1)
+    val wX = Window.partitionBy("sk_b").orderBy("sk_x")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val exact = pruned.withColumn("sk_prevmax", max(col("sk_y")).over(wX))
       .filter(col("sk_prevmax").isNull || col("sk_y") > col("sk_prevmax"))
       .select(col("sk_x"), col("sk_y"))

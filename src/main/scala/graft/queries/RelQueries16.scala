@@ -125,12 +125,50 @@ SELECT h_y, h_y_f, CAST(h_y - h_y_f AS BIGINT) AS info_gain_micro FROM hy, hyf
         count(lit(1)).as("freq"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("mon"))
       .localCheckpoint(true) // three quintile maps + the final join reuse it
-    val n = cust.agg(count(lit(1)).as("n"))
+    // Cumulative counts through the range-bucketed PrefixSum: `mon`
+    // (per-customer cents) has value cardinality ≈ the customer count,
+    // so a global `Window.orderBy(v)` would funnel millions of distinct
+    // values through one sorting task at scale (r8 fix; the last
+    // data-growing unpartitioned window in the registry). The PrefixSum
+    // stats are BATCHED: one job collects all three metrics' cut
+    // arrays, one job histograms customer rows into all three bucket
+    // spaces at once (a bucket's row count IS Σc over its distinct
+    // values, so it doubles as the exclusive-offset total), and the
+    // three runningSum calls then build fully lazily.
+    import graft.operators.PrefixSum
+    val nB = s.sessionState.conf.numShufflePartitions
+    val probs = (1 until nB).map(_.toDouble / nB).toArray
+    // accuracy 1000: cuts only balance load, they never touch values
+    def pa(c: String) =
+      percentile_approx(col(c).cast("double"), typedLit(probs), lit(1000))
+    val cutsRow = cust.agg(pa("rec"), pa("freq"), pa("mon")).head()
+    val metrics = Seq("rec", "freq", "mon")
+    val cutsOf: Map[String, Seq[Double]] = metrics.zipWithIndex.map {
+      case (m, i) => m -> Option(cutsRow.getSeq[Double](i))
+        .map(_.distinct.sorted.toSeq).getOrElse(Seq.empty[Double])
+    }.toMap
+    val hist = cust.select(explode(array(metrics.map(m =>
+        struct(lit(m).as("m"),
+          PrefixSum.bucketExpr(col(m), cutsOf(m)).as("b"))): _*)).as("e"))
+      .groupBy(col("e.m").as("m"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val offsetsOf: Map[String, Map[Int, Long]] = metrics.map { m =>
+      val tot = hist.collect { case ((`m`, b), c) => b -> c }.toSeq.sortBy(_._1)
+      var acc = 0L
+      m -> tot.map { case (b, c) => val o = b -> acc; acc += c; o }.toMap
+    }.toMap
+    // n (customer count) = Σ of any metric's histogram — a driver
+    // literal, no scalar plan branch needed
+    val n = hist.collect { case (("rec", _), c) => c }.sum
     def quintiles(metric: String): DataFrame =
-      cust.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(Window.orderBy("v")))
-        .crossJoin(broadcast(n))
-        .select(col("v"), expr("(5 * cum + n - 1) DIV n").as("sc"))
+      PrefixSum.runningSum(
+        cust.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c")),
+        col("v"), Seq(col("v")), col("c"), "cum",
+        inclusive = true, preStaged = true,
+        cutsOverride = Some(cutsOf(metric)),
+        offsetsOverride = Some(offsetsOf(metric)))
+        .select(col("v"), expr(s"(5 * cum + $n - 1) DIV $n").as("sc"))
     val rs = quintiles("rec"); val fs = quintiles("freq"); val ms = quintiles("mon")
     cust.join(rs.withColumnRenamed("v", "rec").withColumnRenamed("sc", "rsc"), "rec")
       .join(fs.withColumnRenamed("v", "freq").withColumnRenamed("sc", "fsc"), "freq")

@@ -143,19 +143,43 @@ class PlanGovernanceSpec extends GraftSuite {
       s"q_label_prop must not plan a window:\n${lp.take(2000)}")
   }
 
-  test("round-7 plan pins: prefix-sum consumers window-safe, top-k samplers sort-free, Q2 cache-free") {
+  test("registry sweep: unpartitioned windows only in bounded-frame-allowlisted queries") {
+    // r7 pinned three named PrefixSum consumers; r8 extends the pin to
+    // EVERY registered plan (the cartesian-allowlist discipline applied
+    // to windows). An empty partitionSpec means WindowExec funnels all
+    // rows through ONE task — legal only where the query text itself
+    // bounds the frame; anywhere else it's a 100 TB scale-killer.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val allowed = Set(
+      "q_chi_square", // windows over the 3×5 contingency aggregate (≤15 rows)
+      "q_cumulative_users", // running sum over the calendar day series
+      "q_cusum", // running sum over the calendar day series
+      "q_dsir_select", // margin sums over the 256-bucket hashed-feature LM
+      "q_hybrid_search", // row_number over three LIMIT-25 rank lists
+      "q_kaplan_meier", // cumulative hazard over event-times (≤ #days)
+      "q_psi_drift", // margin sums over the 256-bucket feature frame
+      "q_quantized_knn", // row_number over the LIMIT-10 candidate list
+      "q_rolling_corr", // 7-day moments over the calendar day series
+      "q_skyline", // coarse-prune bucket series: one row per fixed-width
+      // x-bucket (granularity-bounded by the key domain, not row count);
+      // the exact pass is bucket-partitioned (Skyline.scala step 3)
+      "q_theil_sen", // median rank over ≤7140 calendar-bounded pairs
+      "q_token_encode", // row_number over the LIMIT-100 vocabulary
+      "q_wau_coverage" // boundary-delta running sum over the day series
+    )
     val dir = "/root/testdata/sf0.001"
-    // The PrefixSum rewrites exist to remove single-partition windows;
-    // an empty partitionSpec reappearing means someone reintroduced the
-    // global-window spelling.
-    Seq("q_mannwhitney", "q_mixture_temperature", "q_mixture_sample").foreach { q =>
-      val bad = SparkEntry.queries(q)(spark, dir)
-        .queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
-        }
-      assert(bad.isEmpty, s"$q plans an unpartitioned window again")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val ws = fn(spark, dir).queryExecution.optimizedPlan.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (ws.nonEmpty && !allowed.contains(name)) Some(name) else None
     }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows outside the allowlist: $offenders")
+  }
+
+  test("round-7 plan pins: top-k samplers sort-free, Q2 cache-free") {
+    val dir = "/root/testdata/sf0.001"
     // Both samplers must keep the bounded-heap operator (no full-stratum
     // sort behind a handful of low-cardinality partitions).
     Seq("q_stratified_sample", "q_mixture_sample").foreach { q =>
