@@ -153,6 +153,12 @@ FROM base GROUP BY source, split ORDER BY source
     val batches = Seq(
       delta.filter(_._1 < 450).toSeq,
       delta.filter(_._1 >= 450).toSeq).filter(_.nonEmpty)
+    // The per-batch append + probe jobs shuffle kilobyte-scale bucket
+    // rows; at 32 partitions their cost is pure task overhead. Result
+    // is partition-count independent — restore the conf after.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
     val in = MemoryStream[(Long, String)]
     val q = in.toDF().toDF("doc_id", "text")
       .writeStream
@@ -168,7 +174,10 @@ FROM base GROUP BY source, split ORDER BY source
       }
       .start()
     try batches.foreach { b => in.addData(b); q.processAllAvailable() }
-    finally q.stop()
+    finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
     s.read.parquet(outDir).orderBy("id_a", "id_b")
   }
 

@@ -171,9 +171,11 @@ ORDER BY "userId", "startUs"
 
   /** Streaming exactly-once key dedup: a bounded events slice with
     * heavy planted key collisions (event_id % 500) flows through
-    * `withWatermark` + `dropDuplicatesWithinWatermark` in three
+    * `withWatermark` + `dropDuplicatesWithinWatermark` in two
     * chronological micro-batches — duplicates recur both within and
-    * ACROSS batches, so the cross-batch state path is what's exercised.
+    * ACROSS batches, so the cross-batch state path is what's exercised
+    * (two batches is the minimum that does; a third adds only
+    * micro-batch machinery cost).
     * The watermark delay is set beyond the slice's time span so no
     * dedup state is evicted mid-test (the production tradeoff — state
     * size vs how late a duplicate may arrive — is exactly the delay
@@ -192,12 +194,10 @@ ORDER BY "userId", "startUs"
       .orderBy("ts", "dkey")
       .as[(Long, java.sql.Timestamp)].collect()
     require(rows.nonEmpty, "empty slice")
-    val t1 = rows(rows.length / 3)._2.getTime
-    val t2 = rows(2 * rows.length / 3)._2.getTime
+    val t1 = rows(rows.length / 2)._2.getTime
     val batches = Seq(
       rows.filter(_._2.getTime < t1),
-      rows.filter(r => r._2.getTime >= t1 && r._2.getTime < t2),
-      rows.filter(_._2.getTime >= t2)).filter(_.nonEmpty).map(_.toSeq)
+      rows.filter(_._2.getTime >= t1)).filter(_.nonEmpty).map(_.toSeq)
     s.catalog.dropTempView("q_stream_dedup_out")
     val partKey = "spark.sql.shuffle.partitions"
     val prevPart = s.conf.get(partKey)
@@ -746,9 +746,10 @@ GROUP BY event_type ORDER BY event_type
     * distinct keys flow past, the property that makes unbounded-key
     * streams survivable where an exact per-key count's state grows
     * without bound. A planted skew (half of each group's rows on keys
-    * {0,1}, the rest spread over 97 tail keys) flows in three
-    * chronological micro-batches, then a sentinel batch per group
-    * flushes the final summary (append mode emits exactly once).
+    * {0,1}, the rest spread over 97 tail keys) flows in two
+    * chronological micro-batches (the minimum that exercises cross-
+    * batch state carry), then a sentinel batch per group flushes the
+    * final summary (append mode emits exactly once).
     *
     * MG estimates depend on arrival order, so raw counters are NOT
     * comparable cross-engine; what IS deterministic is the sketch's
@@ -783,9 +784,14 @@ GROUP BY event_type ORDER BY event_type
       if (flush) m.toSeq.sorted.map { case (ky, est) => (grp, ky, est) }.iterator
       else Iterator.empty
     }
-    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+    val halves = rows.grouped((rows.length + 1) / 2).toSeq
     val sentinel = (0L until 4L).map(g => (g, -1L))
     s.catalog.dropTempView("q_stream_topk_out")
+    // 4 state partitions: the stateful cost is per-partition task
+    // overhead, not data (result is partition-count independent).
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
     val in = MemoryStream[(Long, Long)]
     val q = in.toDS()
       .groupByKey(_._1)
@@ -794,9 +800,12 @@ GROUP BY event_type ORDER BY event_type
       .writeStream.format("memory").queryName("q_stream_topk_out")
       .outputMode("append").start()
     try {
-      thirds.foreach { b => in.addData(b.map(r => (r._1, r._2)).toSeq); q.processAllAvailable() }
+      halves.foreach { b => in.addData(b.map(r => (r._1, r._2)).toSeq); q.processAllAvailable() }
       in.addData(sentinel); q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
     val exact = slice.groupBy("grp", "hk").agg(count(lit(1)).as("exact_cnt"))
       .withColumn("n_grp", sum("exact_cnt").over(
         org.apache.spark.sql.expressions.Window.partitionBy("grp")))
