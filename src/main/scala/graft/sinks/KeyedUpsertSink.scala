@@ -46,13 +46,100 @@ object KeyedUpsertSink {
             executor: Executor, batchSize: Int = 1000): Unit = {
     val cols = keys ++ updateCols ++ insertOnlyCols
     val sql = upsertSql(table, keys, updateCols, insertOnlyCols)
-    val idx = cols.map(c => df.columns.indexOf(c))
-    require(idx.forall(_ >= 0), s"missing sink columns: " +
-      cols.zip(idx).collect { case (c, -1) => c }.mkString(", "))
+    val idx = colIndexes(df, cols)
     df.foreachPartition { (rows: Iterator[Row]) =>
       rows.grouped(batchSize).foreach { batch =>
         executor(sql, batch.map(r => idx.map(r.get)))
       }
     }
+  }
+
+  /** ANSI twin of `upsertSql` for stores without ON CONFLICT (Derby,
+    * H2, DB2 …): batched `UPDATE` first, then the rows whose update
+    * count came back 0 are batch-`INSERT`ed. Same column semantics —
+    * update-listed columns overwrite, insert-only columns are written
+    * on insert and preserved on update by omission from the SET list.
+    * Parameter order: updateCols ++ keys. With no update columns the
+    * statement degrades to a key-presence probe (self-assign) so the
+    * insert filter still works — the DO NOTHING shape. */
+  def ansiUpdateSql(table: String, keys: Seq[String],
+                    updateCols: Seq[String]): String = {
+    val sets =
+      if (updateCols.isEmpty) s"${keys.head} = ${keys.head}" // presence probe
+      else updateCols.map(c => s"$c = ?").mkString(", ")
+    s"UPDATE $table SET $sets WHERE " + keys.map(c => s"$c = ?").mkString(" AND ")
+  }
+
+  /** Plain insert of every sink column; parameter order keys ++
+    * updateCols ++ insertOnlyCols. */
+  def ansiInsertSql(table: String, keys: Seq[String], updateCols: Seq[String],
+                    insertOnlyCols: Seq[String]): String = {
+    val all = keys ++ updateCols ++ insertOnlyCols
+    s"INSERT INTO $table (${all.mkString(", ")}) VALUES " +
+      s"(${all.map(_ => "?").mkString(", ")})"
+  }
+
+  /** LIVE JDBC egress — the end-to-end form of the reference's keyed
+    * upsert (`CSV PARSER/gcp_csv.py:51`, `RSS PARSER/gcp_rss.py:72,129`)
+    * against any JDBC store, ON CONFLICT or not: one connection and two
+    * prepared statements per partition, each batch running UPDATE for
+    * every row and INSERT for exactly the rows the JDBC update counts
+    * prove absent. One commit per partition (R12's single-commit
+    * visibility: a partition's rows appear all at once or not at all).
+    *
+    * Precondition: keys are unique within `df` — the reference
+    * pipeline guarantees this (C9's keep-first dedup runs upstream of
+    * C10's merge); concurrent partitions upserting the SAME key would
+    * race their existence checks.
+    *
+    * At scale: partition count = writer DOP (`repartition(n)` upstream);
+    * the two-statement probe is one round-trip pair per `batchSize`
+    * rows, same order as executemany. */
+  def writeJdbc(df: DataFrame, table: String, keys: Seq[String],
+                updateCols: Seq[String], insertOnlyCols: Seq[String],
+                url: String, connProps: Map[String, String] = Map.empty,
+                batchSize: Int = 1000): Unit = {
+    val cols = keys ++ updateCols ++ insertOnlyCols
+    val keyIdx = colIndexes(df, keys)
+    val updIdx = colIndexes(df, updateCols)
+    val insIdx = colIndexes(df, cols)
+    val updSql = ansiUpdateSql(table, keys, updateCols)
+    val insSql = ansiInsertSql(table, keys, updateCols, insertOnlyCols)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val props = new java.util.Properties()
+      connProps.foreach { case (k, v) => props.setProperty(k, v) }
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val upd = conn.prepareStatement(updSql)
+        val ins = conn.prepareStatement(insSql)
+        rows.grouped(batchSize).foreach { batch =>
+          batch.foreach { r =>
+            var p = 1
+            updIdx.foreach { i => upd.setObject(p, r.get(i)); p += 1 }
+            keyIdx.foreach { i => upd.setObject(p, r.get(i)); p += 1 }
+            upd.addBatch()
+          }
+          val counts = upd.executeBatch()
+          batch.iterator.zip(counts.iterator).foreach { case (r, n) =>
+            if (n == 0) {
+              insIdx.zipWithIndex.foreach { case (i, j) => ins.setObject(j + 1, r.get(i)) }
+              ins.addBatch()
+            }
+          }
+          ins.executeBatch()
+        }
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally conn.close()
+    }
+  }
+
+  private def colIndexes(df: DataFrame, cols: Seq[String]): Seq[Int] = {
+    val idx = cols.map(c => df.columns.indexOf(c))
+    require(idx.forall(_ >= 0), s"missing sink columns: " +
+      cols.zip(idx).collect { case (c, -1) => c }.mkString(", "))
+    idx
   }
 }
