@@ -34,15 +34,13 @@ object Tables {
     * planning pass (the `rdd.getNumPartitions` probe below). Reusing
     * the DataFrame per (session, dir, table) keeps one InMemoryFileIndex
     * and one resolved relation per table — the same listing-reuse a
-    * catalog table gets from the shared session catalog. Keyed on the
-    * session so frames never leak across sessions; testdata is
+    * catalog table gets from the shared session catalog. Session-keyed
+    * and context-end-evicted via [[SessionMemo]]; testdata is
     * immutable, so staleness is not a concern. */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val memo = new SessionMemo[(String, String), DataFrame]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, dir, name),
-      { case (s, d, n) => load(s, d, n) })
+    memo(spark, (dir, name)) { load(spark, dir, name) }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

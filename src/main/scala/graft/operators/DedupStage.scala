@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,19 +21,20 @@ import graft.functions.TextFns.{fingerprint, normalizeText, tokens}
   * table maintained by the index job; the memo models exactly that
   * read-amortization.
   *
-  * Thread-safe via computeIfAbsent; keyed on the session too so a
-  * stopped session's frames can never leak into a new one.
+  * Thread-safe; keyed on the session so a stopped session's frames can
+  * never leak into a new one, and evicted with the session's context
+  * ([[graft.SessionMemo]]) so the eager checkpoint blocks don't outlive
+  * it.
   */
 object DedupStage {
 
-  private val memo =
-    new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val memo = new graft.SessionMemo[String, DataFrame]()
 
   /** (id, component) over every doc participating in at least one
     * exact-dup or near-dup pair, component = min reachable doc_id.
     * Materialized once per (session, dir); callers must not mutate. */
   def components(s: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent((s, dir), { case (sess, d) => build(sess, d) })
+    memo(s, dir) { build(s, dir) }
 
   private def build(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables(s, dir, "documents")

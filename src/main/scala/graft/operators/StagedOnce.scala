@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.SparkSession
 
 /** Build-once guard for in-query staged artifacts (IVF index, LSH
@@ -18,13 +16,14 @@ import org.apache.spark.sql.SparkSession
   * cadence is an explicit knob, not an accident of call count).
   *
   * Keyed on the session so a new session (fresh JVM, fresh `target/`
-  * expectations) always re-stages. Thread-safe: computeIfAbsent blocks
+  * expectations) always re-stages, and evicted when the session's
+  * context ends ([[graft.SessionMemo]]). Thread-safe: the memo blocks
   * concurrent builders of the same key.
   */
 object StagedOnce {
 
-  private val done = new ConcurrentHashMap[(SparkSession, String), Unit]()
+  private val done = new graft.SessionMemo[String, Unit]()
 
   def apply(s: SparkSession, key: String)(build: => Unit): Unit =
-    done.computeIfAbsent((s, key), _ => build)
+    done(s, key)(build)
 }

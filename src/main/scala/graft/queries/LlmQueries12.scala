@@ -33,6 +33,11 @@ object LlmQueries12 {
   private def grams(s: SparkSession, dir: String): DataFrame =
     gramsOf(t(s, dir, "documents"))
 
+  /** q_bloom_decontaminate's bench-side stage: (filter bytes,
+    * checkpointed distinct bench gram set). */
+  private val benchStage =
+    new graft.SessionMemo[String, (Array[Byte], DataFrame)]()
+
   /** Bloom-gated benchmark decontamination: build a Bloom filter over
     * the held-out benchmark's 3-gram hashes (distributed partial build,
     * one merged ~1 MB filter), probe every training gram through the
@@ -52,13 +57,23 @@ object LlmQueries12 {
     * q_decontaminate's parameters (bench slice doc_id%89, threshold ≥2,
     * contaminated docs only) so the two queries' oracles stay distinct. */
   def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val g = grams(s, dir)
-    val bench = g.filter(col("doc_id") % 89 === 0).select("ng").distinct()
-    val bloom = bench.stat.bloomFilter("ng", 1L << 20, 0.01)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val filterLit = lit(bos.toByteArray)
-    g.filter(col("doc_id") % 89 =!= 0)
+    // Bench-side artifacts staged once per (session, dir): the tiny
+    // distinct bench hash set is checkpointed (one gram pass feeds BOTH
+    // the bloom build and the exact-verify semi-join) and the ~1 MB
+    // filter bytes live beside it, so repeat invocations pay only the
+    // training-side probe — StagedOnce's build-amortization contract,
+    // held in-JVM because both artifacts are tiny. The training grams
+    // intentionally stay a stream (that side is the 100 TB one).
+    val (filterBytes, bench) = benchStage(s, dir) {
+      val b = grams(s, dir).filter(col("doc_id") % 89 === 0)
+        .select("ng").distinct().localCheckpoint(true)
+      val bloom = b.stat.bloomFilter("ng", 1L << 20, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      (bos.toByteArray, b)
+    }
+    val filterLit = lit(filterBytes)
+    grams(s, dir).filter(col("doc_id") % 89 =!= 0)
       .filter(graft.functions.SketchFns.bloomContains(filterLit, col("ng")))
       .join(bench, Seq("ng"), "left_semi")
       .groupBy("doc_id").agg(countDistinct(col("ng")).as("n_overlap"))

@@ -30,6 +30,20 @@ class StagedOnceSpec extends GraftSuite {
     assert(n.get() === 1)
   }
 
+  test("SessionMemo evicts a context's entries on context end") {
+    val memo = new SessionMemo[String, Int]()
+    val n = new AtomicInteger(0)
+    assert(memo(spark, "k") { n.incrementAndGet() } === 1)
+    assert(memo(spark, "k") { n.incrementAndGet() } === 1)
+    assert(memo.size === 1)
+    // The listener path calls evict(sc) at onApplicationEnd; drive the
+    // same hook directly (stopping the shared suite context would kill
+    // every other test).
+    memo.evict(spark.sparkContext)
+    assert(memo.size === 0)
+    assert(memo(spark, "k") { n.incrementAndGet() } === 2, "evicted key rebuilds")
+  }
+
   test("DedupStage serves both dedup queries from one staged components table") {
     val dir = "/root/testdata/sf0.001"
     // Identity, not just equality: the memo must hand back the SAME
