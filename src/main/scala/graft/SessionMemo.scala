@@ -30,6 +30,15 @@ final class SessionMemo[K, V] {
     memo.computeIfAbsent((s, key), _ => build)
   }
 
+  /** Snapshot of this session's entries (other sessions' keys are
+    * invisible). Lets callers report on what was staged — e.g. the
+    * bench's build/probe split — without re-triggering builds. */
+  private[graft] def entries(s: SparkSession): Map[K, V] = {
+    val out = Map.newBuilder[K, V]
+    memo.forEach { (k, v) => if (k._1 eq s) out += k._2 -> v }
+    out.result()
+  }
+
   /** Drop every entry whose session runs on `sc`. Called by the
     * context-end listener; exposed for tests. */
   private[graft] def evict(sc: SparkContext): Unit = {

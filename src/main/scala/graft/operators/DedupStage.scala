@@ -28,13 +28,23 @@ import graft.functions.TextFns.{fingerprint, normalizeText, tokens}
   */
 object DedupStage {
 
-  private val memo = new graft.SessionMemo[String, DataFrame]()
+  // value carries the build wall-seconds alongside the staged frame so
+  // the bench can report the build/probe split (see Bench.scala)
+  private val memo = new graft.SessionMemo[String, (DataFrame, Double)]()
 
   /** (id, component) over every doc participating in at least one
     * exact-dup or near-dup pair, component = min reachable doc_id.
     * Materialized once per (session, dir); callers must not mutate. */
   def components(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir) { build(s, dir) }
+    memo(s, dir) {
+      val t0 = System.nanoTime()
+      val df = build(s, dir)
+      (df, (System.nanoTime() - t0) / 1e9)
+    }._1
+
+  /** Build seconds per corpus dir for `s`. */
+  def buildSeconds(s: SparkSession): Map[String, Double] =
+    memo.entries(s).map { case (k, (_, sec)) => k -> sec }
 
   private def build(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables(s, dir, "documents")

@@ -22,8 +22,19 @@ import org.apache.spark.sql.SparkSession
   */
 object StagedOnce {
 
-  private val done = new graft.SessionMemo[String, Unit]()
+  // value = build wall-seconds, kept so the bench can report the
+  // build/probe split instead of silently folding the (amortized)
+  // build into whichever invocation happened to run first
+  private val done = new graft.SessionMemo[String, Double]()
 
   def apply(s: SparkSession, key: String)(build: => Unit): Unit =
-    done(s, key)(build)
+    done(s, key) {
+      val t0 = System.nanoTime()
+      build
+      (System.nanoTime() - t0) / 1e9
+    }
+
+  /** Build seconds per staging key for `s` — one entry per artifact
+    * actually built in this session. */
+  def buildSeconds(s: SparkSession): Map[String, Double] = done.entries(s)
 }

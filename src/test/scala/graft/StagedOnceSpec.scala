@@ -44,6 +44,19 @@ class StagedOnceSpec extends GraftSuite {
     assert(memo(spark, "k") { n.incrementAndGet() } === 2, "evicted key rebuilds")
   }
 
+  test("build/probe split: buildSeconds records each staged artifact once") {
+    val key = "staged_once_build_s_" + System.nanoTime()
+    StagedOnce(spark, key) { Thread.sleep(20) }
+    StagedOnce(spark, key) { Thread.sleep(20) } // probe-side: no rebuild
+    val bs = StagedOnce.buildSeconds(spark)
+    assert(bs.contains(key))
+    assert(bs(key) >= 0.02, s"recorded build time ${bs(key)} too small")
+    // DedupStage reports per-dir build seconds the same way (the frame
+    // itself is unchanged — identity-memoized as asserted below).
+    DedupStage.components(spark, "/root/testdata/sf0.001")
+    assert(DedupStage.buildSeconds(spark).contains("/root/testdata/sf0.001"))
+  }
+
   test("DedupStage serves both dedup queries from one staged components table") {
     val dir = "/root/testdata/sf0.001"
     // Identity, not just equality: the memo must hand back the SAME
