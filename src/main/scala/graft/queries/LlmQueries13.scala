@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns.{bpeTokenCount, normalizeText}
+import graft.operators.{MinHashDedup, PrefixSum}
+
+/** Thirteenth LLM-pipeline batch: exact global order statistics without
+  * a global sort (distributed selection, curriculum bucketing) and the
+  * LSH index-quality audit a 100 TB dedup pipeline runs before trusting
+  * its banding parameters.
+  */
+object LlmQueries13 {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** EXACT global quantiles by distributed selection — the exact
+    * companion to q_global_bins' sketch: `percentile_disc(p)` over the
+    * whole fact table. The naive spelling (global `percentile` agg or
+    * `ntile` window) funnels every row through ONE reducer; here
+    * [[PrefixSum.rank]] assigns exact global ranks with only
+    * bucket-partitioned windows (Blelloch two-pass), and the three
+    * target ranks ⌈p·n⌉ are literal filters on that rank — a selection,
+    * not a sort. n comes from one count action (a bounded driver
+    * scalar, same discipline as the PrefixSum offsets fold). Exact
+    * integer cents end-to-end; the quantile VALUE is tie-insensitive
+    * even though rank assignment within a cents tie follows the
+    * (cents, orderkey, linenumber) total order. */
+  def exactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+    val n = li.count()
+    def target(num: Long, den: Long): Long = (n * num + den - 1) / den // ⌈p·n⌉
+    val wanted = Seq("p25" -> target(1, 4), "p50" -> target(1, 2), "p75" -> target(3, 4))
+    val rk = PrefixSum.rank(li, col("cents"),
+      Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), "rk")
+    val tags = wanted.map { case (q, r) => when(col("rk") === r, q) }
+    rk.withColumn("q", coalesce(tags: _*))
+      .filter(col("q").isNotNull)
+      .select(col("q"), (col("cents").cast("double") / 100.0).as("value"))
+      .orderBy("q")
+  }
+
+  val exactQuantilesSql: String = """
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
+SELECT 'p25' AS q, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS DOUBLE) / 100.0 AS value FROM c
+UNION ALL
+SELECT 'p50' AS q, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS DOUBLE) / 100.0 AS value FROM c
+UNION ALL
+SELECT 'p75' AS q, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS DOUBLE) / 100.0 AS value FROM c
+ORDER BY q
+"""
+
+  /** Curriculum bucketing — the training-order op (easy→hard document
+    * scheduling): EXACT `ntile(4)` of the whole corpus by difficulty
+    * (BPE-ish token count) without the single-partition ntile window.
+    * [[PrefixSum.rank]] gives the exact global rank under the total
+    * order (n_tok, doc_id); the NTILE bucket is then pure literal
+    * arithmetic in n (first n mod k buckets take ⌈n/k⌉ rows — the SQL
+    * standard's definition), so the bucket boundary rows are
+    * bit-identical to the oracle's window. Per-bucket stats are one
+    * grouped aggregate over k=4 groups. */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), bpeTokenCount(col("text")).cast("long").as("n_tok"))
+    val n = docs.count()
+    val k = 4L
+    val q = n / k
+    val r = n % k
+    val rk = PrefixSum.rank(docs, col("n_tok"),
+      Seq(col("n_tok"), col("doc_id")), "rk")
+    // floor() keeps the arithmetic integral (Spark's `/` on longs is
+    // double division); operands stay far under 2^53 so floor is exact.
+    val bucket = when(lit(r) > 0 && col("rk") <= lit((q + 1) * r),
+        floor((col("rk") - 1) / lit((q + 1).toDouble)) + 1)
+      .otherwise(lit(r) +
+        floor((col("rk") - lit((q + 1) * r) - 1) / lit(math.max(q, 1L).toDouble)) + 1)
+    rk.withColumn("bucket", bucket.cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .orderBy("bucket")
+  }
+
+  val curriculumSql: String = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+  FROM documents),
+nt AS (
+  SELECT doc_id, n_tok,
+         CAST(ntile(4) OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS bucket
+  FROM base)
+SELECT bucket, COUNT(*) AS n_docs, MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM nt GROUP BY bucket ORDER BY bucket
+"""
+
+  /** LSH index-quality audit — measure the banding before trusting it:
+    * for every candidate pair the banded join surfaces, compare the
+    * MinHash-ESTIMATED similarity (# agreeing signature slots of 16)
+    * against the EXACT shingle Jaccard, grouped by agreement count.
+    * This is the s-curve calibration a 100 TB dedup pipeline runs on a
+    * sample whenever bands/rows change: precision per estimate band
+    * tells you where the verify threshold can safely sit. Reuses the
+    * production pipeline verbatim ([[MinHashDedup.signatures]] →
+    * [[MinHashDedup.candidatePairs]] → exact-Jaccard verify), so the
+    * audit measures the index that actually runs, not a replica. */
+  def lshPrecision(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val norm = normalizeText(col("text"))
+    // The signature frame feeds the candidate self-join AND both sides
+    // of the estimate join — eager localCheckpoint (1 row/doc of 16
+    // BIGINTs) so the shingle/md5 pipeline runs exactly once.
+    val sig = MinHashDedup.signatures(docs, "doc_id", norm).localCheckpoint(true)
+    val pairs = MinHashDedup.candidatePairs(sig, "doc_id").localCheckpoint(true)
+    val nMatch = (0 until 16).map(j =>
+        when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs
+      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"), nMatch.cast("long").as("n_match"))
+    // Exact verify only on candidate docs (semi-join prune — the same
+    // shape as MinHashDedup.nearDuplicates).
+    val ids = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val shArr = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), MinHashDedup.shingles(norm).as("__sh"))
+    val exact = pairs
+      .join(shArr.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(shArr.select(col("doc_id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        MinHashDedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    est.join(exact, Seq("id_a", "id_b"))
+      .groupBy("n_match")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_dup"))
+      .orderBy("n_match")
+  }
+
+  /** Twin derived from [[LlmQueries.minhashNearDupSql]] by text surgery
+    * (the q_lsh_index discipline): the shared CTE chain — norm →
+    * shingles → signatures → banding → candidates → exact jaccard —
+    * is taken verbatim, so index and audit can never drift apart; only
+    * the final projection differs (per-band agreement counts instead of
+    * the thresholded pair list). */
+  val lshPrecisionSql: String = {
+    val base = LlmQueries.minhashNearDupSql
+    val cut = base.lastIndexOf("SELECT id_a, id_b, jaccard")
+    require(cut > 0, "minhashNearDupSql shape changed")
+    val matches = (0 until 16)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString("\n           + ")
+    base.substring(0, cut) + s""",
+m AS (
+  SELECT id_a, id_b,
+         CAST($matches AS BIGINT) AS n_match
+  FROM cand JOIN sig a ON cand.id_a = a.doc_id JOIN sig b ON cand.id_b = b.doc_id)
+SELECT m.n_match, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN j.jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM m JOIN j ON m.id_a = j.id_a AND m.id_b = j.id_b
+GROUP BY m.n_match ORDER BY m.n_match
+"""
+  }
+
+  // ------------------------------------------------------- registry
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum" -> (curriculum _),
+    "q_exact_quantiles" -> (exactQuantiles _),
+    "q_lsh_precision" -> (lshPrecision _))
+
+  def oracles: Map[String, String] = Map(
+    "q_curriculum" -> curriculumSql,
+    "q_exact_quantiles" -> exactQuantilesSql,
+    "q_lsh_precision" -> lshPrecisionSql)
+}

@@ -36,7 +36,8 @@ class RegistryAnalysisSpec extends GraftSuite {
     "q_ann_ivf", "q_ann_ivf_kmeans", "q_ann_ivf_persisted", "q_assoc_rules",
     "q_audio_fingerprint", "q_bfs_hops", "q_bloom_decontaminate",
     "q_bpe_merges", "q_bucketed_join", "q_clustering_coeff", "q_csv_source",
-    "q_dedup_canonical", "q_degree_assortativity", "q_dynamic_overwrite",
+    "q_curriculum", "q_dedup_canonical", "q_degree_assortativity",
+    "q_dynamic_overwrite", "q_exact_quantiles", "q_lsh_precision",
     "q_geo_radius", "q_image_neardup", "q_inverted_index", "q_item_cf",
     "q_json_corrupt", "q_json_source", "q_kaplan_meier", "q_kcore",
     "q_label_prop", "q_link_prediction", "q_lsh_index", "q_mad_outliers",
