@@ -115,6 +115,22 @@ object PrefixSum {
       acc + when(key.cast("double") > lit(c), 1).otherwise(0)
     }
 
+  /** SQL-standard NTILE bucket (1-based) for a 1-based global rank when
+    * the total row count `n` is driver-known: the first n mod k buckets
+    * take ⌈n/k⌉ rows, the rest ⌊n/k⌋. Combined with [[rank]] this gives
+    * `ntile(k).over(Window.orderBy(...))` without the single-partition
+    * sort. floor() keeps the arithmetic integral (Spark's `/` on longs
+    * is double division); operands stay far under 2^53, so exact. */
+  def ntileExpr(rank: Column, n: Long, k: Long): Column = {
+    require(k > 0, "k must be positive")
+    val q = n / k
+    val r = n % k
+    when(lit(r) > 0 && rank <= lit((q + 1) * r),
+        floor((rank - 1) / lit((q + 1).toDouble)) + 1)
+      .otherwise(lit(r) +
+        floor((rank - lit((q + 1) * r) - 1) / lit(math.max(q, 1L).toDouble)) + 1)
+  }
+
   /** 1-based rank under the total order `orderCols` — `row_number()
     * .over(Window.orderBy(...))` without the single-partition sort.
     * A prefix count of 1s: rank = (# strictly-preceding rows) + 1. */

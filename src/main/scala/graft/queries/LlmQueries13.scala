@@ -67,18 +67,9 @@ ORDER BY q
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), bpeTokenCount(col("text")).cast("long").as("n_tok"))
     val n = docs.count()
-    val k = 4L
-    val q = n / k
-    val r = n % k
     val rk = PrefixSum.rank(docs, col("n_tok"),
       Seq(col("n_tok"), col("doc_id")), "rk")
-    // floor() keeps the arithmetic integral (Spark's `/` on longs is
-    // double division); operands stay far under 2^53 so floor is exact.
-    val bucket = when(lit(r) > 0 && col("rk") <= lit((q + 1) * r),
-        floor((col("rk") - 1) / lit((q + 1).toDouble)) + 1)
-      .otherwise(lit(r) +
-        floor((col("rk") - lit((q + 1) * r) - 1) / lit(math.max(q, 1L).toDouble)) + 1)
-    rk.withColumn("bucket", bucket.cast("long"))
+    rk.withColumn("bucket", PrefixSum.ntileExpr(col("rk"), n, 4).cast("long"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_tok")).as("min_tok"),

@@ -43,6 +43,23 @@ class PrefixSumSpec extends GraftSuite {
     assert(got === expected.map { case (k, v) => k -> v.toLong })
   }
 
+  test("ntileExpr matches SQL NTILE for every (n, k) boundary shape") {
+    import spark.implicits._
+    // Sweep sizes around every divisibility boundary of several k —
+    // the bucket-boundary arithmetic is exactly what could drift from
+    // the window function's definition.
+    for (n <- (1L to 17L) ++ Seq(100L, 101L, 103L); k <- Seq(1L, 2L, 4L, 7L)) {
+      val df = (1L to n).toDF("rk")
+      val expected = df
+        .withColumn("b", ntile(k.toInt).over(Window.orderBy("rk")).cast("long"))
+        .select("rk", "b").as[(Long, Long)].collect().toMap
+      val got = df
+        .withColumn("b", PrefixSum.ntileExpr(col("rk"), n, k).cast("long"))
+        .select("rk", "b").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"ntileExpr diverges at n=$n k=$k")
+    }
+  }
+
   test("no single-partition window in the plan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import spark.implicits._
