@@ -140,4 +140,59 @@ object PrefixSum {
     runningSum(df, bucketKey, orderCols, lit(1L), out, preStaged = preStaged,
       keyRange = keyRange)
       .withColumn(out, col(out) + lit(1L))
+
+  /** Distributed SELECTION: the rows at specific global ranks under the
+    * total order, without ranking (or even window-scanning) anything
+    * beyond the buckets that contain a target. [[rank]] + filter pays a
+    * partitioned window over EVERY row; a selection only needs the
+    * per-bucket counts (a driver-folded ≤ numShufflePartitions-row
+    * aggregate) to locate each target's bucket, then one
+    * bucket-partitioned row_number over the few hit buckets — at 32
+    * shuffle partitions that is ~|targets|/32 of the data, and the
+    * fraction SHRINKS as the cluster grows.
+    *
+    * `ranksOf` receives the exact total row count and returns labeled
+    * target ranks (1-based) — letting callers derive ⌈p·n⌉-style ranks
+    * without a separate count() scan. Output: one row per label, the
+    * source columns plus `labelOut`. Same contracts as [[runningSum]]
+    * (total order, non-null ascending numeric bucketKey); like it, this
+    * is eager (stage + cuts + counts jobs run at call time). */
+  def selectRanks(df: DataFrame, bucketKey: Column, orderCols: Seq[Column],
+                  ranksOf: Long => Seq[(String, Long)],
+                  labelOut: String): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val staged = df.withColumn("__pskey", bucketKey.cast("double"))
+      .localCheckpoint(false)
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val cutsRaw = staged
+      .agg(percentile_approx(col("__pskey"), typedLit(probs), lit(1000)).as("c"))
+      .head().getSeq[Double](0)
+    val cuts = Option(cutsRaw).map(_.distinct.sorted.toSeq).getOrElse(Seq.empty[Double])
+    val bucketed = staged.withColumn("__psbucket", bucketExpr(col("__pskey"), cuts))
+    val counts = bucketed.groupBy("__psbucket").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val targets = ranksOf(total)
+    require(targets.forall { case (_, r) => r >= 1 && r <= total },
+      s"target rank out of [1, $total]")
+    // Exclusive offsets per bucket, then locate each target's bucket.
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val o = (b, acc, c); acc += c; o }
+    val hits = targets.map { case (lbl, r) =>
+      val (b, off, _) = offsets.find { case (_, off, c) => r > off && r <= off + c }.get
+      (lbl, r, b, off)
+    }
+    val hitBuckets = hits.map(_._3).distinct
+    val offExpr = coalesce(
+      element_at(typedLit(hits.map(h => h._3 -> h._4).toMap), col("__psbucket")), lit(0L))
+    val wLocal = Window.partitionBy("__psbucket").orderBy(orderCols: _*)
+    val labelExpr = coalesce(hits.map { case (lbl, r, _, _) =>
+      when(col("__psrank") === r, lbl)
+    }: _*)
+    bucketed.filter(col("__psbucket").isin(hitBuckets: _*))
+      .withColumn("__psrank", row_number().over(wLocal).cast("long") + offExpr)
+      .withColumn(labelOut, labelExpr)
+      .filter(col(labelOut).isNotNull)
+      .drop("__psbucket", "__pskey", "__psrank")
+  }
 }

@@ -32,14 +32,13 @@ object LlmQueries13 {
     val li = t(s, dir, "lineitem")
       .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
         col("l_orderkey"), col("l_linenumber"))
-    val n = li.count()
-    def target(num: Long, den: Long): Long = (n * num + den - 1) / den // ⌈p·n⌉
-    val wanted = Seq("p25" -> target(1, 4), "p50" -> target(1, 2), "p75" -> target(3, 4))
-    val rk = PrefixSum.rank(li, col("cents"),
-      Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), "rk")
-    val tags = wanted.map { case (q, r) => when(col("rk") === r, q) }
-    rk.withColumn("q", coalesce(tags: _*))
-      .filter(col("q").isNotNull)
+    // ⌈p·n⌉ target ranks, derived from the exact total the selection's
+    // own per-bucket counts already carry — no separate count() scan,
+    // and only the (≤3) hit buckets are ever window-scanned.
+    def targets(n: Long): Seq[(String, Long)] = Seq(
+      "p25" -> (n + 3) / 4, "p50" -> (n + 1) / 2, "p75" -> (3 * n + 3) / 4)
+    PrefixSum.selectRanks(li, col("cents"),
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), targets, "q")
       .select(col("q"), (col("cents").cast("double") / 100.0).as("value"))
       .orderBy("q")
   }

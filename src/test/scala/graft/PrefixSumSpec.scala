@@ -60,6 +60,24 @@ class PrefixSumSpec extends GraftSuite {
     }
   }
 
+  test("selectRanks picks exactly the rows a full global sort would") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => ((i * 37) % 1000).toLong).toDF("k")
+      .orderBy(md5(col("k").cast("string"))) // scrambled arrival order
+    val sorted = df.orderBy("k").as[Long].collect()
+    val want = Seq("first" -> 1L, "mid" -> 500L, "shared_a" -> 501L,
+      "last" -> 1000L)
+    val got = PrefixSum.selectRanks(df, col("k"), Seq(col("k")),
+        n => { assert(n === 1000L); want }, "lbl")
+      .select("lbl", "k").as[(String, Long)].collect().toMap
+    assert(got === want.map { case (l, r) => l -> sorted((r - 1).toInt) }.toMap)
+    // And the selection's plan contains no empty-partitionSpec window.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = PrefixSum.selectRanks(df, col("k"), Seq(col("k")),
+      _ => Seq("x" -> 1L), "lbl").queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
+  }
+
   test("no single-partition window in the plan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import spark.implicits._
