@@ -159,10 +159,16 @@ object PrefixSum {
     * is eager (stage + cuts + counts jobs run at call time). */
   def selectRanks(df: DataFrame, bucketKey: Column, orderCols: Seq[Column],
                   ranksOf: Long => Seq[(String, Long)],
-                  labelOut: String): DataFrame = {
+                  labelOut: String, stable: Boolean = false): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val staged = df.withColumn("__pskey", bucketKey.cast("double"))
-      .localCheckpoint(false)
+    // `stable = true` promises df re-evaluates to the SAME ROW SET on
+    // every job (a pure scan/project chain — no sampling, limits, or
+    // shuffle-order dependence), letting the cuts/counts/final passes
+    // re-scan the source instead of paying a checkpoint of every row.
+    // All three passes are row-ORDER-insensitive, so set-stability is
+    // the whole contract. Default stages, same as runningSum.
+    val keyed = df.withColumn("__pskey", bucketKey.cast("double"))
+    val staged = if (stable) keyed else keyed.localCheckpoint(false)
     val probs = (1 until n).map(_.toDouble / n).toArray
     val cutsRaw = staged
       .agg(percentile_approx(col("__pskey"), typedLit(probs), lit(1000)).as("c"))
@@ -182,6 +188,10 @@ object PrefixSum {
       val (b, off, _) = offsets.find { case (_, off, c) => r > off && r <= off + c }.get
       (lbl, r, b, off)
     }
+    if (hits.isEmpty)
+      return bucketed.filter(lit(false))
+        .withColumn(labelOut, lit(null).cast("string"))
+        .drop("__psbucket", "__pskey")
     val hitBuckets = hits.map(_._3).distinct
     val offExpr = coalesce(
       element_at(typedLit(hits.map(h => h._3 -> h._4).toMap), col("__psbucket")), lit(0L))

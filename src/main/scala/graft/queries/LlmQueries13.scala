@@ -37,6 +37,10 @@ object LlmQueries13 {
     // and only the (≤3) hit buckets are ever window-scanned.
     def targets(n: Long): Seq[(String, Long)] = Seq(
       "p25" -> (n + 3) / 4, "p50" -> (n + 1) / 2, "p75" -> (3 * n + 3) / 4)
+    // Default (staged) mode: the cents frame is checkpointed once and
+    // the cuts/counts/final passes read the blocks — re-scanning via
+    // `stable = true` measured 6× slower here because every pass
+    // re-pays the single-file compaction repartition in Tables.
     PrefixSum.selectRanks(li, col("cents"),
         Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), targets, "q")
       .select(col("q"), (col("cents").cast("double") / 100.0).as("value"))

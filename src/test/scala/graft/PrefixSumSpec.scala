@@ -71,6 +71,14 @@ class PrefixSumSpec extends GraftSuite {
         n => { assert(n === 1000L); want }, "lbl")
       .select("lbl", "k").as[(String, Long)].collect().toMap
     assert(got === want.map { case (l, r) => l -> sorted((r - 1).toInt) }.toMap)
+    // stable = true (re-scan instead of checkpoint) picks identically on
+    // a deterministic source, and an empty target set selects nothing.
+    val gotStable = PrefixSum.selectRanks(df, col("k"), Seq(col("k")),
+        _ => want, "lbl", stable = true)
+      .select("lbl", "k").as[(String, Long)].collect().toMap
+    assert(gotStable === got)
+    assert(PrefixSum.selectRanks(df, col("k"), Seq(col("k")),
+      _ => Seq.empty, "lbl").count() === 0L)
     // And the selection's plan contains no empty-partitionSpec window.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val plan = PrefixSum.selectRanks(df, col("k"), Seq(col("k")),
