@@ -58,16 +58,17 @@ object Bench {
     // measured sfDir explicitly so the bench can't be read as hiding
     // build cost — at 100 TB these builds amortize over batches (the
     // operators' documented contract), but the cost must be visible.
+    // Owners come from the staging sites themselves (StagedOnce's
+    // `owner` param / DedupStage.Owner) — nothing re-derives key
+    // strings here, so a renamed index dir can't silently empty the
+    // report. Keys still carry the dir tag; filter to the measured one.
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val stagedNames = Seq(
-      "target/ivf_index_"  -> "q_ann_ivf_persisted",
-      "target/text_index_" -> "q_text_index",
-      "target/lsh_index_"  -> "q_lsh_index")
     val builds =
-      (graft.operators.StagedOnce.buildSeconds(spark).flatMap { case (k, v) =>
-        stagedNames.collectFirst { case (p, q) if k == p + sfTag => q -> v }
+      (graft.operators.StagedOnce.builds(spark).collect {
+        case (k, (owner, sec)) if k.endsWith(sfTag) =>
+          (if (owner.nonEmpty) owner else k) -> sec
       } ++ graft.operators.DedupStage.buildSeconds(spark).collect {
-        case (k, v) if k == sfDir => "q_dedup_clusters+q_dedup_canonical" -> v
+        case (k, v) if k == sfDir => graft.operators.DedupStage.Owner -> v
       }).toSeq.sortBy(_._1)
     val bs = builds.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -18,6 +18,13 @@ import org.apache.spark.sql.SparkSession
   * stopped session, its resolved relations, and any eagerly
   * `localCheckpoint`-ed blocks for the JVM lifetime.
   *
+  * Known scope limit: eviction is per-CONTEXT. Sessions cloned via
+  * `newSession()` share one SparkContext, so an abandoned clone's
+  * entries live until that context stops (there is no per-session end
+  * event to hook, and weak keys don't work here — memoized DataFrames
+  * reference their session, which would pin the key). Bounded in
+  * practice: entries are per-(session, dir) singletons, not per-call.
+  *
   * Thread-safe: `computeIfAbsent` blocks concurrent builders of the
   * same key, so a build runs exactly once per (session, key).
   */

@@ -42,6 +42,10 @@ object DedupStage {
       (df, (System.nanoTime() - t0) / 1e9)
     }._1
 
+  /** The registered queries this stage serves — the bench's build_s
+    * report keys DedupStage builds under this name. */
+  val Owner = "q_dedup_clusters+q_dedup_canonical"
+
   /** Build seconds per corpus dir for `s`. */
   def buildSeconds(s: SparkSession): Map[String, Double] =
     memo.entries(s).map { case (k, (_, sec)) => k -> sec }

@@ -74,15 +74,7 @@ object PrefixSum {
     val cuts = cutsOverride.map(_.distinct.sorted).getOrElse(keyRange match {
       case Some((lo, hi)) =>
         (1 until n).map(i => lo + (hi - lo) * i / n).distinct.sorted
-      case None =>
-        val probs = (1 until n).map(_.toDouble / n).toArray
-        // accuracy 1000: cut points only balance bucket load — they
-        // never touch result values — so sketch precision is wasted
-        // merge cost
-        val cutsRaw = staged
-          .agg(percentile_approx(col("__pskey"), typedLit(probs), lit(1000)).as("c"))
-          .head().getSeq[Double](0)
-        Option(cutsRaw).map(_.distinct.sorted.toSeq).getOrElse(Seq.empty[Double])
+      case None => approxCuts(staged, n)
     })
     val bucketed = staged.withColumn("__psbucket",
       bucketExpr(col("__pskey"), cuts))
@@ -104,6 +96,18 @@ object PrefixSum {
     val incl = offExpr + sum(value).over(wLocal)
     bucketed.withColumn(out, if (inclusive) incl else incl - value)
       .drop("__psbucket", "__pskey")
+  }
+
+  /** Percentile-sketch cut points over a staged frame's `__pskey` —
+    * the ONE spelling of the cuts job shared by runningSum and
+    * selectRanks (accuracy 1000: cuts only balance bucket load, never
+    * touch result values, so sketch precision is wasted merge cost). */
+  private def approxCuts(staged: DataFrame, n: Int): Seq[Double] = {
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val cutsRaw = staged
+      .agg(percentile_approx(col("__pskey"), typedLit(probs), lit(1000)).as("c"))
+      .head().getSeq[Double](0)
+    Option(cutsRaw).map(_.distinct.sorted.toSeq).getOrElse(Seq.empty[Double])
   }
 
   /** The bucket id a row with key `key` gets for cut array `cuts`
@@ -169,16 +173,12 @@ object PrefixSum {
     // the whole contract. Default stages, same as runningSum.
     val keyed = df.withColumn("__pskey", bucketKey.cast("double"))
     val staged = if (stable) keyed else keyed.localCheckpoint(false)
-    val probs = (1 until n).map(_.toDouble / n).toArray
-    val cutsRaw = staged
-      .agg(percentile_approx(col("__pskey"), typedLit(probs), lit(1000)).as("c"))
-      .head().getSeq[Double](0)
-    val cuts = Option(cutsRaw).map(_.distinct.sorted.toSeq).getOrElse(Seq.empty[Double])
-    val bucketed = staged.withColumn("__psbucket", bucketExpr(col("__pskey"), cuts))
+    val bucketed = staged.withColumn("__psbucket",
+      bucketExpr(col("__pskey"), approxCuts(staged, n)))
     val counts = bucketed.groupBy("__psbucket").agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum
-    val targets = ranksOf(total)
+    val targets = if (total == 0) Seq.empty else ranksOf(total)
     require(targets.forall { case (_, r) => r >= 1 && r <= total },
       s"target rank out of [1, $total]")
     // Exclusive offsets per bucket, then locate each target's bucket.
@@ -196,13 +196,16 @@ object PrefixSum {
     val offExpr = coalesce(
       element_at(typedLit(hits.map(h => h._3 -> h._4).toMap), col("__psbucket")), lit(0L))
     val wLocal = Window.partitionBy("__psbucket").orderBy(orderCols: _*)
-    val labelExpr = coalesce(hits.map { case (lbl, r, _, _) =>
+    // One row per LABEL, not per physical row: distinct labels can land
+    // on the same rank (tiny inputs, coincident ⌈p·n⌉ targets), so the
+    // row's labels are gathered into an array and exploded — rows
+    // matching no target explode to nothing.
+    val labelArr = array(hits.map { case (lbl, r, _, _) =>
       when(col("__psrank") === r, lbl)
     }: _*)
     bucketed.filter(col("__psbucket").isin(hitBuckets: _*))
       .withColumn("__psrank", row_number().over(wLocal).cast("long") + offExpr)
-      .withColumn(labelOut, labelExpr)
-      .filter(col(labelOut).isNotNull)
+      .withColumn(labelOut, explode(filter(labelArr, x => x.isNotNull)))
       .drop("__psbucket", "__pskey", "__psrank")
   }
 }

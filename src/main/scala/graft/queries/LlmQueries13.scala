@@ -69,6 +69,9 @@ ORDER BY q
   def curriculum(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), bpeTokenCount(col("text")).cast("long").as("n_tok"))
+    // count() is a parquet-scan aggregate over the memoized relation —
+    // cheap relative to rank's staged window pass; NTILE needs n before
+    // the bucket expression can be built.
     val n = docs.count()
     val rk = PrefixSum.rank(docs, col("n_tok"),
       Seq(col("n_tok"), col("doc_id")), "rk")

@@ -400,7 +400,10 @@ ORDER BY d.doc_id
     // the blocks too — ONE corpus scan for the whole allocation (r8 fix).
     val srcCounts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .localCheckpoint(false)
-    val tot = srcCounts.agg(sum("n_docs")).head().getLong(0)
+    // coalesce + max(_,1): an empty corpus must yield an empty result,
+    // not an NPE on the null sum / a 0-divisor literal.
+    val tot = math.max(
+      srcCounts.agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0), 1L)
     val alloc0 = srcCounts
       .withColumn("fq", expr(s"(n_docs * $budget) DIV $tot"))
       .withColumn("rem", expr(s"(n_docs * $budget) % $tot"))

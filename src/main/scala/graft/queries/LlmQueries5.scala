@@ -356,7 +356,10 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("sw", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
       .localCheckpoint(false)
-    val stot = src.agg(sum("sw")).head().getLong(0)
+    // coalesce + max(_,1): an empty corpus must yield an empty result,
+    // not an NPE on the null sum / a 0-divisor literal.
+    val stot = math.max(
+      src.agg(coalesce(sum("sw"), lit(0L))).head().getLong(0), 1L)
     val alloc0 = src
       .withColumn("fq", expr(s"(sw * $budget) DIV ${stot}"))
       .withColumn("rem", expr(s"(sw * $budget) % ${stot}"))

@@ -121,6 +121,16 @@ object KeyedUpsertSink {
             upd.addBatch()
           }
           val counts = upd.executeBatch()
+          // The update-then-insert probe is only sound when the driver
+          // reports EXACT per-row matched counts. SUCCESS_NO_INFO (-2,
+          // e.g. MySQL with rewriteBatchedStatements) would silently
+          // skip every needed INSERT — fail loudly instead of losing
+          // rows. (Drivers in affected-rows mode are likewise out of
+          // contract: a matched-but-unchanged UPDATE reports 0.)
+          require(counts.forall(_ != java.sql.Statement.SUCCESS_NO_INFO),
+            "JDBC driver returned SUCCESS_NO_INFO for a batched UPDATE; " +
+              "KeyedUpsertSink requires exact update counts " +
+              "(disable batch rewriting or use a PG-dialect store)")
           batch.iterator.zip(counts.iterator).foreach { case (r, n) =>
             if (n == 0) {
               insIdx.zipWithIndex.foreach { case (i, j) => ins.setObject(j + 1, r.get(i)) }
@@ -131,7 +141,12 @@ object KeyedUpsertSink {
         }
         conn.commit()
       } catch {
-        case e: Throwable => conn.rollback(); throw e
+        case e: Throwable =>
+          // A failed rollback (e.g. dead connection) must not mask the
+          // root-cause batch failure.
+          try conn.rollback()
+          catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
       } finally conn.close()
     }
   }

@@ -79,6 +79,15 @@ class PrefixSumSpec extends GraftSuite {
     assert(gotStable === got)
     assert(PrefixSum.selectRanks(df, col("k"), Seq(col("k")),
       _ => Seq.empty, "lbl").count() === 0L)
+    // Distinct labels landing on the SAME rank each get their row.
+    val dup = PrefixSum.selectRanks(df, col("k"), Seq(col("k")),
+        _ => Seq("a" -> 7L, "b" -> 7L), "lbl")
+      .select("lbl", "k").as[(String, Long)].collect().toMap
+    assert(dup === Map("a" -> sorted(6), "b" -> sorted(6)))
+    // Empty input with ⌈p·0⌉-style targets selects nothing (no throw).
+    val empty = df.filter(lit(false))
+    assert(PrefixSum.selectRanks(empty, col("k"), Seq(col("k")),
+      n => Seq("p50" -> (n + 1) / 2), "lbl").count() === 0L)
     // And the selection's plan contains no empty-partitionSpec window.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val plan = PrefixSum.selectRanks(df, col("k"), Seq(col("k")),
