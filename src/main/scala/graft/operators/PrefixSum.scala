@@ -208,4 +208,58 @@ object PrefixSum {
       .withColumn(labelOut, explode(filter(labelArr, x => x.isNotNull)))
       .drop("__psbucket", "__pskey", "__psrank")
   }
+
+  /** WEIGHTED distributed selection — the generalization of
+    * [[selectRanks]] from row counts to a positive integer `weight`
+    * column: for each labeled target mass t (1-based, derived from the
+    * exact total weight via `targetsOf`), return the CROSSING row — the
+    * first row in the total order whose inclusive cumulative weight
+    * reaches t. With weight ≡ 1 this is exactly selectRanks; with
+    * weight = token counts it answers "the document at the p-th
+    * token-weighted percentile" — the batch-sizing / corpus-budget
+    * quantile a training pipeline wants, since short and long documents
+    * should not count equally. Same two driver-folded stats passes
+    * (cuts, per-bucket weight sums), then one bucket-partitioned
+    * running sum over only the hit buckets; the crossing test
+    * `cum ≥ t ∧ cum − w < t` selects exactly one row per target.
+    * Contracts as [[runningSum]], plus: `weight` non-null positive
+    * longs (exact integer discipline). */
+  def selectWeighted(df: DataFrame, bucketKey: Column, orderCols: Seq[Column],
+                     weight: Column, targetsOf: Long => Seq[(String, Long)],
+                     labelOut: String): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = df.withColumn("__pskey", bucketKey.cast("double"))
+      .withColumn("__psw", weight.cast("long"))
+      .localCheckpoint(false)
+    val bucketed = keyed.withColumn("__psbucket",
+      bucketExpr(col("__pskey"), approxCuts(keyed, n)))
+    val sums = bucketed.groupBy("__psbucket").agg(sum(col("__psw")).as("__ws"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = sums.map(_._2).sum
+    val targets = if (total == 0) Seq.empty else targetsOf(total)
+    require(targets.forall { case (_, t) => t >= 1 && t <= total },
+      s"target weight out of [1, $total]")
+    var acc = 0L
+    val offsets = sums.map { case (b, w) => val o = (b, acc, w); acc += w; o }
+    val hits = targets.map { case (lbl, t) =>
+      val (b, off, _) = offsets.find { case (_, off, w) => t > off && t <= off + w }.get
+      (lbl, t, b, off)
+    }
+    if (hits.isEmpty)
+      return bucketed.filter(lit(false))
+        .withColumn(labelOut, lit(null).cast("string"))
+        .drop("__psbucket", "__pskey", "__psw")
+    val hitBuckets = hits.map(_._3).distinct
+    val offExpr = coalesce(
+      element_at(typedLit(hits.map(h => h._3 -> h._4).toMap), col("__psbucket")), lit(0L))
+    val wLocal = Window.partitionBy("__psbucket").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val labelArr = array(hits.map { case (lbl, t, _, _) =>
+      when(col("__pscum") >= t && col("__pscum") - col("__psw") < t, lbl)
+    }: _*)
+    bucketed.filter(col("__psbucket").isin(hitBuckets: _*))
+      .withColumn("__pscum", sum(col("__psw")).over(wLocal) + offExpr)
+      .withColumn(labelOut, explode(filter(labelArr, x => x.isNotNull)))
+      .drop("__psbucket", "__pskey", "__psw", "__pscum")
+  }
 }

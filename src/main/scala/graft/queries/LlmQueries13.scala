@@ -57,6 +57,50 @@ SELECT 'p75' AS q, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS D
 ORDER BY q
 """
 
+  /** WEIGHTED exact quantiles — [[exactQuantiles]] generalized from row
+    * counts to a mass column ([[PrefixSum.selectWeighted]]): the value
+    * at the p-th QUANTITY-weighted percentile of price, i.e. each row
+    * counts l_quantity units. The LLM-pipeline reading: with weight =
+    * token count this is "the document length at the p-th token-weighted
+    * percentile" — the batch-sizing quantile where long documents count
+    * proportionally. Crossing-row semantics (first row in the total
+    * order whose inclusive cumulative weight reaches ⌈p·W⌉), exact
+    * integer weights end-to-end, and only the hit buckets are ever
+    * window-scanned. */
+  def weightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    def targets(tw: Long): Seq[(String, Long)] = Seq(
+      "p25" -> (tw + 3) / 4, "p50" -> (tw + 1) / 2, "p75" -> (3 * tw + 3) / 4)
+    PrefixSum.selectWeighted(li, col("cents"),
+        Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), col("w"),
+        targets, "q")
+      .select(col("q"), (col("cents").cast("double") / 100.0).as("value"))
+      .orderBy("q")
+  }
+
+  val weightedQuantilesSql: String = """
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+  FROM lineitem),
+cw AS (
+  SELECT cents, w,
+         SUM(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c),
+tot AS (SELECT SUM(w) AS tw FROM c)
+SELECT q, CAST(v AS DOUBLE) / 100.0 AS value FROM (
+  SELECT 'p25' AS q, min(cents) AS v FROM cw, tot WHERE cum >= (tw + 3) // 4
+  UNION ALL
+  SELECT 'p50' AS q, min(cents) AS v FROM cw, tot WHERE cum >= (tw + 1) // 2
+  UNION ALL
+  SELECT 'p75' AS q, min(cents) AS v FROM cw, tot WHERE cum >= (3 * tw + 3) // 4) x
+ORDER BY q
+"""
+
   /** Curriculum bucketing — the training-order op (easy→hard document
     * scheduling): EXACT `ntile(4)` of the whole corpus by difficulty
     * (BPE-ish token count) without the single-partition ntile window.
@@ -171,10 +215,12 @@ GROUP BY m.n_match ORDER BY m.n_match
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curriculum" -> (curriculum _),
     "q_exact_quantiles" -> (exactQuantiles _),
-    "q_lsh_precision" -> (lshPrecision _))
+    "q_lsh_precision" -> (lshPrecision _),
+    "q_weighted_quantiles" -> (weightedQuantiles _))
 
   def oracles: Map[String, String] = Map(
     "q_curriculum" -> curriculumSql,
     "q_exact_quantiles" -> exactQuantilesSql,
-    "q_lsh_precision" -> lshPrecisionSql)
+    "q_lsh_precision" -> lshPrecisionSql,
+    "q_weighted_quantiles" -> weightedQuantilesSql)
 }

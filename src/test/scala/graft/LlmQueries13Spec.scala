@@ -38,6 +38,23 @@ class LlmQueries13Spec extends GraftSuite {
     }
   }
 
+  test("q_weighted_quantiles: crossing values match a driver-side weighted walk") {
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"),
+        col("l_quantity").cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val tw = rows.map(_._2).sum
+    def crossing(t: Long): Double = {
+      var cum = 0L
+      rows.find { case (_, w) => cum += w; cum >= t }.get._1 / 100.0
+    }
+    val expected = Map("p25" -> crossing((tw + 3) / 4),
+      "p50" -> crossing((tw + 1) / 2), "p75" -> crossing((3 * tw + 3) / 4))
+    val got = LlmQueries13.weightedQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === expected)
+  }
+
   test("q_lsh_precision: true-duplicate mass equals q_minhash_neardup's pair count") {
     val audit = LlmQueries13.lshPrecision(spark, dir).collect()
     assert(audit.nonEmpty)

@@ -95,6 +95,32 @@ class PrefixSumSpec extends GraftSuite {
     assert(plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("selectWeighted: crossing rows match a driver-side scan; weight 1 = selectRanks") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (((i * 41) % 500).toLong, (i % 7 + 1).toLong))
+    val df = rows.toDF("k", "w").orderBy(md5(col("k").cast("string")))
+    // Driver-side truth: sort by k, walk cumulative weight.
+    val sorted = rows.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    def crossing(t: Long): Long = {
+      var cum = 0L
+      sorted.find { case (_, w) => cum += w; cum >= t }.get._1
+    }
+    val want = Seq("a" -> total / 3, "b" -> (total + 1) / 2, "c" -> total)
+    val got = PrefixSum.selectWeighted(df, col("k"), Seq(col("k")), col("w"),
+        tw => { assert(tw === total); want }, "lbl")
+      .select("lbl", "k").as[(String, Long)].collect().toMap
+    assert(got === want.map { case (l, t) => l -> crossing(t) }.toMap)
+    // weight ≡ 1 degenerates to selectRanks.
+    val byRank = PrefixSum.selectRanks(df, col("k"), Seq(col("k")),
+        _ => Seq("r" -> 123L), "lbl")
+      .select("k").as[Long].collect().toSeq
+    val byWeight = PrefixSum.selectWeighted(df, col("k"), Seq(col("k")), lit(1L),
+        _ => Seq("r" -> 123L), "lbl")
+      .select("k").as[Long].collect().toSeq
+    assert(byRank === byWeight)
+  }
+
   test("no single-partition window in the plan") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import spark.implicits._

@@ -29,7 +29,9 @@ class RegistryAnalysisSpec extends GraftSuite {
   private val allDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
-  /** Queries whose fn call runs Spark jobs (EagerScan output, r8). */
+  /** Queries whose fn call runs Spark jobs (EagerScan output, r8;
+    * q_weighted_quantiles added by hand — selectWeighted's stats passes
+    * are eager by the same construction as q_exact_quantiles). */
   private val eager = Set(
     "q11_value_share", "q15_top_supplier", "q20_stock_surplus", "q21_waiting",
     "q2_min_cost_supplier", "q3_top_revenue", "q_ab_ztest", "q_acf",
@@ -47,7 +49,8 @@ class RegistryAnalysisSpec extends GraftSuite {
     "q_quantized_knn", "q_rfm", "q_rouge_pairs", "q_schema_evolution",
     "q_semdedup", "q_setsim_join", "q_simhash_clusters", "q_simhash_hamming",
     "q_skew_join", "q_sssp_bounded", "q_text_index", "q_tfidf_topterms",
-    "q_theil_sen", "q_triangle_knn", "q_xlsx_dim", "q_xlsx_v2")
+    "q_theil_sen", "q_triangle_knn", "q_weighted_quantiles", "q_xlsx_dim",
+    "q_xlsx_v2")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     val dirs =
