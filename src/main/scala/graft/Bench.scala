@@ -58,14 +58,15 @@ object Bench {
     // measured sfDir explicitly so the bench can't be read as hiding
     // build cost — at 100 TB these builds amortize over batches (the
     // operators' documented contract), but the cost must be visible.
-    // Owners come from the staging sites themselves (StagedOnce's
-    // `owner` param / DedupStage.Owner) — nothing re-derives key
-    // strings here, so a renamed index dir can't silently empty the
-    // report. Keys still carry the dir tag; filter to the measured one.
-    val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    // Owners and source dirs come from the staging sites themselves
+    // (StagedOnce's `owner`/`dir` params / DedupStage.Owner) — nothing
+    // re-derives key strings here, so a renamed index dir can't
+    // silently empty the report and the warmup dir's builds (whose
+    // lossy key tag can suffix-collide with the measured dir's) can
+    // never be attributed to the measured dir.
     val builds =
       (graft.operators.StagedOnce.builds(spark).collect {
-        case (k, (owner, sec)) if k.endsWith(sfTag) =>
+        case (k, (owner, d, sec)) if d == sfDir =>
           (if (owner.nonEmpty) owner else k) -> sec
       } ++ graft.operators.DedupStage.buildSeconds(spark).collect {
         case (k, v) if k == sfDir => graft.operators.DedupStage.Owner -> v

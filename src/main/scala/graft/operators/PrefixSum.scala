@@ -223,14 +223,16 @@ object PrefixSum {
     * running sum over only the hit buckets; the crossing test
     * `cum ≥ t ∧ cum − w < t` selects exactly one row per target.
     * Contracts as [[runningSum]], plus: `weight` non-null positive
-    * longs (exact integer discipline). */
+    * longs (exact integer discipline). `preStaged = true` promises df
+    * is already materialized (same contract as runningSum's knob) and
+    * skips the staging checkpoint. */
   def selectWeighted(df: DataFrame, bucketKey: Column, orderCols: Seq[Column],
                      weight: Column, targetsOf: Long => Seq[(String, Long)],
-                     labelOut: String): DataFrame = {
+                     labelOut: String, preStaged: Boolean = false): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val keyed = df.withColumn("__pskey", bucketKey.cast("double"))
+    val withCols = df.withColumn("__pskey", bucketKey.cast("double"))
       .withColumn("__psw", weight.cast("long"))
-      .localCheckpoint(false)
+    val keyed = if (preStaged) withCols else withCols.localCheckpoint(false)
     val bucketed = keyed.withColumn("__psbucket",
       bucketExpr(col("__pskey"), approxCuts(keyed, n)))
     val sums = bucketed.groupBy("__psbucket").agg(sum(col("__psw")).as("__ws"))

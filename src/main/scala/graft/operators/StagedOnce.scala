@@ -22,26 +22,31 @@ import org.apache.spark.sql.SparkSession
   */
 object StagedOnce {
 
-  // value = (owning query, build wall-seconds), kept so the bench can
-  // report the build/probe split instead of silently folding the
-  // (amortized) build into whichever invocation happened to run first
-  private val done = new graft.SessionMemo[String, (String, Double)]()
+  // value = (owning query, source dir, build wall-seconds), kept so the
+  // bench can report the build/probe split instead of silently folding
+  // the (amortized) build into whichever invocation happened to run
+  // first
+  private val done = new graft.SessionMemo[String, (String, String, Double)]()
 
-  /** `owner` names the registered query staging this artifact — the
-    * bench keys its build_s report by it, so the mapping lives at the
-    * staging site instead of being re-derived from key strings. */
-  def apply(s: SparkSession, key: String, owner: String = "")(build: => Unit): Unit =
+  /** `owner` names the registered query staging this artifact and `dir`
+    * the testdata dir it was built from — the bench keys its build_s
+    * report by owner and filters by EXACT dir (sanitized key tags are
+    * lossy: one dir's tag can be a proper suffix of another's), so the
+    * mapping lives at the staging site instead of being re-derived from
+    * key strings. */
+  def apply(s: SparkSession, key: String, owner: String = "", dir: String = "")
+           (build: => Unit): Unit =
     done(s, key) {
       val t0 = System.nanoTime()
       build
-      (owner, (System.nanoTime() - t0) / 1e9)
+      (owner, dir, (System.nanoTime() - t0) / 1e9)
     }
 
   /** Build seconds per staging key for `s` — one entry per artifact
     * actually built in this session. */
   def buildSeconds(s: SparkSession): Map[String, Double] =
-    done.entries(s).map { case (k, (_, sec)) => k -> sec }
+    done.entries(s).map { case (k, (_, _, sec)) => k -> sec }
 
-  /** (staging key) → (owner query, build seconds) for `s`. */
-  def builds(s: SparkSession): Map[String, (String, Double)] = done.entries(s)
+  /** (staging key) → (owner query, source dir, build seconds) for `s`. */
+  def builds(s: SparkSession): Map[String, (String, String, Double)] = done.entries(s)
 }

@@ -49,11 +49,13 @@ object LlmQueries13 {
 
   val exactQuantilesSql: String = """
 WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
-SELECT 'p25' AS q, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS DOUBLE) / 100.0 AS value FROM c
-UNION ALL
-SELECT 'p50' AS q, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS DOUBLE) / 100.0 AS value FROM c
-UNION ALL
-SELECT 'p75' AS q, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS DOUBLE) / 100.0 AS value FROM c
+SELECT q, value FROM (
+  SELECT 'p25' AS q, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS DOUBLE) / 100.0 AS value FROM c
+  UNION ALL
+  SELECT 'p50' AS q, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cents) AS DOUBLE) / 100.0 AS value FROM c
+  UNION ALL
+  SELECT 'p75' AS q, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS DOUBLE) / 100.0 AS value FROM c) x
+WHERE value IS NOT NULL
 ORDER BY q
 """
 
@@ -98,6 +100,7 @@ SELECT q, CAST(v AS DOUBLE) / 100.0 AS value FROM (
   SELECT 'p50' AS q, min(cents) AS v FROM cw, tot WHERE cum >= (tw + 1) // 2
   UNION ALL
   SELECT 'p75' AS q, min(cents) AS v FROM cw, tot WHERE cum >= (3 * tw + 3) // 4) x
+WHERE v IS NOT NULL
 ORDER BY q
 """
 

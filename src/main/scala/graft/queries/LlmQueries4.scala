@@ -77,7 +77,7 @@ ORDER BY d.doc_id
     // Build-once-per-session (StagedOnce): repeated invocations probe
     // the staged index instead of re-running Lloyd's — the documented
     // build/probe amortization, now true of the query itself.
-    graft.operators.StagedOnce(s, base, owner = "q_ann_ivf_persisted") {
+    graft.operators.StagedOnce(s, base, owner = "q_ann_ivf_persisted", dir = dir) {
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       IvfIndex.build(e, "vec_id", "e", k = 4, iters = 2, base)

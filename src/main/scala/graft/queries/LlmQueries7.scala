@@ -147,7 +147,7 @@ FROM pos ORDER BY doc_id
     // Build+append staged once per session (StagedOnce): later
     // invocations go straight to the probe, per the index's own
     // build-amortizes-over-batches contract.
-    graft.operators.StagedOnce(s, idxDir, owner = "q_lsh_index") {
+    graft.operators.StagedOnce(s, idxDir, owner = "q_lsh_index", dir = dir) {
       graft.operators.MinHashIndex.build(
         docs.filter(col("doc_id") < 400), "doc_id", norm, idxDir)
       graft.operators.MinHashIndex.append(

@@ -194,7 +194,7 @@ FROM base GROUP BY source, split ORDER BY source
     val idxDir = "target/text_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     // Staged once per session (StagedOnce) — probes after the first
     // read only the postings buckets.
-    graft.operators.StagedOnce(s, idxDir, owner = "q_text_index") {
+    graft.operators.StagedOnce(s, idxDir, owner = "q_text_index", dir = dir) {
       graft.operators.TextIndex.build(
         docs, "doc_id", tokens(normalizeText(col("text"))), idxDir)
     }
