@@ -51,6 +51,12 @@ class StagedOnceSpec extends GraftSuite {
     val bs = StagedOnce.buildSeconds(spark)
     assert(bs.contains(key))
     assert(bs(key) >= 0.02, s"recorded build time ${bs(key)} too small")
+    // Owner and source dir ride with the entry (Bench's build_s report
+    // keys by owner and filters by EXACT dir).
+    val key2 = key + "_owned"
+    StagedOnce(spark, key2, owner = "q_spec", dir = "/d") { Thread.sleep(1) }
+    assert(StagedOnce.builds(spark)(key2)._1 === "q_spec")
+    assert(StagedOnce.builds(spark)(key2)._2 === "/d")
     // DedupStage reports per-dir build seconds the same way (the frame
     // itself is unchanged — identity-memoized as asserted below).
     DedupStage.components(spark, "/root/testdata/sf0.001")
