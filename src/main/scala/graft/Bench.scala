@@ -49,7 +49,16 @@ object Bench {
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // JSON string escaping for keys: query names are [a-z0-9_], but
+    // build_s fallback keys can be raw staging keys/paths — quotes,
+    // backslashes, or control chars must not corrupt the line.
+    def jkey(s: String): String = "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jkey(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Build/probe split: staged-index queries (StagedOnce / DedupStage)
@@ -64,14 +73,17 @@ object Bench {
     // silently empty the report and the warmup dir's builds (whose
     // lossy key tag can suffix-collide with the measured dir's) can
     // never be attributed to the measured dir.
+    // Aggregated (summed) per owner: several artifacts sharing an owner
+    // (or a raw-key fallback colliding with an owner) must fold into one
+    // JSON entry — duplicate keys silently drop data in most parsers.
     val builds =
-      (graft.operators.StagedOnce.builds(spark).collect {
+      (graft.operators.StagedOnce.builds(spark).toSeq.collect {
         case (k, (owner, d, sec)) if d == sfDir =>
           (if (owner.nonEmpty) owner else k) -> sec
-      } ++ graft.operators.DedupStage.buildSeconds(spark).collect {
+      } ++ graft.operators.DedupStage.buildSeconds(spark).toSeq.collect {
         case (k, v) if k == sfDir => graft.operators.DedupStage.Owner -> v
-      }).toSeq.sortBy(_._1)
-    val bs = builds.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      }).groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
+    val bs = builds.map { case (k, v) => jkey(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_s":$bs,"sf":"$sfDir"}"""
@@ -83,6 +95,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries_file":"target/bench.json","sf":"$sfDir"}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target", "bench.json"), full + "\n")
+    SessionMemo.evictSession(spark)
     spark.stop()
     System.out.println(brief)
     System.out.flush()

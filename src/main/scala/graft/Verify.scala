@@ -44,6 +44,7 @@ object Verify {
       .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SessionMemo.evictSession(spark)
     spark.stop()
   }
 }

@@ -244,7 +244,15 @@ object PrefixSum {
     var acc = 0L
     val offsets = sums.map { case (b, w) => val o = (b, acc, w); acc += w; o }
     val hits = targets.map { case (lbl, t) =>
-      val (b, off, _) = offsets.find { case (_, off, w) => t > off && t <= off + w }.get
+      // A validated target can still miss every [off, off+w] span if a
+      // NEGATIVE per-bucket weight broke offset monotonicity — name the
+      // violated contract instead of a bare NoSuchElementException.
+      val (b, off, _) = offsets.find { case (_, off, w) => t > off && t <= off + w }
+        .getOrElse(throw new IllegalArgumentException(
+          s"selectWeighted: target '$lbl' ($t of $total) falls in no bucket " +
+            "span — the positive-weight contract is violated (a per-bucket " +
+            "weight sum is negative): " +
+            offsets.map { case (b, o, w) => s"b$b[off=$o,w=$w]" }.mkString(", ")))
       (lbl, t, b, off)
     }
     if (hits.isEmpty)

@@ -92,6 +92,16 @@ object KeyedUpsertSink {
     * C10's merge); concurrent partitions upserting the SAME key would
     * race their existence checks.
     *
+    * Supported dialects: any JDBC driver that reports EXACT MATCHED-row
+    * counts for batched UPDATEs (PostgreSQL, Derby, H2, Oracle, SQL
+    * Server, and MySQL/MariaDB in their DEFAULT found-rows mode). Out
+    * of contract and rejected at connect time: MySQL/MariaDB with
+    * `useAffectedRows=true` (a matched-but-unchanged UPDATE reports 0,
+    * silently turning into a duplicate INSERT); rejected per batch:
+    * drivers returning SUCCESS_NO_INFO (e.g. MySQL with
+    * `rewriteBatchedStatements=true`). Both fail loudly rather than
+    * lose or duplicate rows.
+    *
     * At scale: partition count = writer DOP (`repartition(n)` upstream);
     * the two-statement probe is one round-trip pair per `batchSize`
     * rows, same order as executemany. */
@@ -110,6 +120,21 @@ object KeyedUpsertSink {
       connProps.foreach { case (k, v) => props.setProperty(k, v) }
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
+        // Affected-rows mode makes a matched-but-unchanged UPDATE report
+        // 0, which the probe below would read as "absent" → duplicate
+        // INSERT. Detectable up front for MySQL/MariaDB (the dialects
+        // with the mode): reject the connection, don't corrupt the table.
+        val product = conn.getMetaData.getDatabaseProductName.toLowerCase
+        val affectedRowsMode =
+          url.toLowerCase.contains("useaffectedrows=true") ||
+            connProps.exists { case (k, v) =>
+              k.equalsIgnoreCase("useAffectedRows") && v.equalsIgnoreCase("true") }
+        require(!((product.contains("mysql") || product.contains("maria")) &&
+            affectedRowsMode),
+          s"KeyedUpsertSink.writeJdbc requires MATCHED-row update counts; " +
+            s"$product with useAffectedRows=true reports affected rows " +
+            "(matched-but-unchanged = 0), which would duplicate existing keys " +
+            "— drop useAffectedRows or use the default found-rows mode")
         conn.setAutoCommit(false)
         val upd = conn.prepareStatement(updSql)
         val ins = conn.prepareStatement(insSql)

@@ -44,6 +44,28 @@ class StagedOnceSpec extends GraftSuite {
     assert(memo(spark, "k") { n.incrementAndGet() } === 2, "evicted key rebuilds")
   }
 
+  test("evictSession retires a newSession clone without touching siblings") {
+    // The documented SessionMemo scope limit: clones share a
+    // SparkContext, so context-end eviction can't see an abandoned
+    // clone. evictSession(s) is the explicit retire path — it must drop
+    // the clone's entries from EVERY memo while the sibling session's
+    // entries (same context, same keys) survive.
+    val memo = new SessionMemo[String, Int]()
+    val clone = spark.newSession()
+    val n = new AtomicInteger(0)
+    assert(memo(spark, "k") { n.incrementAndGet() } === 1)
+    assert(memo(clone, "k") { n.incrementAndGet() } === 2, "clone-keyed entry is distinct")
+    val key = "evict_session_spec_" + System.nanoTime()
+    StagedOnce(clone, key) { n.incrementAndGet() }
+    assert(StagedOnce.buildSeconds(clone).contains(key))
+    SessionMemo.evictSession(clone)
+    // Clone's entries are gone from both memos (a re-apply rebuilds)...
+    assert(!StagedOnce.buildSeconds(clone).contains(key))
+    assert(memo(clone, "k") { n.incrementAndGet() } === 4, "clone entry was evicted")
+    // ...while the sibling's survive untouched.
+    assert(memo(spark, "k") { n.incrementAndGet() } === 1, "sibling entry survives")
+  }
+
   test("build/probe split: buildSeconds records each staged artifact once") {
     val key = "staged_once_build_s_" + System.nanoTime()
     StagedOnce(spark, key) { Thread.sleep(20) }
