@@ -42,6 +42,50 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     memo(spark, (dir, name)) { load(spark, dir, name) }
 
+  /** One-time per-(session, dir, table, columns) STAGED layout: the
+    * memoized relation projected to `cols` (Nil = full width) and
+    * materialized once (eager `localCheckpoint`) so MULTI-PASS
+    * consumers — PrefixSum selection's cuts/counts/final passes, any
+    * operator that scans its input more than once — re-read cached
+    * blocks instead of re-paying the parquet scan plus the compaction
+    * repartition above on every pass. The projection happens BEFORE
+    * staging because checkpoint blocks are row-based (no columnar
+    * pruning on re-scan): a 3-column consumer re-reading 16-column rows
+    * pays ~5× per pass, so consumers name their columns and share one
+    * narrow artifact per column set. Single-pass queries should keep
+    * using [[apply]]: the plain relation keeps pushdown/pruning at the
+    * parquet scan, which staging gives up.
+    *
+    * Local stand-in for what a production deployment makes a persisted
+    * staged table (compacted/bucketed/column-pruned parquet written
+    * once, scanned many times); at 100 TB the staging IS that write,
+    * and the compaction guard is already a no-op there. Build cost
+    * stays visible: the checkpoint is timed through
+    * [[graft.operators.StagedOnce]] (owner `tables_staged`), so the
+    * bench's build_s line reports it instead of folding it into
+    * whichever query staged first. */
+  private val stagedMemo = new SessionMemo[(String, String, Seq[String]), DataFrame]()
+
+  def staged(spark: SparkSession, dir: String, name: String,
+             cols: Seq[String] = Nil): DataFrame = {
+    val key = cols.sorted
+    stagedMemo(spark, (dir, name, key)) {
+      var out: DataFrame = null
+      graft.operators.StagedOnce(spark,
+        s"tables_staged:$name(${key.mkString(",")})@$dir",
+        owner = "tables_staged", dir = dir) {
+        out = project(apply(spark, dir, name), key).localCheckpoint(true)
+      }
+      // Memo hit on StagedOnce but miss here cannot happen in practice
+      // (both are populated together and evicted together); guard anyway.
+      if (out == null) project(apply(spark, dir, name), key).localCheckpoint(true)
+      else out
+    }
+  }
+
+  private def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df else df.select(cols.map(col): _*)
+
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")

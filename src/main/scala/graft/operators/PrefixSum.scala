@@ -55,7 +55,23 @@ object PrefixSum {
                  preStaged: Boolean = false,
                  keyRange: Option[(Double, Double)] = None,
                  cutsOverride: Option[Seq[Double]] = None,
-                 offsetsOverride: Option[Map[Int, Long]] = None): DataFrame = {
+                 offsetsOverride: Option[Map[Int, Long]] = None): DataFrame =
+    runningSumTotal(df, bucketKey, orderCols, value, out, inclusive,
+      preStaged, keyRange, cutsOverride, offsetsOverride)._1
+
+  /** [[runningSum]] plus the GRAND TOTAL of `value`, read for free from
+    * the per-bucket totals fold the offset pass already runs — callers
+    * that need Σvalue (NTILE arithmetic, target-mass derivation) stop
+    * paying a separate aggregation scan. Total is `-1` when
+    * `offsetsOverride` short-circuits the fold (the caller supplied the
+    * offsets, so it already knows the total). */
+  private def runningSumTotal(df: DataFrame, bucketKey: Column,
+                 orderCols: Seq[Column], value: Column, out: String,
+                 inclusive: Boolean = false,
+                 preStaged: Boolean = false,
+                 keyRange: Option[(Double, Double)] = None,
+                 cutsOverride: Option[Seq[Double]] = None,
+                 offsetsOverride: Option[Map[Int, Long]] = None): (DataFrame, Long) = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     // Lazy checkpoint: the first action below materializes the blocks;
     // the totals pass and the main pass then read the SAME data.
@@ -82,11 +98,14 @@ object PrefixSum {
     // `offsetsOverride` promises offsets(b) = Σ value over buckets < b
     // (same batching rationale as cutsOverride); with both overrides
     // this operator runs fully lazily — zero jobs at build time.
-    val offsets: Map[Int, Long] = offsetsOverride.getOrElse {
-      val totals = bucketed.groupBy("__psbucket").agg(sum(value).as("__pstot"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      var acc = 0L
-      totals.map { case (b, t) => val o = b -> acc; acc += t; o }.toMap
+    val (offsets, grandTotal): (Map[Int, Long], Long) = offsetsOverride match {
+      case Some(o) => (o, -1L)
+      case None =>
+        val totals = bucketed.groupBy("__psbucket").agg(sum(value).as("__pstot"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        var acc = 0L
+        val m = totals.map { case (b, t) => val o = b -> acc; acc += t; o }.toMap
+        (m, acc)
     }
     val offExpr =
       if (offsets.isEmpty) lit(0L)
@@ -94,8 +113,8 @@ object PrefixSum {
     val wLocal = Window.partitionBy("__psbucket").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val incl = offExpr + sum(value).over(wLocal)
-    bucketed.withColumn(out, if (inclusive) incl else incl - value)
-      .drop("__psbucket", "__pskey")
+    (bucketed.withColumn(out, if (inclusive) incl else incl - value)
+      .drop("__psbucket", "__pskey"), grandTotal)
   }
 
   /** Percentile-sketch cut points over a staged frame's `__pskey` —
@@ -141,9 +160,19 @@ object PrefixSum {
   def rank(df: DataFrame, bucketKey: Column, orderCols: Seq[Column],
            out: String, preStaged: Boolean = false,
            keyRange: Option[(Double, Double)] = None): DataFrame =
-    runningSum(df, bucketKey, orderCols, lit(1L), out, preStaged = preStaged,
-      keyRange = keyRange)
-      .withColumn(out, col(out) + lit(1L))
+    rankWithCount(df, bucketKey, orderCols, out, preStaged, keyRange)._1
+
+  /** [[rank]] plus the EXACT total row count n, read from the same
+    * per-bucket totals fold the rank pass already collects — the NTILE
+    * caller's n comes for free instead of from a separate `count()`
+    * scan of the input. */
+  def rankWithCount(df: DataFrame, bucketKey: Column, orderCols: Seq[Column],
+           out: String, preStaged: Boolean = false,
+           keyRange: Option[(Double, Double)] = None): (DataFrame, Long) = {
+    val (r, n) = runningSumTotal(df, bucketKey, orderCols, lit(1L), out,
+      preStaged = preStaged, keyRange = keyRange)
+    (r.withColumn(out, col(out) + lit(1L)), n)
+  }
 
   /** Distributed SELECTION: the rows at specific global ranks under the
     * total order, without ranking (or even window-scanning) anything
@@ -170,7 +199,13 @@ object PrefixSum {
     // shuffle-order dependence), letting the cuts/counts/final passes
     // re-scan the source instead of paying a checkpoint of every row.
     // All three passes are row-ORDER-insensitive, so set-stability is
-    // the whole contract. Default stages, same as runningSum.
+    // the whole contract. RECOMMENDED default for inputs that are
+    // already materialized or cheaply re-scannable — in particular
+    // anything off `Tables.staged` (one-time per-session staged layout):
+    // re-scanning its cached blocks beats paying a fresh per-call
+    // checkpoint. The staging default remains for ad-hoc inputs whose
+    // re-evaluation would re-pay an expensive upstream (the pre-r9
+    // `Tables.apply` compaction repartition was exactly that case).
     val keyed = df.withColumn("__pskey", bucketKey.cast("double"))
     val staged = if (stable) keyed else keyed.localCheckpoint(false)
     val bucketed = staged.withColumn("__psbucket",
