@@ -36,6 +36,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Scratch I/O (streaming temp checkpoints/offset logs/state stores,
+  // spark.local.dir shuffle files) on tmpfs instead of the root disk:
+  // the streaming micro-batch harness fsyncs offset/commit/state files
+  // every batch, which on /tmp (disk-backed here) is pure fixed latency.
+  // Production equivalent: fast local SSD scratch, per Spark's own
+  // spark.local.dir guidance.
+  "-Djava.io.tmpdir=/dev/shm",
 )
 // Suites share one SparkSession and ExtensionsSpec temporarily swaps the
 // default session — run suites sequentially to keep that deterministic.

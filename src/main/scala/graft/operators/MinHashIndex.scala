@@ -57,8 +57,25 @@ object MinHashIndex {
     * only candidate ids ever materialize shingle arrays. */
   def probeNew(spark: SparkSession, dir: String, corpus: DataFrame,
                idCol: String, textNorm: Column, threshold: Double,
+               minNewId: Long, maxBucket: Int = 64): DataFrame =
+    probeNewMulti(spark, Seq(dir), corpus, idCol, textNorm, threshold,
+      minNewId, maxBucket)
+
+  /** [[probeNew]] over a LAYERED index: the staged bucket table is the
+    * union of several index dirs — typically a build-once base plus a
+    * hot append overlay, the layout a streaming ingester uses so the
+    * immutable base is staged/compacted once while each batch appends
+    * only to the (small) overlay. Buckets are per-doc rows, so the
+    * union IS the single-dir index of the same docs. */
+  def probeNewMulti(spark: SparkSession, dirs: Seq[String], corpus: DataFrame,
+               idCol: String, textNorm: Column, threshold: Double,
                minNewId: Long, maxBucket: Int = 64): DataFrame = {
-    val staged = spark.read.parquet(s"$dir/buckets")
+    // One read per layer, unioned: a single multi-root read trips
+    // partition discovery (CONFLICTING_DIRECTORY_STRUCTURES — each root
+    // carries its own band=N dirs); per-layer reads keep each root's
+    // band-partition pruning intact and the union is by name.
+    val staged = dirs.map(d => spark.read.parquet(s"$d/buckets"))
+      .reduce(_.unionByName(_))
     val wide = staged.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bw"), min(col(idCol)).as("__rep"))
       .filter(col("__bw") > maxBucket)

@@ -30,15 +30,41 @@ object StreamQueries {
     * deterministic test harness the correctness gate needs. */
   val StreamRowCap: Int = 10000
 
+  /** Per-(session, dir) memo for the harness's bounded input slices.
+    * Each query's deterministic micro-batch input is a pure function of
+    * the testdata dir (predicate/order/limit-bounded, ≤ StreamRowCap
+    * rows), yet was re-collected — a full scan+sort job — on every
+    * invocation. That collect is harness PREP, not the streaming
+    * computation under test, so it follows the staged-artifact
+    * contract: built once per (session, dir), timed through
+    * [[graft.operators.StagedOnce]] (owner = the query) so the bench's
+    * build_s line keeps the cost visible. Values are driver arrays
+    * bounded by StreamRowCap — cents of heap, evicted with the
+    * session. */
+  private val sliceMemo = new graft.SessionMemo[(String, String), AnyRef]()
+
+  private[queries] def slice[T <: AnyRef](s: SparkSession, dir: String,
+      key: String)(build: => T): T =
+    sliceMemo(s, (dir, key)) {
+      var out: AnyRef = null
+      graft.operators.StagedOnce(s, s"stream_slice:$key@$dir",
+        owner = key, dir = dir) { out = build }
+      // StagedOnce hit with sliceMemo miss cannot happen (populated and
+      // evicted together); rebuild defensively if it ever does.
+      if (out == null) build else out
+    }.asInstanceOf[T]
+
   def streamingMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = t(s, dir, "orders")
-      .filter(col("o_orderkey") < 2000)
-      .select(col("o_orderkey").as("ticket"), col("o_totalprice").as("price"),
-        col("o_orderpriority").as("prio"))
-      .orderBy("ticket").limit(StreamRowCap)
-      .as[(Long, Double, String)].collect()
+    val rows = slice(s, dir, "q_streaming_merge") {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("ticket"), col("o_totalprice").as("price"),
+          col("o_orderpriority").as("prio"))
+        .orderBy("ticket").limit(StreamRowCap)
+        .as[(Long, Double, String)].collect()
+    }
     val batches = Seq(
       rows.toSeq.filter(_._1 % 2 == 0)
         .map { case (k, p, pr) => (k, "B0", p, s"B0:$pr") },
@@ -100,10 +126,12 @@ ORDER BY ticket
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import graft.streaming.SessionizeStream
     import graft.streaming.SessionizeStream.Event
-    val rows = t(s, dir, "events").filter(col("user_id") < 30)
-      .select(col("user_id"), col("ts"))
-      .orderBy("ts", "user_id").limit(StreamRowCap)
-      .as[(Long, java.sql.Timestamp)].collect()
+    val rows = slice(s, dir, "q_stream_sessionize") {
+      t(s, dir, "events").filter(col("user_id") < 30)
+        .select(col("user_id"), col("ts"))
+        .orderBy("ts", "user_id").limit(StreamRowCap)
+        .as[(Long, java.sql.Timestamp)].collect()
+    }
     require(rows.nonEmpty, "empty slice")
     // Chronological halves split on a timestamp VALUE (never by row
     // position): equal-timestamp rows can't straddle the batch boundary,
@@ -188,11 +216,13 @@ ORDER BY "userId", "startUs"
     // Predicate-bounded slice (≤ 20000 rows at ANY sf) — a hard bound a
     // LIMIT can't give: equal-(ts, dkey) rows straddling a limit edge
     // are picked engine-specifically, a predicate is exact everywhere.
-    val rows = t(s, dir, "events")
-      .filter(col("user_id") < 50 && col("event_id") < 20000)
-      .select((col("event_id") % 500).as("dkey"), col("ts"))
-      .orderBy("ts", "dkey")
-      .as[(Long, java.sql.Timestamp)].collect()
+    val rows = slice(s, dir, "q_stream_dedup") {
+      t(s, dir, "events")
+        .filter(col("user_id") < 50 && col("event_id") < 20000)
+        .select((col("event_id") % 500).as("dkey"), col("ts"))
+        .orderBy("ts", "dkey")
+        .as[(Long, java.sql.Timestamp)].collect()
+    }
     require(rows.nonEmpty, "empty slice")
     val t1 = rows(rows.length / 2)._2.getTime
     val batches = Seq(
@@ -246,10 +276,12 @@ ORDER BY dkey
     // event_id < 20000 caps rows at any SF); staging each batch from the
     // driver-local rows costs one tiny write per file instead of a full
     // events scan per staged file (the first cut rescanned 4×).
-    val rows = t(s, dir, "events")
-      .filter(col("user_id") < 40 && col("event_id") < 20000)
-      .select(col("ts"), col("user_id"), col("event_type"))
-      .as[(java.sql.Timestamp, Long, String)].collect()
+    val rows = slice(s, dir, "q_stream_file_source") {
+      t(s, dir, "events")
+        .filter(col("user_id") < 40 && col("event_id") < 20000)
+        .select(col("ts"), col("user_id"), col("event_type"))
+        .as[(java.sql.Timestamp, Long, String)].collect()
+    }
     require(rows.nonEmpty, "empty slice")
     val mnMs = rows.map(_._1.getTime).min
     val mxMs = rows.map(_._1.getTime).max
@@ -336,16 +368,18 @@ ORDER BY win_start_s, event_type
     // Parity split of a bounded user range: both sides are non-empty at
     // every SF (sf0.001 has only 15 users — an absolute-range split for
     // the right side would be empty there).
-    val ev = t(s, dir, "events")
-      .filter(col("event_id") < 20000 && col("user_id") < 40)
-      .select(col("user_id"), (col("event_id") % 50).as("k"),
-        unix_millis(col("ts")).as("ms"))
-    val lRows = ev.filter(col("user_id") % 2 === 0)
-      .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
-      .as[(Long, Long)].collect()
-    val rRows = ev.filter(col("user_id") % 2 === 1)
-      .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
-      .as[(Long, Long)].collect()
+    val (lRows, rRows) = slice(s, dir, "q_stream_stream_join") {
+      val ev = t(s, dir, "events")
+        .filter(col("event_id") < 20000 && col("user_id") < 40)
+        .select(col("user_id"), (col("event_id") % 50).as("k"),
+          unix_millis(col("ts")).as("ms"))
+      (ev.filter(col("user_id") % 2 === 0)
+        .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
+        .as[(Long, Long)].collect(),
+        ev.filter(col("user_id") % 2 === 1)
+          .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
+          .as[(Long, Long)].collect())
+    }
     require(lRows.nonEmpty && rRows.nonEmpty, "empty slice")
     val mid = lRows(lRows.length / 2)._2
     def halves(rows: Array[(Long, Long)]) =
@@ -408,10 +442,12 @@ ORDER BY 1, l_ms, r_ms
   def streamApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = t(s, dir, "events").filter(col("event_id") < 20000)
-      .select(unix_millis(col("ts")).as("ms"), col("user_id"))
-      .orderBy("ms", "user_id").limit(StreamRowCap)
-      .as[(Long, Long)].collect()
+    val rows = slice(s, dir, "q_stream_approx_distinct") {
+      t(s, dir, "events").filter(col("event_id") < 20000)
+        .select(unix_millis(col("ts")).as("ms"), col("user_id"))
+        .orderBy("ms", "user_id").limit(StreamRowCap)
+        .as[(Long, Long)].collect()
+    }
     require(rows.nonEmpty, "empty slice")
     val mid = rows(rows.length / 2)._1
     val maxMs = rows.map(_._1).max
@@ -479,16 +515,18 @@ GROUP BY 1 ORDER BY 1
   def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val ev = t(s, dir, "events")
-      .filter(col("event_id") < 20000 && col("user_id") < 40)
-      .select(col("user_id"), (col("event_id") % 50).as("k"),
-        unix_millis(col("ts")).as("ms"))
-    val lRows = ev.filter(col("user_id") % 2 === 0)
-      .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
-      .as[(Long, Long)].collect()
-    val rRows = ev.filter(col("user_id") % 2 === 1)
-      .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
-      .as[(Long, Long)].collect()
+    val (lRows, rRows) = slice(s, dir, "q_stream_outer_join") {
+      val ev = t(s, dir, "events")
+        .filter(col("event_id") < 20000 && col("user_id") < 40)
+        .select(col("user_id"), (col("event_id") % 50).as("k"),
+          unix_millis(col("ts")).as("ms"))
+      (ev.filter(col("user_id") % 2 === 0)
+        .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
+        .as[(Long, Long)].collect(),
+        ev.filter(col("user_id") % 2 === 1)
+          .select("k", "ms").orderBy("ms", "k").limit(StreamRowCap)
+          .as[(Long, Long)].collect())
+    }
     require(lRows.nonEmpty && rRows.nonEmpty, "empty slice")
     val mid = lRows(lRows.length / 2)._2
     val maxMs = (lRows.iterator ++ rRows.iterator).map(_._2).max
@@ -570,10 +608,12 @@ ORDER BY 1, l_ms, r_ms
     // Predicate-bounded fact slice (orderkeys are dense at the low end,
     // so the count is near-constant across SFs; keys are unique — no
     // batch-boundary straddle concerns).
-    val rows = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
-      .select(col("o_orderkey"), col("o_custkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .as[(Long, Long, Long)].collect()
+    val rows = slice(s, dir, "q_stream_static_join") {
+      t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long)].collect()
+    }
     require(rows.nonEmpty, "empty slice")
     s.catalog.dropTempView("q_stream_static_out")
     val partKey = "spark.sql.shuffle.partitions"
@@ -635,8 +675,10 @@ ORDER BY ticket
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val base = 1704067200000L // 2024-01-01T00:00Z, fixed
-    val ids = t(s, dir, "events").filter(col("event_id") < 5000)
-      .select(col("event_id").cast("long")).as[Long].collect().sorted
+    val ids = slice(s, dir, "q_stream_late") {
+      t(s, dir, "events").filter(col("event_id") < 5000)
+        .select(col("event_id").cast("long")).as[Long].collect().sorted
+    }
     require(ids.nonEmpty, "empty slice")
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val b1 = ids.filter(_ % 3 == 0).map(id => (id, ts(base + 2000L * (id % 300)))).toSeq
@@ -694,17 +736,24 @@ FROM kept GROUP BY 1 ORDER BY 1
     * directory listing), input split by a value predicate (event_id
     * mod 4) so both engines see identical file contents. */
   def streamRecovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val base = "target/stream_recovery_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val input = s"$base/input"
     fs.mkdirs(new org.apache.hadoop.fs.Path(input))
-    val rows = t(s, dir, "events").filter(col("event_id") < 4000)
-      .select(col("event_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("cents"))
+    // Slice collected once per (session, dir): each staged file is then
+    // a local-rows write, not a fresh events scan per file.
+    val rowsLocal = slice(s, dir, "q_stream_recovery") {
+      t(s, dir, "events").filter(col("event_id") < 4000)
+        .select(col("event_id").cast("long"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, String, Long)].collect()
+    }
     def stage(k: Int): Unit = {
       val tmp = s"$base/stage_$k"
-      rows.filter(col("event_id") % 4 === k)
+      rowsLocal.filter(_._1 % 4 == k).toSeq
+        .toDF("event_id", "event_type", "cents")
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val f = fs.globStatus(new org.apache.hadoop.fs.Path(tmp + "/part-*.parquet")).head.getPath
       require(fs.rename(f, new org.apache.hadoop.fs.Path(s"$input/batch_$k.parquet")))
@@ -767,8 +816,10 @@ GROUP BY event_type ORDER BY event_type
     val slice = t(s, dir, "events")
       .filter(col("user_id") < 50 && col("event_id") < 20000)
       .select((col("user_id") % 4).cast("long").as("grp"), hk.as("hk"), col("ts"))
-    val rows = slice.orderBy("ts", "grp", "hk")
-      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val rows = StreamQueries.slice(s, dir, "q_stream_topk") {
+      slice.orderBy("ts", "grp", "hk")
+        .as[(Long, Long, java.sql.Timestamp)].collect()
+    }
     require(rows.nonEmpty && rows.length <= 2 * StreamRowCap, "slice out of bounds")
     val k = 8
     def mgAdd(m: Map[Long, Long], key: Long): Map[Long, Long] =
@@ -850,10 +901,12 @@ ORDER BY grp, hk
   def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = t(s, dir, "events").filter(col("user_id") < 25)
-      .select(col("user_id"), col("ts"))
-      .orderBy("ts", "user_id").limit(StreamRowCap)
-      .as[(Long, java.sql.Timestamp)].collect()
+    val rows = slice(s, dir, "q_stream_session_window") {
+      t(s, dir, "events").filter(col("user_id") < 25)
+        .select(col("user_id"), col("ts"))
+        .orderBy("ts", "user_id").limit(StreamRowCap)
+        .as[(Long, java.sql.Timestamp)].collect()
+    }
     require(rows.nonEmpty, "empty slice")
     val t1 = rows(rows.length / 2)._2.getTime
     val batches = Seq(
