@@ -959,7 +959,101 @@ FROM g GROUP BY user_id, sid
 ORDER BY user_id, start_us
 """
 
+  /** Streaming RUNNING QUANTILES — the streaming twin of
+    * q_exact_quantiles ([[graft.streaming.QuantileHistogram]]): per
+    * order-priority group, a `flatMapGroupsWithState` query carries a
+    * bounded log-scale histogram (≤ ~512 counters per group, fixed
+    * 12.5% relative-error buckets) across two micro-batches of order
+    * totals; a sentinel per group flushes the p25/p50/p75 answer —
+    * emitted as the containing BUCKET's exact integer bounds plus the
+    * exact running count. Counts are order-independent, so the first
+    * bucket whose cumulative tally reaches ⌈p·n⌉ is precisely the
+    * bucket of the exact discrete percentile — which is what the
+    * DuckDB twin derives from `percentile_disc` with the same integer
+    * bucket arithmetic: stream and batch must hash-match exactly, the
+    * q_stream_topk batch-equivalence discipline applied to order
+    * statistics. */
+  def streamQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.streaming.QuantileHistogram
+    val rows = slice(s, dir, "q_stream_quantiles") {
+      t(s, dir, "orders").filter(col("o_orderkey") < 8000)
+        .select(col("o_orderpriority").as("grp"),
+          round(col("o_totalprice") * 100).cast("long").as("v"),
+          col("o_orderkey"))
+        .orderBy("v", "o_orderkey")
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2))
+    }
+    require(rows.nonEmpty, "empty slice")
+    // Same ⌈p·n⌉ targets as q_exact_quantiles (DuckDB percentile_disc's
+    // rank) — shared arithmetic keeps the twins aligned.
+    def targets(n: Long): Seq[(String, Long)] = Seq(
+      "p25" -> (n + 3) / 4, "p50" -> (n + 1) / 2, "p75" -> (3 * n + 3) / 4)
+    def step(grp: String, it: Iterator[(String, Long)],
+             state: GroupState[Map[Long, Long]]): Iterator[(String, String, Long, Long, Long)] = {
+      var m = state.getOption.getOrElse(Map.empty[Long, Long])
+      var flush = false
+      it.foreach { case (_, v) => if (v < 0) flush = true else m = QuantileHistogram.add(m, v) }
+      state.update(m)
+      if (flush)
+        QuantileHistogram.quantiles(m, targets)
+          .map { case (q, lo, hi, n) => (grp, q, lo, hi, n) }.iterator
+      else Iterator.empty
+    }
+    val halves = rows.grouped((rows.length + 1) / 2).toSeq
+    val sentinel = rows.map(_._1).distinct.sorted.map(g => (g, -1L)).toSeq
+    s.catalog.dropTempView("q_stream_quant_out")
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+      .toDF("grp", "q", "bucket_lo", "bucket_hi", "n")
+      .writeStream.format("memory").queryName("q_stream_quant_out")
+      .outputMode("append").start()
+    try {
+      halves.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+      in.addData(sentinel); q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    s.table("q_stream_quant_out").orderBy("grp", "q")
+  }
+
+  /** Batch twin: the exact per-group discrete percentile, mapped into
+    * the SAME log-bucket integer arithmetic the stream's histogram
+    * uses (values < 8 are their own bucket; above, octave e splits
+    * into 8 sub-buckets of width 2^(e-3)). */
+  val streamQuantilesSql: String = """
+WITH c AS (
+  SELECT o_orderpriority AS grp, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_orderkey < 8000),
+x AS (
+  SELECT grp, 'p25' AS q, CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT) AS x, COUNT(*) AS n FROM c GROUP BY grp
+  UNION ALL
+  SELECT grp, 'p50' AS q, CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY v) AS BIGINT) AS x, COUNT(*) AS n FROM c GROUP BY grp
+  UNION ALL
+  SELECT grp, 'p75' AS q, CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS BIGINT) AS x, COUNT(*) AS n FROM c GROUP BY grp),
+b AS (
+  SELECT grp, q, x, CAST(n AS BIGINT) AS n,
+         CASE WHEN x < 8 THEN CAST(0 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << (CAST(floor(log2(x)) AS BIGINT) - 3) END AS stp
+  FROM x)
+SELECT grp, q,
+       CASE WHEN x < 8 THEN x ELSE (x // stp) * stp END AS bucket_lo,
+       CASE WHEN x < 8 THEN x ELSE (x // stp) * stp + stp - 1 END AS bucket_hi,
+       n
+FROM b ORDER BY grp, q
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_quantiles" -> (streamQuantiles _),
     "q_stream_session_window" -> (streamSessionWindow _),
     "q_stream_topk" -> (streamTopk _),
     "q_stream_recovery" -> (streamRecovery _),
@@ -974,6 +1068,7 @@ ORDER BY user_id, start_us
     "q_stream_approx_distinct" -> (streamApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_quantiles" -> streamQuantilesSql,
     "q_stream_session_window" -> streamSessionWindowSql,
     "q_stream_topk" -> streamTopkSql,
     "q_stream_recovery" -> streamRecoverySql,

@@ -279,4 +279,33 @@ class StreamingSpec extends GraftSuite {
     // Σ 2·id over [0, 400) = 400·399 — any lost or replayed file breaks it
     assert(out.agg(sum("v")).head.getLong(0) == 399L * 400L)
   }
+
+  test("QuantileHistogram: bucket contract — bounds, relative error, rank agreement, order independence") {
+    import graft.streaming.QuantileHistogram._
+    val rnd = new scala.util.Random(42)
+    // bounds + relative-error guarantee across magnitudes
+    (0 until 2000).foreach { _ =>
+      val v = (rnd.nextLong().abs % (1L << (rnd.nextInt(50) + 4))) + 1
+      assert(bucketLo(v) <= v && v <= bucketHi(v), s"$v outside its bucket")
+      assert(bucketHi(v) - bucketLo(v) <= math.max(v / 8, 0), s"bucket too wide for $v")
+    }
+    // quantiles() lands in the bucket of the exact rank value, for any
+    // arrival order (counts are order-independent by construction)
+    def targets(n: Long): Seq[(String, Long)] = Seq(
+      "p25" -> (n + 3) / 4, "p50" -> (n + 1) / 2, "p75" -> (3 * n + 3) / 4)
+    (1 to 20).foreach { trial =>
+      val vs = Seq.fill(1 + rnd.nextInt(500))(rnd.nextLong().abs % 100000000L + 1)
+      val shuffled = rnd.shuffle(vs)
+      val h1 = vs.foldLeft(Map.empty[Long, Long])(add)
+      val h2 = shuffled.foldLeft(Map.empty[Long, Long])(add)
+      assert(h1 == h2, "histogram must be arrival-order independent")
+      val sorted = vs.sorted
+      quantiles(h1, targets).foreach { case (lbl, lo, hi, n) =>
+        assert(n == vs.size)
+        val exact = sorted((targets(n).toMap.apply(lbl) - 1).toInt)
+        assert(lo == bucketLo(exact) && hi == bucketHi(exact),
+          s"trial $trial $lbl: bucket [$lo,$hi] != bucket of exact rank value $exact")
+      }
+    }
+  }
 }
