@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * plus Spark's own `StreamingQueryProgress.durationMs` line items
   * (triggerExecution = addBatch + getBatch + queryPlanning +
   * walCommit + commitOffsets + stateManagement ...). This names the
-  * Spark-internal floor the bench's stream family pays per query.
+  * engine-machinery floor the bench's stream family pays per query.
   *
   * Usage: sbt "runMain graft.tools.StreamProfile [nRows]"
   */
