@@ -85,14 +85,15 @@ object Bench {
       }).groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
     val bs = builds.map { case (k, v) => jkey(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
+    val sfJson = jkey(sfDir) // same escaping as keys: sfDir is user input
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_s":$bs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_s":$bs,"sf":$sfJson}"""
     // The per-query map (100+ entries, ~3 KB) goes to the file only: the
     // driver's bounded tail capture truncates long stdout lines from the
     // HEAD, which beheaded the full JSON three rounds running. The final
     // stdout line is a ~130-byte total-only object that always survives.
     val brief =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries_file":"target/bench.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries_file":"target/bench.json","sf":$sfJson}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target", "bench.json"), full + "\n")
     SessionMemo.evictSession(spark)

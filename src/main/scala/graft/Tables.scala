@@ -68,19 +68,19 @@ object Tables {
 
   def staged(spark: SparkSession, dir: String, name: String,
              cols: Seq[String] = Nil): DataFrame = {
+    // Canonical (sorted) column order inside the memo so callers naming
+    // the same column SET share one artifact; re-projected to the
+    // caller's order on the way out — positional consumers (`.as[T]`,
+    // `.toDF`) must see the order they asked for.
     val key = cols.sorted
-    stagedMemo(spark, (dir, name, key)) {
-      var out: DataFrame = null
-      graft.operators.StagedOnce(spark,
+    val canonical = stagedMemo(spark, (dir, name, key)) {
+      graft.operators.StagedOnce.timedBuild(spark,
         s"tables_staged:$name(${key.mkString(",")})@$dir",
         owner = "tables_staged", dir = dir) {
-        out = project(apply(spark, dir, name), key).localCheckpoint(true)
+        project(apply(spark, dir, name), key).localCheckpoint(true)
       }
-      // Memo hit on StagedOnce but miss here cannot happen in practice
-      // (both are populated together and evicted together); guard anyway.
-      if (out == null) project(apply(spark, dir, name), key).localCheckpoint(true)
-      else out
     }
+    project(canonical, cols)
   }
 
   private def project(df: DataFrame, cols: Seq[String]): DataFrame =

@@ -129,6 +129,15 @@ object PrefixSum {
     Option(cutsRaw).map(_.distinct.sorted.toSeq).getOrElse(Seq.empty[Double])
   }
 
+  /** ⌈p·n⌉ target ranks for the quartiles — the ONE spelling of the
+    * p25/p50/p75 rank arithmetic shared by q_exact_quantiles,
+    * q_weighted_quantiles and q_stream_quantiles. Integer-exact:
+    * (n+3)/4 = ⌈n/4⌉ etc.; agreement with DuckDB `percentile_disc`'s
+    * rank choice is load-bearing for all three oracle twins, so the
+    * arithmetic must not be re-stated per query. */
+  def quartileRanks(n: Long): Seq[(String, Long)] = Seq(
+    "p25" -> (n + 3) / 4, "p50" -> (n + 1) / 2, "p75" -> (3 * n + 3) / 4)
+
   /** The bucket id a row with key `key` gets for cut array `cuts`
     * (must be sorted distinct): # cuts strictly below the key. Public
     * so offsetsOverride callers can histogram rows by the IDENTICAL
@@ -152,16 +161,24 @@ object PrefixSum {
   private def bucketRangeFilter(key: Column, cuts: Seq[Double],
                                 hit: Seq[Int]): Column =
     if (cuts.isEmpty) lit(true)
-    else hit.map { b =>
-      val lo = if (b == 0) None else Some(cuts(b - 1))
-      val hi = if (b == cuts.length) None else Some(cuts(b))
-      (lo, hi) match {
-        case (None, Some(h))    => key <= lit(h)
-        case (Some(l), Some(h)) => key > lit(l) && key <= lit(h)
-        case (Some(l), None)    => key > lit(l)
-        case (None, None)       => lit(true)
-      }
-    }.reduce(_ || _)
+    else {
+      val ranges = hit.map { b =>
+        val lo = if (b == 0) None else Some(cuts(b - 1))
+        val hi = if (b == cuts.length) None else Some(cuts(b))
+        (lo, hi) match {
+          case (None, Some(h))    => key <= lit(h)
+          case (Some(l), Some(h)) => key > lit(l) && key <= lit(h)
+          case (Some(l), None)    => key > lit(l)
+          case (None, None)       => lit(true)
+        }
+      }.reduce(_ || _)
+      // Null keys are outside the operator contract, but bucketExpr
+      // tallies them into bucket 0 (every `null > cut` is false), so the
+      // counts/offsets include them — keep the final pass consistent
+      // with that rather than silently mis-selecting by a null-count
+      // offset when bucket 0 is a hit.
+      if (hit.contains(0)) ranges || key.isNull else ranges
+    }
 
   /** SQL-standard NTILE bucket (1-based) for a 1-based global rank when
     * the total row count `n` is driver-known: the first n mod k buckets

@@ -42,6 +42,21 @@ object StagedOnce {
       (owner, dir, (System.nanoTime() - t0) / 1e9)
     }
 
+  /** Value-returning form for call sites that keep the built VALUE in
+    * their own session memo (Tables.staged, StreamQueries.slice) and
+    * only need the build-once TIMING recorded here: call from inside
+    * the caller's memo-miss body; the build runs and its wall time
+    * lands in [[builds]]. The fallback (this memo already had the key
+    * while the caller's memo did not — possible only if the two memos
+    * were populated or evicted independently, which the paired call
+    * sites never do) rebuilds untimed rather than failing. */
+  def timedBuild[T](s: SparkSession, key: String, owner: String = "",
+                    dir: String = "")(build: => T): T = {
+    var out: Option[T] = None
+    apply(s, key, owner, dir) { out = Some(build) }
+    out.getOrElse(build)
+  }
+
   /** Build seconds per staging key for `s` — one entry per artifact
     * actually built in this session. */
   def buildSeconds(s: SparkSession): Map[String, Double] =

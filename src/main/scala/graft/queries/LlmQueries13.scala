@@ -36,11 +36,11 @@ object LlmQueries13 {
         Seq("l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"))
       .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
         col("l_orderkey"), col("l_linenumber"))
-    // ⌈p·n⌉ target ranks, derived from the exact total the selection's
-    // own per-bucket counts already carry — no separate count() scan,
-    // and only the (≤3) hit buckets are ever window-scanned.
-    def targets(n: Long): Seq[(String, Long)] = Seq(
-      "p25" -> (n + 3) / 4, "p50" -> (n + 1) / 2, "p75" -> (3 * n + 3) / 4)
+    // ⌈p·n⌉ target ranks (PrefixSum.quartileRanks — the shared
+    // spelling), derived from the exact total the selection's own
+    // per-bucket counts already carry — no separate count() scan, and
+    // only the (≤3) hit buckets are ever window-scanned.
+    val targets = PrefixSum.quartileRanks _
     // `stable = true` re-scan IS the fast path now that the input rides
     // the one-time per-session staged layout (Tables.staged): each of
     // the cuts/counts/final passes reads cached blocks, and no per-call
@@ -84,8 +84,7 @@ ORDER BY q
       .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
         col("l_quantity").cast("long").as("w"),
         col("l_orderkey"), col("l_linenumber"))
-    def targets(tw: Long): Seq[(String, Long)] = Seq(
-      "p25" -> (tw + 3) / 4, "p50" -> (tw + 1) / 2, "p75" -> (3 * tw + 3) / 4)
+    val targets = PrefixSum.quartileRanks _ // targets in token MASS, not rows
     PrefixSum.selectWeighted(li, col("cents"),
         Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), col("w"),
         targets, "q", preStaged = true)

@@ -46,12 +46,8 @@ object StreamQueries {
   private[queries] def slice[T <: AnyRef](s: SparkSession, dir: String,
       key: String)(build: => T): T =
     sliceMemo(s, (dir, key)) {
-      var out: AnyRef = null
-      graft.operators.StagedOnce(s, s"stream_slice:$key@$dir",
-        owner = key, dir = dir) { out = build }
-      // StagedOnce hit with sliceMemo miss cannot happen (populated and
-      // evicted together); rebuild defensively if it ever does.
-      if (out == null) build else out
+      graft.operators.StagedOnce.timedBuild(s, s"stream_slice:$key@$dir",
+        owner = key, dir = dir)(build)
     }.asInstanceOf[T]
 
   def streamingMerge(s: SparkSession, dir: String): DataFrame = {
@@ -989,9 +985,8 @@ ORDER BY user_id, start_us
     }
     require(rows.nonEmpty, "empty slice")
     // Same ⌈p·n⌉ targets as q_exact_quantiles (DuckDB percentile_disc's
-    // rank) — shared arithmetic keeps the twins aligned.
-    def targets(n: Long): Seq[(String, Long)] = Seq(
-      "p25" -> (n + 3) / 4, "p50" -> (n + 1) / 2, "p75" -> (3 * n + 3) / 4)
+    // rank) — the one shared spelling keeps the twins aligned.
+    val targets = graft.operators.PrefixSum.quartileRanks _
     def step(grp: String, it: Iterator[(String, Long)],
              state: GroupState[Map[Long, Long]]): Iterator[(String, String, Long, Long, Long)] = {
       var m = state.getOption.getOrElse(Map.empty[Long, Long])

@@ -223,8 +223,12 @@ object KeyedUpsertSink {
     val insIdx = colIndexes(df, cols)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val stg = s"${table}_stg_$pid"
+        // Attempt-unique scratch name: a speculative/retried duplicate
+        // attempt of the same partition (or a concurrent job on the same
+        // target) must not DROP/CREATE the other's staging table mid-
+        // merge — partitionId alone would collide exactly there.
+        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+        val stg = s"${table}_stg_$attempt"
         val props = new java.util.Properties()
         connProps.foreach { case (k, v) => props.setProperty(k, v) }
         val conn = java.sql.DriverManager.getConnection(url, props)

@@ -69,15 +69,9 @@ object QuantileHistogram {
       var cum = 0L
       val lo = sorted.iterator.map { case (b, c) => cum += c; (b, cum) }
         .collectFirst { case (b, c) if c >= r => b }.get
-      // hi re-derived from lo: every value in the bucket shares both bounds
-      (label, lo, hiOfLo(lo), n)
+      // every value in a bucket shares both bounds, and a bucket's lo is
+      // its own smallest member — bucketHi(lo) IS the bucket's hi
+      (label, lo, bucketHi(lo), n)
     }
   }
-
-  private def hiOfLo(lo: Long): Long =
-    if (lo < (1L << SubBits)) lo
-    else {
-      val e = 63 - java.lang.Long.numberOfLeadingZeros(lo)
-      lo + (1L << (e - SubBits)) - 1
-    }
 }
