@@ -238,4 +238,26 @@ class PlanGovernanceSpec extends GraftSuite {
         s"$name may sort only at the result edge, found $sorts:\n${plan.take(2000)}")
     }
   }
+
+  test("round-9 plan pin: selection filters carry no conditional chains") {
+    // The r9 interpreted-filter class: a Filter whose condition inlines
+    // a chained CaseWhen (the bucket expression substituted through the
+    // projects) generates a method past the JIT compile budget and runs
+    // interpreted (~100x: 17 s vs 0.4 s on 6M rows, BENCHLOG r9). The
+    // selection queries must filter on key RANGES (flat comparisons);
+    // any CaseWhen inside any Filter of their optimized plans is the
+    // regression reappearing.
+    import org.apache.spark.sql.catalyst.expressions.CaseWhen
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val dir = "/root/testdata/sf0.001"
+    Seq("q_exact_quantiles", "q_weighted_quantiles", "q_curriculum").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      val offending = plan.collectWithSubqueries {
+        case f: Filter => f.condition.collect { case c: CaseWhen => c }
+      }.flatten
+      assert(offending.isEmpty,
+        s"$name plans a CaseWhen inside a Filter (interpreted-filter class): " +
+          offending.headOption.fold("")(_.toString.take(200)))
+    }
+  }
 }
