@@ -36,14 +36,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // Scratch I/O (streaming temp checkpoints/offset logs/state stores,
-  // spark.local.dir shuffle files) on tmpfs instead of the root disk:
-  // the streaming micro-batch harness fsyncs offset/commit/state files
-  // every batch, which on /tmp (disk-backed here) is pure fixed latency.
-  // Production equivalent: fast local SSD scratch, per Spark's own
-  // spark.local.dir guidance.
-  "-Djava.io.tmpdir=/dev/shm",
 )
+// Scratch I/O (streaming temp checkpoints/offset logs/state stores,
+// spark.local.dir shuffle files) on tmpfs instead of the root disk:
+// the streaming micro-batch harness fsyncs offset/commit/state files
+// every batch, which on /tmp (disk-backed here) is pure fixed latency.
+// Production equivalent: fast local SSD scratch, per Spark's own
+// spark.local.dir guidance. Guarded, not forced: containers commonly
+// cap /dev/shm at 64 MB, where shuffle spill would hit no-space and
+// compete with the heap for RAM — so use it only when it exists with
+// ≥2 GiB free, let SPARK_GRAFT_TMPDIR override either way, and
+// otherwise leave the JVM's default tmpdir alone.
+javaOptions ++= {
+  val pick = sys.env.get("SPARK_GRAFT_TMPDIR").orElse {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.getUsableSpace >= (2L << 30)) Some("/dev/shm")
+    else None
+  }
+  pick.map(p => s"-Djava.io.tmpdir=$p").toSeq
+}
 // Suites share one SparkSession and ExtensionsSpec temporarily swaps the
 // default session — run suites sequentially to keep that deterministic.
 Test / parallelExecution := false

@@ -1024,7 +1024,12 @@ ORDER BY user_id, start_us
   /** Batch twin: the exact per-group discrete percentile, mapped into
     * the SAME log-bucket integer arithmetic the stream's histogram
     * uses (values < 8 are their own bucket; above, octave e splits
-    * into 8 sub-buckets of width 2^(e-3)). */
+    * into 8 sub-buckets of width 2^(e-3)). The octave is derived
+    * integer-exactly as `length(bin(x)) - 1` — the SQL twin of the
+    * histogram's numberOfLeadingZeros — because floating
+    * `floor(log2(x))` rounds UP to e for x = 2^e - 1 once e ≳ 49,
+    * picking the wrong bucket bounds; the histogram's contract is all
+    * positive longs, so the twin must match across that full range. */
   val streamQuantilesSql: String = """
 WITH c AS (
   SELECT o_orderpriority AS grp, CAST(round(o_totalprice * 100) AS BIGINT) AS v
@@ -1038,7 +1043,7 @@ x AS (
 b AS (
   SELECT grp, q, x, CAST(n AS BIGINT) AS n,
          CASE WHEN x < 8 THEN CAST(0 AS BIGINT)
-              ELSE CAST(1 AS BIGINT) << (CAST(floor(log2(x)) AS BIGINT) - 3) END AS stp
+              ELSE CAST(1 AS BIGINT) << (CAST(length(bin(x)) - 1 AS BIGINT) - 3) END AS stp
   FROM x)
 SELECT grp, q,
        CASE WHEN x < 8 THEN x ELSE (x // stp) * stp END AS bucket_lo,

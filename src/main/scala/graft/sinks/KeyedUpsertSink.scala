@@ -198,11 +198,18 @@ object KeyedUpsertSink {
   }
 
   /** Staging-table MERGE egress — the bulk-upsert shape for
-    * MERGE-dialect stores (Derby, DB2, Oracle, SQL Server; PostgreSQL
-    * ≥15 too): each partition batch-INSERTs its rows into a private
-    * scratch table, applies ONE set-based [[mergeSql]] statement, drops
-    * the scratch table, and commits — all in one transaction, so a
-    * partition's rows appear atomically (R12 single-commit visibility).
+    * MERGE-dialect stores with TRANSACTIONAL DDL (Derby, DB2,
+    * PostgreSQL ≥15): each partition batch-INSERTs its rows into a
+    * private scratch table, applies ONE set-based [[mergeSql]]
+    * statement, drops the scratch table, and commits — all in one
+    * transaction, so a partition's rows appear atomically (R12
+    * single-commit visibility) and a failed attempt's rollback also
+    * undoes its scratch CREATE (no leftover sweep needed). Oracle and
+    * SQL Server are OUT of this contract: both auto-commit DDL (which
+    * would break the single-transaction atomicity above) and neither
+    * accepts `CREATE TABLE … AS SELECT … WITH NO DATA` — supporting
+    * them needs dialect-specific scratch DDL plus a real leftover
+    * sweep, loudly absent rather than silently wrong here.
     *
     * At scale this is the PREFERRED relational egress: [[writeJdbc]]'s
     * per-row UPDATE→counts→INSERT probe becomes one bulk load plus one
@@ -235,10 +242,11 @@ object KeyedUpsertSink {
         try {
           conn.setAutoCommit(false)
           val st = conn.createStatement()
-          // No IF EXISTS in Derby: clear a leftover scratch table from a
-          // failed earlier task attempt, ignoring "does not exist".
-          try { st.execute(s"DROP TABLE $stg"); conn.commit() }
-          catch { case _: java.sql.SQLException => conn.rollback() }
+          // No pre-CREATE leftover sweep: the scratch name is attempt-
+          // unique, so a failed EARLIER attempt's table (different
+          // attempt id) could never collide with ours — and on the
+          // transactional-DDL stores this contract covers, that failed
+          // attempt's rollback already dropped its scratch anyway.
           st.execute(s"CREATE TABLE $stg AS SELECT ${cols.mkString(", ")} " +
             s"FROM $table WITH NO DATA")
           val ins = conn.prepareStatement(

@@ -67,18 +67,25 @@ class StagedOnceSpec extends GraftSuite {
   }
 
   test("Tables.staged: caller column order honored, one artifact per column SET") {
-    val dir = "/root/testdata/sf0.001"
-    val a = Tables.staged(spark, dir, "orders", Seq("o_totalprice", "o_orderkey"))
-    val b = Tables.staged(spark, dir, "orders", Seq("o_orderkey", "o_totalprice"))
-    // positional consumers see the order they asked for...
-    assert(a.columns.toSeq == Seq("o_totalprice", "o_orderkey"))
-    assert(b.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
-    // ...while both orders share ONE canonical staged artifact (memo
-    // keyed on the sorted column set): exactly one build was recorded.
-    val keys = StagedOnce.builds(spark).keys.filter(_.startsWith(s"tables_staged:orders("))
-    assert(keys.size == 1, s"expected one staged orders artifact, got $keys")
-    // and the data is the same rows either way
-    assert(a.select("o_orderkey").except(b.select("o_orderkey")).isEmpty)
+    // Fresh session clone: the shared session's memo accumulates
+    // tables_staged:orders(...) entries from whatever other suites (or
+    // future queries) stage orders with a DIFFERENT column set, which
+    // would make a bare prefix count > 1 and fail on suite order alone.
+    val sess = spark.newSession()
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val a = Tables.staged(sess, dir, "orders", Seq("o_totalprice", "o_orderkey"))
+      val b = Tables.staged(sess, dir, "orders", Seq("o_orderkey", "o_totalprice"))
+      // positional consumers see the order they asked for...
+      assert(a.columns.toSeq == Seq("o_totalprice", "o_orderkey"))
+      assert(b.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
+      // ...while both orders share ONE canonical staged artifact (memo
+      // keyed on the sorted column set): exactly one build was recorded.
+      val keys = StagedOnce.builds(sess).keys.filter(_.startsWith(s"tables_staged:orders("))
+      assert(keys.size == 1, s"expected one staged orders artifact, got $keys")
+      // and the data is the same rows either way
+      assert(a.select("o_orderkey").except(b.select("o_orderkey")).isEmpty)
+    } finally SessionMemo.evictSession(sess)
   }
 
   test("build/probe split: buildSeconds records each staged artifact once") {
