@@ -55,14 +55,22 @@ object PrefixSum {
                  preStaged: Boolean = false,
                  keyRange: Option[(Double, Double)] = None,
                  cutsOverride: Option[Seq[Double]] = None,
-                 offsetsOverride: Option[Map[Int, Long]] = None): DataFrame =
+                 offsetsOverride: Option[Map[Int, Long]] = None,
+                 keepBucket: Option[String] = None): DataFrame =
     runningSumTotal(df, bucketKey, orderCols, value, out, inclusive,
-      preStaged, keyRange, cutsOverride, offsetsOverride)._1
+      preStaged, keyRange, cutsOverride, offsetsOverride, keepBucket)._1
 
   /** [[runningSum]] plus the GRAND TOTAL of `value`, read for free from
     * the per-bucket totals fold the offset pass already runs — callers
-    * that need Σvalue (NTILE arithmetic, target-mass derivation) stop
-    * paying a separate aggregation scan. Total is `-1` when
+    * that need Σvalue (NTILE arithmetic, target-mass derivation, a
+    * frequency-weighted vocabulary's position count) stop paying a
+    * separate aggregation scan. */
+  def runningSumWithTotal(df: DataFrame, bucketKey: Column,
+                 orderCols: Seq[Column], value: Column, out: String,
+                 inclusive: Boolean = false): (DataFrame, Long) =
+    runningSumTotal(df, bucketKey, orderCols, value, out, inclusive)
+
+  /** [[runningSumWithTotal]]'s engine. Total is `-1` when
     * `offsetsOverride` short-circuits the fold (the caller supplied the
     * offsets, so it already knows the total). */
   private def runningSumTotal(df: DataFrame, bucketKey: Column,
@@ -71,7 +79,8 @@ object PrefixSum {
                  preStaged: Boolean = false,
                  keyRange: Option[(Double, Double)] = None,
                  cutsOverride: Option[Seq[Double]] = None,
-                 offsetsOverride: Option[Map[Int, Long]] = None): (DataFrame, Long) = {
+                 offsetsOverride: Option[Map[Int, Long]] = None,
+                 keepBucket: Option[String] = None): (DataFrame, Long) = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     // Lazy checkpoint: the first action below materializes the blocks;
     // the totals pass and the main pass then read the SAME data.
@@ -113,8 +122,15 @@ object PrefixSum {
     val wLocal = Window.partitionBy("__psbucket").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val incl = offExpr + sum(value).over(wLocal)
-    (bucketed.withColumn(out, if (inclusive) incl else incl - value)
-      .drop("__psbucket", "__pskey"), grandTotal)
+    // `keepBucket = Some(name)` exposes the internal range-bucket id:
+    // rows equal on bucketKey always share a bucket, so a follow-up
+    // window partitioned by (bucket, <bucketKey-determined cols>) is
+    // already clustered — the caller fuses it onto this pass's
+    // distribution with a partition-local sort, no extra shuffle.
+    val summed = bucketed.withColumn(out, if (inclusive) incl else incl - value)
+    (keepBucket.map(name => summed.withColumnRenamed("__psbucket", name)
+        .drop("__pskey"))
+      .getOrElse(summed.drop("__psbucket", "__pskey")), grandTotal)
   }
 
   /** Percentile-sketch cut points over a staged frame's `__pskey` —
@@ -201,8 +217,10 @@ object PrefixSum {
     * A prefix count of 1s: rank = (# strictly-preceding rows) + 1. */
   def rank(df: DataFrame, bucketKey: Column, orderCols: Seq[Column],
            out: String, preStaged: Boolean = false,
-           keyRange: Option[(Double, Double)] = None): DataFrame =
-    rankWithCount(df, bucketKey, orderCols, out, preStaged, keyRange)._1
+           keyRange: Option[(Double, Double)] = None,
+           keepBucket: Option[String] = None): DataFrame =
+    rankWithCount(df, bucketKey, orderCols, out, preStaged, keyRange,
+      keepBucket)._1
 
   /** [[rank]] plus the EXACT total row count n, read from the same
     * per-bucket totals fold the rank pass already collects — the NTILE
@@ -210,9 +228,10 @@ object PrefixSum {
     * scan of the input. */
   def rankWithCount(df: DataFrame, bucketKey: Column, orderCols: Seq[Column],
            out: String, preStaged: Boolean = false,
-           keyRange: Option[(Double, Double)] = None): (DataFrame, Long) = {
+           keyRange: Option[(Double, Double)] = None,
+           keepBucket: Option[String] = None): (DataFrame, Long) = {
     val (r, n) = runningSumTotal(df, bucketKey, orderCols, lit(1L), out,
-      preStaged = preStaged, keyRange = keyRange)
+      preStaged = preStaged, keyRange = keyRange, keepBucket = keepBucket)
     (r.withColumn(out, col(out) + lit(1L)), n)
   }
 

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SuffixArray
+
+class SuffixArraySpec extends GraftSuite {
+
+  private def corpus(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+  }
+
+  test("full-depth ranks reproduce the lexicographic suffix order") {
+    import spark.implicits._
+    val docs = corpus(
+      1L -> "b a n a n a",
+      2L -> "a n a b",
+      3L -> "b a n a n a") // exact duplicate of doc 1: full-suffix ties
+    val r = SuffixArray.ranks(docs, 3) // 2^3 = 8 >= max doc length 6
+    val got = r.select("doc_id", "pos", "rank")
+      .as[(Long, Int, Long)].collect()
+      .sortBy { case (d, p, rk) => (rk, d, p) }
+      .map { case (d, p, _) => (d, p) }
+    // Reference: sort suffix token sequences directly, tie-break (doc, pos).
+    val toks = Map(
+      1L -> Array("b", "a", "n", "a", "n", "a"),
+      2L -> Array("a", "n", "a", "b"),
+      3L -> Array("b", "a", "n", "a", "n", "a"))
+    val expected = toks.toSeq.flatMap { case (d, ts) =>
+      ts.indices.map(p => (d, p, ts.drop(p).toSeq))
+    }.sortBy { case (d, p, sfx) =>
+      // space separator sorts below [a-z], so joined-string order is
+      // tokenwise order and a proper prefix sorts first
+      (sfx.mkString(" "), d, p)
+    }.map { case (d, p, _) => (d, p) }
+    assert(got.toSeq === expected)
+    // Duplicate docs 1 and 3 really do tie at full depth (rank equality
+    // is exact suffix equality, so each doc-1 suffix shares its rank
+    // with the same position in doc 3).
+    val ranks = r.select("doc_id", "pos", "rank")
+      .as[(Long, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    (0 until 6).foreach(p => assert(ranks((1L, p)) === ranks((3L, p))))
+  }
+
+  test("level-k rank equality is exact 2^k-window equality (full windows)") {
+    import spark.implicits._
+    // Docs 10/11 share the 4-gram "x y z w" at different positions;
+    // doc 12 shares only the 2-gram "x y".
+    val docs = corpus(
+      10L -> "q x y z w r",
+      11L -> "x y z w s t",
+      12L -> "x y u v a b")
+    val lv = SuffixArray.levelRanks(docs, 2).toMap
+    def byPos(k: Int) = lv(k).select("doc_id", "pos", "rank")
+      .as[(Long, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val l1 = byPos(1); val l2 = byPos(2)
+    // 4-token windows at (10, pos 1) and (11, pos 0) are equal → equal
+    // level-2 rank; doc 12's window differs.
+    assert(l2((10L, 1)) === l2((11L, 0)))
+    assert(l2((12L, 0)) !== l2((10L, 1)))
+    // 2-token windows "x y" agree across all three docs at their offsets.
+    assert(l1((10L, 1)) === l1((12L, 0)))
+    assert(l1((11L, 0)) === l1((12L, 0)))
+    // And a different 2-gram ("y z" vs "y u") does not alias.
+    assert(l1((10L, 2)) !== l1((12L, 1)))
+  }
+
+  test("baseLevel jump is order-exact: same final order as full doubling") {
+    import spark.implicits._
+    val docs = corpus(
+      1L -> "b a n a n a",
+      2L -> "a n a b",
+      3L -> "n a b a")
+    def order(base: Int) =
+      SuffixArray.ranks(docs, 3, baseLevel = base)
+        .select("doc_id", "pos", "rank").as[(Long, Int, Long)].collect()
+        .sortBy { case (d, p, rk) => (rk, d, p) }
+        .map { case (d, p, _) => (d, p) }.toSeq
+    val full = order(0)
+    assert(order(2) === full)
+    assert(order(3) === full) // degenerate: base IS the final level
+  }
+
+  test("suffixOrder is the 1..n permutation of the full-depth rank order") {
+    import spark.implicits._
+    val docs = corpus(
+      1L -> "b a n a n a",
+      2L -> "a n a b",
+      3L -> "b a n a n a")
+    val got = SuffixArray.suffixOrder(docs, 3)
+      .select("doc_id", "pos", "sa_rank").as[(Long, Int, Long)].collect()
+    // a permutation of 1..n ...
+    assert(got.map(_._3).sorted.toSeq === (1L to got.length.toLong))
+    // ... in exactly the order ranks+tiebreak produce
+    val viaRanks = SuffixArray.ranks(docs, 3)
+      .select("doc_id", "pos", "rank").as[(Long, Int, Long)].collect()
+      .sortBy { case (d, p, rk) => (rk, d, p) }
+      .map { case (d, p, _) => (d, p) }.toSeq
+    assert(got.sortBy(_._3).map(t => (t._1, t._2)).toSeq === viaRanks)
+  }
+
+  test("sentinel: a proper prefix sorts strictly before its extension") {
+    import spark.implicits._
+    val docs = corpus(1L -> "a", 2L -> "a b")
+    val m = SuffixArray.ranks(docs, 1)
+      .select("doc_id", "pos", "rank").as[(Long, Int, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((1L, 0)) < m((2L, 0)), "\"a\" must rank below \"a b\"")
+    assert(m((2L, 1)) > m((2L, 0)), "suffix \"b\" ranks above \"a b\"")
+  }
+}
