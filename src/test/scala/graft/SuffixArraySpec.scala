@@ -103,6 +103,50 @@ class SuffixArraySpec extends GraftSuite {
     assert(got.sortBy(_._3).map(t => (t._1, t._2)).toSeq === viaRanks)
   }
 
+  test("property: random corpora match brute-force suffix sort and window equality") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    (0 until 3).foreach { i =>
+      // Small alphabet + short docs force heavy rank ties and repeats —
+      // the regime where doubling bookkeeping can go wrong.
+      val gDoc = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "ab", "ba", "c"))
+        .map(_.take(12))
+      val docsList = sample(Gen.listOfN(8, gDoc), 42L + i)
+      val docs = docsList.zipWithIndex
+        .map { case (ts, d) => (d.toLong, ts) }.toDF("doc_id", "toks")
+      // suffixOrder vs brute-force sort of token sequences
+      val got = SuffixArray.suffixOrder(docs, 4)
+        .select("doc_id", "pos", "sa_rank").as[(Long, Int, Long)].collect()
+        .sortBy(_._3).map(t => (t._1, t._2)).toSeq
+      val want = docsList.zipWithIndex.flatMap { case (ts, d) =>
+        ts.indices.map(p => (d.toLong, p, ts.drop(p)))
+      }.sortBy { case (d, p, sfx) => (sfx.mkString(" "), d, p) }
+        .map(t => (t._1, t._2))
+      assert(got === want, s"iteration $i suffix order diverged")
+      // level-2 rank equality == exact 4-token-window equality for
+      // positions with a full window
+      val l2 = SuffixArray.levelRanks(docs, 2).toMap.apply(2)
+        .filter(col("pos") + 4 <= col("dlen"))
+        .select("doc_id", "pos", "rank").as[(Long, Int, Long)].collect()
+      val win = docsList.zipWithIndex.flatMap { case (ts, d) =>
+        (0 to ts.length - 4).map(p => (d.toLong, p) -> ts.slice(p, p + 4).mkString(" "))
+      }.toMap
+      val byRank = l2.groupBy(_._3).values
+      byRank.foreach { grp =>
+        val wins = grp.map(t => win((t._1, t._2))).distinct
+        assert(wins.size == 1, s"iteration $i: one rank, windows $wins")
+      }
+      val byWin = l2.groupBy(t => win((t._1, t._2))).values
+      byWin.foreach { grp =>
+        assert(grp.map(_._3).distinct.size == 1,
+          s"iteration $i: equal windows got different ranks")
+      }
+    }
+  }
+
   test("sentinel: a proper prefix sorts strictly before its extension") {
     import spark.implicits._
     val docs = corpus(1L -> "a", 2L -> "a b")
