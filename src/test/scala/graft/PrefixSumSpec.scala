@@ -43,6 +43,35 @@ class PrefixSumSpec extends GraftSuite {
     assert(got === expected.map { case (k, v) => k -> v.toLong })
   }
 
+  test("keepBucket: equal keys share the exposed bucket; fused group window needs no shuffle") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i.toLong % 20, i.toLong)).toDF("k", "v")
+    val r = PrefixSum.rank(df, col("k"), Seq(col("k"), col("v")), "rn",
+      keepBucket = Some("bkt"))
+    // Rows equal on the bucket key never straddle buckets — the
+    // contract that lets a (bucket, key...) window fuse shuffle-free.
+    val perKey = r.groupBy("k").agg(countDistinct(col("bkt")).as("nb"))
+      .as[(Long, Long)].collect()
+    perKey.foreach { case (k, nb) => assert(nb === 1L, s"key $k straddles buckets") }
+    // The fused min-per-group window over (bkt, k) adds no Exchange
+    // beyond the rank pass's own: group-min == global min(rn) per key.
+    val fused = r.withColumn("mn",
+      min(col("rn")).over(Window.partitionBy(col("bkt"), col("k"))))
+    val exchanges = fused.queryExecution.executedPlan.toString()
+      .split('\n').count(_.contains("Exchange"))
+    val plain = r.queryExecution.executedPlan.toString()
+      .split('\n').count(_.contains("Exchange"))
+    assert(exchanges === plain,
+      s"fused window added a shuffle ($plain -> $exchanges)")
+    val wantMin = r.groupBy("k").agg(min("rn").as("want")).as[(Long, Long)]
+      .collect().toMap
+    fused.select("k", "mn").as[(Long, Long)].collect()
+      .foreach { case (k, mn) => assert(mn === wantMin(k)) }
+    // Default path drops the internal column entirely.
+    assert(!PrefixSum.rank(df, col("k"), Seq(col("k"), col("v")), "rn")
+      .columns.contains("bkt"))
+  }
+
   test("ntileExpr matches SQL NTILE for every (n, k) boundary shape") {
     import spark.implicits._
     // Sweep sizes around every divisibility boundary of several k —
