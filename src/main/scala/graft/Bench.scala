@@ -39,14 +39,28 @@ object Bench {
     // for the driver's round-over-round regression compare, and round 5
     // measured two identical-code min-of-2 SUITE totals 13% apart. The
     // min tracks the query's actual cost; noise only ever inflates.
+    // A timed run that THROWS must be loud, never silently timed: a
+    // swallowed exception here once recorded a plausible-looking 1.0 s
+    // for a query that crashed on every sf0.1 invocation (ANSI divide
+    // by zero), so the bench "passed" a broken query for rounds. The
+    // failure rides in the JSON (`errors` object + n_errors on the
+    // brief line) and on stderr; timing keeps the measured
+    // time-to-failure so totals stay comparable.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            e.toString.takeWhile(_ != '\n').take(200))
+          -1L
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
+    errors.foreach { case (n, m) => System.err.println(s"[bench] $n FAILED: $m") }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // JSON string escaping for keys: query names are [a-z0-9_], but
@@ -86,14 +100,16 @@ object Bench {
     val bs = builds.map { case (k, v) => jkey(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val sfJson = jkey(sfDir) // same escaping as keys: sfDir is user input
+    val errJson = errors.map { case (k, m) => jkey(k) + ":" + jkey(m) }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_s":$bs,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_s":$bs,"errors":$errJson,"sf":$sfJson}"""
     // The per-query map (100+ entries, ~3 KB) goes to the file only: the
     // driver's bounded tail capture truncates long stdout lines from the
     // HEAD, which beheaded the full JSON three rounds running. The final
     // stdout line is a ~130-byte total-only object that always survives.
     val brief =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"queries_file":"target/bench.json","sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_errors":${errors.size},"queries_file":"target/bench.json","sf":$sfJson}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target", "bench.json"), full + "\n")
     SessionMemo.evictSession(spark)

@@ -121,15 +121,25 @@ ORDER BY cos_micro DESC, i1, i2 LIMIT 20
       .join(deg.withColumnRenamed("u", "vv").withColumnRenamed("d", "y"),
         col("v") === col("vv"))
       .select("x", "y")
+    // Zero degree variance (every node the same degree — the saturated
+    // regime this synthetic bipartite graph reaches once the fact table
+    // covers all 200×200 key pairs, first seen at sf0.1) makes
+    // assortativity 0/0: mathematically undefined, so emit NULL. The
+    // guard mirrors DuckDB exactly — its float division yields NULL on
+    // a zero divisor, while Spark's ANSI mode throws without it.
+    val num = col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val den = sqrt((col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx")) *
+      (col("n").cast("double") * col("syy") -
+        col("sy").cast("double") * col("sy")))
     ed.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("n"),
-        floor((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
-          / sqrt((col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
-            * (col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy")))
-          * lit(1e6)).cast("long").as("assort_micro"))
+        floor(when(den === 0d, lit(null)).otherwise(num / den) * lit(1e6))
+          .cast("long").as("assort_micro"))
   }
 
   val degreeAssortativitySql: String = """
@@ -139,9 +149,12 @@ deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
 ed AS (SELECT du.d AS x, dv.d AS y FROM und JOIN deg du ON du.u = und.u JOIN deg dv ON dv.u = und.v),
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
              CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy FROM ed)
-SELECT n, CAST(floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
-     / sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))
-     * 1000000.0) AS BIGINT) AS assort_micro
+SELECT n, CAST(floor(CASE
+       WHEN sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) = 0
+       THEN NULL
+       ELSE (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+            / sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))
+       END * 1000000.0) AS BIGINT) AS assort_micro
 FROM m
 """
 

@@ -481,11 +481,19 @@ ORDER BY 1, l_ms, r_ms
       .orderBy("win_start_s")
   }
 
-  /** Batch twin: exact distinct per epoch-aligned 6-hour window. */
+  /** Batch twin: exact distinct per epoch-aligned 6-hour window. The
+    * inner ORDER BY/LIMIT mirrors the harness slice's StreamRowCap
+    * exactly — without it the twin reads every matching event while the
+    * stream ingests only the cap, which diverges once the filter
+    * matches more than the cap (first seen at sf0.1: 13 vs 25 windows).
+    * Ties at the cut are harmless: the sort key IS the carried (ms,
+    * user_id) pair, so boundary ties are equal pairs and per-window
+    * DISTINCT counts cannot depend on which copy survives. */
   val streamApproxDistinctSql: String = """
 SELECT CAST(epoch_ms(ts) // 21600000 * 21600 AS BIGINT) AS win_start_s,
        COUNT(DISTINCT user_id) AS n_exact, TRUE AS ok
-FROM events WHERE event_id < 20000
+FROM (SELECT ts, user_id FROM events WHERE event_id < 20000
+      ORDER BY epoch_ms(ts), user_id LIMIT 10000)
 GROUP BY 1 ORDER BY 1
 """
 
