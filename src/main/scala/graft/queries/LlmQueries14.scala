@@ -3,9 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{SessionMemo, Tables}
 import graft.functions.TextFns.{normalizeText, tokens}
-import graft.operators.SuffixArray
+import graft.operators.{StagedOnce, SuffixArray}
 
 /** Fourteenth LLM-pipeline batch: exact substring-level dedup via a
   * DISTRIBUTED SUFFIX ARRAY (prefix doubling) — the Lee et al. ACL'22
@@ -24,6 +24,26 @@ object LlmQueries14 {
     t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"),
         tokens(normalizeText(col("text"))).as("toks"))
+
+  /** One doubling pass serves both full-corpus consumers: the
+    * repeated-span profile and the span cut share these level frames
+    * (same (session, dir) → same staged checkpoints), so the log-round
+    * build runs once and each query pays only its own probe — the
+    * DedupStage pattern, with the build cost attributed in the bench's
+    * build_s report. The count() forces the whole round chain NOW so
+    * the build is billed here, not to whichever query runs first. */
+  private val saLevels = new SessionMemo[String, Vector[(Int, DataFrame)]]()
+
+  private def stagedLevels(s: SparkSession, dir: String): Vector[(Int, DataFrame)] =
+    saLevels(s, dir) {
+      StagedOnce.timedBuild(s, s"sa_levels:$dir",
+        owner = "q_repeated_spans+q_span_cut", dir = dir) {
+        val lv = SuffixArray.levelRanks(
+          docTokens(s, dir).filter(size(col("toks")) > 0), 4)
+        lv.last._2.count()
+        lv
+      }
+    }
 
   /** The suffix array itself, verified against the definition: global
     * lexicographic rank of every suffix of a 60-document slice, checked
@@ -84,7 +104,7 @@ SELECT sa_rank, doc_id, pos, head FROM r WHERE sa_rank <= 30 ORDER BY sa_rank
     * groupBy on the rank, never a pairwise comparison. */
   def repeatedSpans(s: SparkSession, dir: String): DataFrame = {
     val docs = docTokens(s, dir)
-    val lv = SuffixArray.levelRanks(docs.filter(size(col("toks")) > 0), 4)
+    val lv = stagedLevels(s, dir)
     // One melted pass over all five levels instead of five separate
     // groupBy/join chains: each position contributes a (span, rank)
     // row per level it has a FULL window for, one groupBy finds the
@@ -126,11 +146,62 @@ FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
 ORDER BY b.doc_id
 """
 
+  /** The dedup ACTION the profile feeds — Lee et al.'s ExactSubstr
+    * removes the duplicated spans themselves, not whole documents: for
+    * each document, count the tokens covered by ANY cross-doc-verbatim
+    * 16-token span (union of overlapping [p, p+15] windows whose
+    * level-4 rank is shared by ≥ 2 docs) and what survives the cut.
+    * Coverage is an explode of each duplicated start into its 16
+    * positions + DISTINCT — bounded by 16 × duplicated-start count,
+    * never corpus × corpus. Shares [[stagedLevels]]' one doubling
+    * build with q_repeated_spans. */
+  def spanCut(s: SparkSession, dir: String): DataFrame = {
+    val docs = docTokens(s, dir)
+    val lv4 = stagedLevels(s, dir).toMap.apply(4)
+    val starts = lv4.filter(col("pos") + 16 <= col("dlen"))
+      .select(col("doc_id"), col("pos"), col("rank"))
+    val dup = starts.groupBy("rank")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("rank")
+    val cut = starts.join(dup, Seq("rank"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + 15)).as("cp"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cut"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(cut, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"))
+      .withColumn("n_kept", col("n_tokens") - col("n_cut"))
+      .orderBy("doc_id")
+  }
+
+  val spanCutSql: String = """
+WITH base AS (
+  SELECT doc_id, CASE WHEN length(s) > 0 THEN string_split(s, ' ') ELSE [] END AS toks
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+        FROM documents)),
+st AS (
+  SELECT b.doc_id, u.i AS p, array_to_string(b.toks[u.i:u.i+15], ' ') AS g
+  FROM base b, unnest(range(1, len(b.toks) - 14)) u(i)
+  WHERE len(b.toks) >= 16),
+dup AS (SELECT g FROM st GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT s.doc_id, c.cp
+        FROM st s JOIN dup USING (g), unnest(range(s.p, s.p + 16)) c(cp)),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut FROM cov GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       coalesce(p.n_cut, 0) AS n_cut,
+       CAST(len(b.toks) AS BIGINT) - coalesce(p.n_cut, 0) AS n_kept
+FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id ORDER BY b.doc_id
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_suffix_array" -> (suffixArray _),
-    "q_repeated_spans" -> (repeatedSpans _))
+    "q_repeated_spans" -> (repeatedSpans _),
+    "q_span_cut" -> (spanCut _))
 
   val oracles: Map[String, String] = Map(
     "q_suffix_array" -> suffixArraySql,
-    "q_repeated_spans" -> repeatedSpansSql)
+    "q_repeated_spans" -> repeatedSpansSql,
+    "q_span_cut" -> spanCutSql)
 }
