@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Fold an accepted bench run into bench_baseline.json with guards.
+
+Usage: python3 scripts/fold_baseline.py <run.json> [--reset q1,q2]
+
+The baseline is the per-query MIN across accepted runs; this script is
+the ONLY sanctioned way to fold, because ad-hoc folds have burned us:
+a scoped-run bench.json (SPARK_GRAFT_ONLY overwrites the full run's
+file) was once folded as a full run and poisoned two floors to 9 ms —
+a flag the gate then raised forever. Guards:
+
+  1. the run must cover every baseline query (a scoped run cannot
+     masquerade as a full run);
+  2. the run must have been measured at the canonical sf dir;
+  3. the run must report zero per-query errors (n_errors / `errors`);
+  4. no floor may DROP by more than 2.5x — honest speedups land well
+     inside that; a bigger drop is a wrong-scale or truncated artifact
+     and must be --reset explicitly (plan changes that re-attribute
+     build cost, e.g. a query moving to a staged index, list the query
+     under --reset so the floor is REPLACED, not min'd).
+
+Prints the fold summary; exits nonzero (changing nothing) on any guard
+violation.
+"""
+import json
+import sys
+
+CANON_SF = "/root/testdata/sf0.1"
+MAX_DROP = 2.5
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reset = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--reset"):
+            reset = set(a.split("=", 1)[1].split(",")) if "=" in a else set()
+    if not args:
+        print(__doc__)
+        return 2
+    run_doc = json.load(open(args[0]))
+    base_doc = json.load(open("bench_baseline.json"))
+    run = run_doc["queries"] if "queries" in run_doc else run_doc
+    base = base_doc["queries"]
+
+    errs = run_doc.get("errors", {})
+    if errs:
+        print(f"REFUSED: run reports {len(errs)} failing queries: "
+              f"{sorted(errs)}")
+        return 1
+    sf = run_doc.get("sf", CANON_SF)
+    if sf != CANON_SF:
+        print(f"REFUSED: run measured at {sf}, baseline is {CANON_SF}")
+        return 1
+    missing = sorted(set(base) - set(run))
+    if missing:
+        print(f"REFUSED: run lacks {len(missing)} baseline queries "
+              f"(scoped run?): {missing[:5]}...")
+        return 1
+
+    drops = sorted((base[q] / run[q], q) for q in run
+                   if q in base and q not in reset
+                   and run[q] > 0 and base[q] / run[q] > MAX_DROP)
+    big = [(r, q) for r, q in drops if base[q] - run[q] > 0.05]
+    if big:
+        for r, q in big:
+            print(f"SUSPECT: {q} floor {base[q]:.3f}s -> {run[q]:.3f}s "
+                  f"({r:.1f}x drop)")
+        print("REFUSED: floors dropping >2.5x are artifacts unless the "
+              "plan changed; re-measure, or fold with --reset=<q,...>")
+        return 1
+
+    for q in reset:
+        if q in run:
+            print(f"reset {q}: {base.get(q, float('nan')):.3f} -> "
+                  f"{run[q]:.3f} (plan change, floor replaced)")
+            base[q] = run[q]
+    for q, v in run.items():
+        base[q] = min(base.get(q, v), v)
+    base_doc["n_queries"] = len(base)
+    json.dump(base_doc, open("bench_baseline.json", "w"),
+              indent=1, sort_keys=True)
+    print(f"folded {args[0]}: baseline {sum(base.values()):.1f}s "
+          f"/ {len(base)} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
