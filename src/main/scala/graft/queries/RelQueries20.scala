@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{IntervalJoin, PrefixSum}
+
+/** Twentieth relational batch: INTERVAL ANALYTICS over the session
+  * intervals the q_sessionize island logic induces on `events` — the
+  * two classic questions a point-event table can't answer without an
+  * interval view: "who was online at the same time as whom" (overlap
+  * join) and "how many were online at once" (concurrency profile).
+  * Both are spelled scale-first: the overlap join is a bucketed
+  * equi-join ([[graft.operators.IntervalJoin]], never a cartesian
+  * pass), and the concurrency running sum rides
+  * [[graft.operators.PrefixSum]] (never a single-partition window).
+  */
+object RelQueries20 {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Session intervals: the q_sessionize 30-min-gap island logic,
+    * reduced to one [s, e] row per (user, session). One shuffle on
+    * user_id; all windows partitioned. */
+  private def sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx").cast("long").as("session_idx"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+  }
+
+  /** Interval-overlap self-join: for each session, the number of
+    * OTHER-user sessions it overlaps in time (closed intervals), top
+    * 20 by concurrency. The join is [[IntervalJoin.overlap]]'s bucketed
+    * equi-join — 2 h buckets ≥ the longest observed session, so
+    * replication stays ≤ 2 rows per interval while candidate pairs are
+    * confined to same-bucket sessions; the anchor-bucket rule makes the
+    * pair set exact with no distinct pass. The session frame is built
+    * once and staged, so the per-user window doesn't run twice for the
+    * self-join's two sides. Output order (n desc, user, idx) is total →
+    * deterministic LIMIT. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val iv = sessions(s, dir).localCheckpoint(false)
+    val a = iv.select(col("user_id").as("a_user"), col("session_idx").as("a_idx"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val b = iv.select(col("user_id").as("b_user"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    IntervalJoin.overlap(a, "a_s", "a_e", b, "b_s", "b_e",
+        width = 7200L * 1000000, extra = col("a_user") =!= col("b_user"))
+      .groupBy("a_user", "a_idx")
+      .agg(count(lit(1)).as("n_concurrent"))
+      .select(col("a_user").as("user_id"), col("a_idx").as("session_idx"),
+        col("n_concurrent"))
+      .orderBy(desc("n_concurrent"), col("user_id"), col("session_idx"))
+      .limit(20)
+  }
+
+  val intervalJoinSql: String = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged),
+iv AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+              min(us) AS s, max(us) AS e
+       FROM sess GROUP BY 1, 2)
+SELECT a.user_id AS user_id, a.session_idx AS session_idx,
+       COUNT(*) AS n_concurrent
+FROM iv a JOIN iv b
+  ON a.s <= b.e AND b.s <= a.e AND a.user_id <> b.user_id
+GROUP BY 1, 2
+ORDER BY n_concurrent DESC, user_id, session_idx
+LIMIT 20
+"""
+
+  /** Global concurrency profile: the top-10 moments by number of
+    * simultaneously-open sessions. Sweep-line as data: each interval
+    * contributes +1 at `s` and −1 at `e+1` (so a session still counts
+    * AT its closed end), deltas are pre-aggregated per distinct
+    * microsecond (making the running sum tie-free and deterministic),
+    * and the global cumulative sum is [[PrefixSum.runningSum]] — Blelloch
+    * two-pass, bucket-partitioned windows only, where the textbook
+    * `SUM() OVER (ORDER BY t)` would funnel every delta through one
+    * reducer. Peaks can only occur at start instants, so only rows
+    * carrying a start are candidates. */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = sessions(s, dir)
+    val deltas = iv.select(col("s").as("us"), lit(1L).as("delta"))
+      .unionByName(iv.select((col("e") + 1).as("us"), lit(-1L).as("delta")))
+    val g = deltas.groupBy("us")
+      .agg(sum(col("delta")).as("d"),
+        max(when(col("delta") === 1, 1).otherwise(0)).as("has_start"))
+    PrefixSum.runningSum(g, col("us"), Seq(col("us")), col("d"), "conc",
+        inclusive = true)
+      .filter(col("has_start") === 1)
+      .select(col("us"), col("conc").cast("long").as("conc"))
+      .orderBy(desc("conc"), col("us"))
+      .limit(10)
+  }
+
+  val peakConcurrencySql: String = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, us,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged),
+iv AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+              min(us) AS s, max(us) AS e
+       FROM sess GROUP BY 1, 2),
+deltas AS (
+  SELECT s AS us, 1 AS delta FROM iv
+  UNION ALL SELECT e + 1 AS us, -1 AS delta FROM iv),
+g AS (
+  SELECT us, SUM(delta) AS d,
+         MAX(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS has_start
+  FROM deltas GROUP BY us),
+run AS (
+  SELECT us, has_start,
+    SUM(d) OVER (ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM g)
+SELECT us, CAST(conc AS BIGINT) AS conc FROM run WHERE has_start = 1
+ORDER BY conc DESC, us LIMIT 10
+"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> (intervalJoin _),
+    "q_peak_concurrency" -> (peakConcurrency _))
+
+  val oracles: Map[String, String] = Map(
+    "q_interval_join" -> intervalJoinSql,
+    "q_peak_concurrency" -> peakConcurrencySql)
+}
