@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Fold an accepted bench run into bench_baseline.json with guards.
 
-Usage: python3 scripts/fold_baseline.py <run.json> [--reset q1,q2]
+Usage: python3 scripts/fold_baseline.py <run.json> [--reset=q1,q2]
 
 The baseline is the per-query MIN across accepted runs; this script is
 the ONLY sanctioned way to fold, because ad-hoc folds have burned us:
@@ -11,7 +11,9 @@ a flag the gate then raised forever. Guards:
 
   1. the run must cover every baseline query (a scoped run cannot
      masquerade as a full run);
-  2. the run must have been measured at the canonical sf dir;
+  2. the run must have been measured at the canonical sf dir (a run
+     JSON that lacks the `sf` key entirely is refused — old-format or
+     truncated artifacts must not default to canonical);
   3. the run must report zero per-query errors (n_errors / `errors`);
   4. no floor may DROP by more than 2.5x — honest speedups land well
      inside that; a bigger drop is a wrong-scale or truncated artifact
@@ -29,16 +31,43 @@ CANON_SF = "/root/testdata/sf0.1"
 MAX_DROP = 2.5
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+def parse_args(argv):
+    """Returns (run_path, reset_set) or raises SystemExit with a
+    message. Accepts both --reset=q1,q2 and --reset q1,q2; rejects
+    unknown flags and extra positionals so a typo'd invocation cannot
+    silently fold with an empty reset set."""
     reset = set()
-    for a in sys.argv[1:]:
-        if a.startswith("--reset"):
-            reset = set(a.split("=", 1)[1].split(",")) if "=" in a else set()
-    if not args:
+    positional = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--reset":
+            if i + 1 >= len(argv):
+                raise SystemExit("ERROR: --reset requires a value")
+            reset = set(argv[i + 1].split(","))
+            i += 2
+        elif a.startswith("--reset="):
+            reset = set(a.split("=", 1)[1].split(","))
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"ERROR: unrecognized flag {a}")
+        else:
+            positional.append(a)
+            i += 1
+    if len(positional) != 1:
+        raise SystemExit(
+            f"ERROR: expected exactly one run.json argument, got "
+            f"{positional or 'none'}\n{__doc__}")
+    reset.discard("")
+    return positional[0], reset
+
+
+def main() -> int:
+    if not sys.argv[1:]:
         print(__doc__)
         return 2
-    run_doc = json.load(open(args[0]))
+    run_path, reset = parse_args(sys.argv[1:])
+    run_doc = json.load(open(run_path))
     base_doc = json.load(open("bench_baseline.json"))
     run = run_doc["queries"] if "queries" in run_doc else run_doc
     base = base_doc["queries"]
@@ -48,7 +77,11 @@ def main() -> int:
         print(f"REFUSED: run reports {len(errs)} failing queries: "
               f"{sorted(errs)}")
         return 1
-    sf = run_doc.get("sf", CANON_SF)
+    if "sf" not in run_doc:
+        print("REFUSED: run JSON lacks the `sf` key (old-format or "
+              "truncated artifact) — cannot verify the measurement scale")
+        return 1
+    sf = run_doc["sf"]
     if sf != CANON_SF:
         print(f"REFUSED: run measured at {sf}, baseline is {CANON_SF}")
         return 1
@@ -56,6 +89,11 @@ def main() -> int:
     if missing:
         print(f"REFUSED: run lacks {len(missing)} baseline queries "
               f"(scoped run?): {missing[:5]}...")
+        return 1
+    unknown_reset = sorted(reset - set(run))
+    if unknown_reset:
+        print(f"REFUSED: --reset names queries absent from the run: "
+              f"{unknown_reset}")
         return 1
 
     drops = sorted((base[q] / run[q], q) for q in run
@@ -71,16 +109,15 @@ def main() -> int:
         return 1
 
     for q in reset:
-        if q in run:
-            print(f"reset {q}: {base.get(q, float('nan')):.3f} -> "
-                  f"{run[q]:.3f} (plan change, floor replaced)")
-            base[q] = run[q]
+        print(f"reset {q}: {base.get(q, float('nan')):.3f} -> "
+              f"{run[q]:.3f} (plan change, floor replaced)")
+        base[q] = run[q]
     for q, v in run.items():
         base[q] = min(base.get(q, v), v)
     base_doc["n_queries"] = len(base)
     json.dump(base_doc, open("bench_baseline.json", "w"),
               indent=1, sort_keys=True)
-    print(f"folded {args[0]}: baseline {sum(base.values()):.1f}s "
+    print(f"folded {run_path}: baseline {sum(base.values()):.1f}s "
           f"/ {len(base)} queries")
     return 0
 

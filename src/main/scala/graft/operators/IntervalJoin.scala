@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   * `width` only tunes cost, never correctness: any positive width
   * yields the same rows. Pick it near the longest common interval
   * length — smaller widths cut false candidates per bucket, larger
-  * widths cut replication. At 100 TB both sides shuffle once on the
+  * widths cut replication. Omitting it (width = 0) derives the width
+  * from the data as `max(e - s)` over both sides — one bounded
+  * single-row agg per side — which pins the replication factor at ≤ 2
+  * and keeps the bound self-maintaining as data changes (a hand-picked
+  * constant silently under-sizes when intervals grow, and every bucket
+  * then pays the replication overshoot). At 100 TB both sides shuffle once on the
   * bucket id and every bucket is an independent join task; a hot
   * bucket (everyone online at the same hour) is exactly the skew shape
   * AQE's skew-join split handles, since the join IS a plain equi-join.
@@ -42,8 +47,28 @@ object IntervalJoin {
 
   def overlap(a: DataFrame, aStart: String, aEnd: String,
               b: DataFrame, bStart: String, bEnd: String,
-              width: Long, extra: Column = lit(true)): DataFrame = {
-    require(width > 0, s"bucket width must be positive, got $width")
+              width: Long = 0L, extra: Column = lit(true)): DataFrame = {
+    require(width >= 0, s"bucket width must be non-negative, got $width")
+    val w = if (width > 0) width
+            else derivedWidth(a, aStart, aEnd, b, bStart, bEnd)
+    overlapWith(a, aStart, aEnd, b, bStart, bEnd, w, extra)
+  }
+
+  /** The longest interval on either side (one single-row agg each) —
+    * the width that caps replication at 2 rows per interval. Empty or
+    * all-null sides contribute 1. Runs Spark jobs at call time: callers
+    * in analysis-only contexts should pass an explicit width. */
+  def derivedWidth(a: DataFrame, aStart: String, aEnd: String,
+                   b: DataFrame, bStart: String, bEnd: String): Long = {
+    def longest(df: DataFrame, s0: String, e0: String): Long =
+      Option(df.agg(max(col(e0) - col(s0))).head().get(0))
+        .fold(1L)(v => math.max(1L, v.asInstanceOf[Number].longValue()))
+    math.max(longest(a, aStart, aEnd), longest(b, bStart, bEnd))
+  }
+
+  private def overlapWith(a: DataFrame, aStart: String, aEnd: String,
+              b: DataFrame, bStart: String, bEnd: String,
+              width: Long, extra: Column): DataFrame = {
     val ab = a.withColumn("__bkt_a",
       explode(sequence(expr(s"$aStart DIV ${width}L"), expr(s"$aEnd DIV ${width}L"))))
     val bb = b.withColumn("__bkt_b",

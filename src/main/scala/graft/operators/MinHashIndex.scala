@@ -106,4 +106,41 @@ object MinHashIndex {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Fold overlay layers back into the base — the maintenance op that
+    * bounds probe fan-out. Every [[probeNewMulti]] reads base + ALL
+    * overlay generations, so an ingester that appends forever pays an
+    * ever-growing union (and small-file count) at probe time; at
+    * production ingest rates the overlay list is unbounded without
+    * this. Compaction rewrites the union of bucket rows as a fresh
+    * band-partitioned base — write-aside, then a rename swap with the
+    * same crash discipline as [[graft.sinks.Compaction]]: the original
+    * moves to `__old`, the rewrite renames into place, only then are
+    * the old copy and the folded overlays deleted, so a crash at any
+    * point leaves a complete index on disk. Bucket rows are per-doc
+    * facts (no geometry, no ordering), so the compacted base is
+    * SET-EQUAL to the layered index and probes return identical
+    * results before and after — [[MinHashIndexCompactionSpec]] asserts
+    * exactly that invariance. Contract: single maintainer, no
+    * concurrent probes during the swap. */
+  def compact(spark: SparkSession, baseDir: String,
+              overlayDirs: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val union = (baseDir +: overlayDirs)
+      .map(d => spark.read.parquet(s"$d/buckets"))
+      .reduce(_.unionByName(_))
+    val tmp = s"$baseDir/buckets__compacting"
+    union.write.mode("overwrite").partitionBy("band").parquet(tmp)
+    val p = new Path(s"$baseDir/buckets")
+    val old = new Path(s"$baseDir/buckets__old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(old, true) // stale leftover from a previous crashed swap
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"index compaction: rename $p -> $old failed")
+    if (!fs.rename(new Path(tmp), p))
+      throw new java.io.IOException(
+        s"index compaction: rename $tmp -> $p failed; original intact at $old")
+    fs.delete(old, true)
+    overlayDirs.foreach(d => fs.delete(new Path(d), true))
+  }
 }

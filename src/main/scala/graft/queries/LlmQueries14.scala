@@ -59,7 +59,10 @@ object LlmQueries14 {
   def suffixArray(s: SparkSession, dir: String): DataFrame = {
     val docs = docTokens(s, dir)
       .filter(col("doc_id") < 60 && size(col("toks")) > 0)
-    val maxLen = docs.agg(max(size(col("toks")))).head().getInt(0)
+    // Null-safe: an empty slice (non-bench corpus) yields a null max;
+    // treat it as length 1 rather than NPE-ing on getInt.
+    val maxLen = Option(docs.agg(max(size(col("toks")))).head().get(0))
+      .fold(1)(_.asInstanceOf[Int])
     val levels = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, maxLen - 1)))
     // Only the FINAL order is needed here, so jump the first rounds:
     // base ranks come from one direct ranking of the 2^(levels-4)-gram

@@ -3,8 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables
 import graft.operators.PrefixSum
+import graft.sinks.RangeSortedParquet
 
 /** Fifteenth LLM-pipeline batch: the training-loop EPOCH SHUFFLE — a
   * seeded, reproducible global random permutation of the corpus. Every
@@ -53,9 +56,77 @@ r AS (SELECT row_number() OVER (ORDER BY k, doc_id) AS pos, doc_id, k
 SELECT pos, doc_id, k FROM r WHERE pos <= 30 ORDER BY pos
 """
 
+  /** The full-epoch shuffle WRITER — the form a training pipeline hits
+    * every epoch (the reader above is the audit). The corpus is
+    * range-partitioned on the same `md5(seed‖id)` key and written
+    * sorted-within-file: the terasort layout, a global permutation
+    * materialized with one sampled range exchange and per-partition
+    * sorts — no single-task sort funnel, so it scales to any number of
+    * output files. The query then proves the LAYOUT ALONE reproduces
+    * the permutation: re-read, recover each row's global position as
+    * (rows in files before mine) + (my rank within my file) — file
+    * offsets from a bounded per-file aggregate (≤ nFiles rows, folded
+    * on the driver like PrefixSum's bucket counts), within-file ranks
+    * from a file-partitioned window — and checksum every 100-position
+    * block of the reconstructed permutation. The oracle computes the
+    * same blocks from `row_number() OVER (ORDER BY k, doc_id)`, so a
+    * single out-of-place row anywhere in the epoch breaks the match. */
+  def epochWrite(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("epoch7:"), col("doc_id").cast("string"))).as("k"))
+    val path = "target/epoch_fixture_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    RangeSortedParquet.write(keyed, path, Seq(col("k"), col("doc_id")), nFiles = 8)
+
+    val rd = s.read.parquet(path).withColumn("file", input_file_name())
+    // Bounded: one row per output file. Folded on the driver into
+    // exclusive offsets (cumulative row counts in file-range order).
+    val files = rd.groupBy("file")
+      .agg(min(col("k")).as("lo"), count(lit(1)).as("n"))
+      .collect().sortBy(_.getAs[String]("lo"))
+    val offsets = files.scanLeft(0L)(_ + _.getAs[Long]("n")).init
+    val offsetDf = s.createDataFrame(
+      s.sparkContext.parallelize(
+        files.zip(offsets).map { case (r, o) =>
+          org.apache.spark.sql.Row(r.getAs[String]("file"), o)
+        }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType))))
+    val pos = rd
+      .withColumn("i",
+        row_number().over(Window.partitionBy("file").orderBy("k", "doc_id")))
+      .join(broadcast(offsetDf), Seq("file"))
+      .select((col("offset") + col("i")).as("pos"), col("doc_id"))
+    pos
+      .groupBy(floor((col("pos") - 1) / 100).as("blk"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pos") * col("doc_id")).as("dot"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")))).as("sig"))
+      .orderBy("blk")
+  }
+
+  val epochWriteSql: String = """
+WITH keyed AS (
+  SELECT doc_id, md5(concat('epoch7:', CAST(doc_id AS VARCHAR))) AS k
+  FROM documents),
+r AS (SELECT row_number() OVER (ORDER BY k, doc_id) AS pos, doc_id
+      FROM keyed)
+SELECT CAST(floor((pos - 1) / 100) AS BIGINT) AS blk, COUNT(*) AS n,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS dot,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS sig
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_epoch_shuffle" -> (epochShuffle _))
+    "q_epoch_shuffle" -> (epochShuffle _),
+    "q_epoch_write" -> (epochWrite _))
 
   val oracles: Map[String, String] = Map(
-    "q_epoch_shuffle" -> epochShuffleSql)
+    "q_epoch_shuffle" -> epochShuffleSql,
+    "q_epoch_write" -> epochWriteSql)
 }

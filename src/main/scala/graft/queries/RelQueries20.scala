@@ -41,8 +41,10 @@ object RelQueries20 {
   /** Interval-overlap self-join: for each session, the number of
     * OTHER-user sessions it overlaps in time (closed intervals), top
     * 20 by concurrency. The join is [[IntervalJoin.overlap]]'s bucketed
-    * equi-join — 2 h buckets ≥ the longest observed session, so
-    * replication stays ≤ 2 rows per interval while candidate pairs are
+    * equi-join with the bucket width DERIVED from the data (max session
+    * length, one bounded agg per side on the staged frame), so
+    * replication stays ≤ 2 rows per interval by construction while
+    * candidate pairs are
     * confined to same-bucket sessions; the anchor-bucket rule makes the
     * pair set exact with no distinct pass. The session frame is built
     * once and staged, so the per-user window doesn't run twice for the
@@ -55,7 +57,7 @@ object RelQueries20 {
     val b = iv.select(col("user_id").as("b_user"),
       col("s").as("b_s"), col("e").as("b_e"))
     IntervalJoin.overlap(a, "a_s", "a_e", b, "b_s", "b_e",
-        width = 7200L * 1000000, extra = col("a_user") =!= col("b_user"))
+        extra = col("a_user") =!= col("b_user"))
       .groupBy("a_user", "a_idx")
       .agg(count(lit(1)).as("n_concurrent"))
       .select(col("a_user").as("user_id"), col("a_idx").as("session_idx"),

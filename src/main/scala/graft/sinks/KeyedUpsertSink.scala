@@ -218,16 +218,24 @@ object KeyedUpsertSink {
     * (`CSV PARSER/gcp_csv.py:51`, `RSS PARSER/gcp_rss.py:72`). It also
     * has no dependence on JDBC update-count semantics, so the
     * affected-rows/SUCCESS_NO_INFO contract of [[writeJdbc]] does not
-    * apply. Scratch tables are `<table>_stg_<partitionId>` (created via
-    * CREATE TABLE … AS … WITH NO DATA from the target's own schema), so
-    * concurrent partitions never share staging state; same unique-key
-    * precondition as [[writeJdbc]]. */
+    * apply. Scratch tables are `<table>_stg_<appId>_<taskAttemptId>`
+    * (created via CREATE TABLE … AS … WITH NO DATA from the target's
+    * own schema), so concurrent partitions, speculative duplicate
+    * attempts, AND concurrent applications writing the same target
+    * never share staging state; same unique-key precondition as
+    * [[writeJdbc]]. */
   def writeJdbcMerge(df: DataFrame, table: String, keys: Seq[String],
                 updateCols: Seq[String], insertOnlyCols: Seq[String],
                 url: String, connProps: Map[String, String] = Map.empty,
                 batchSize: Int = 1000): Unit = {
     val cols = keys ++ updateCols ++ insertOnlyCols
     val insIdx = colIndexes(df, cols)
+    // taskAttemptId is unique only WITHIN one Spark application — two
+    // concurrent applications merging into the same target both count
+    // attempts from 0, so the scratch name also carries an app-unique
+    // component (sanitized applicationId tail), captured on the driver.
+    val appTag = df.sparkSession.sparkContext.applicationId
+      .replaceAll("[^A-Za-z0-9]", "").takeRight(16)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         // Attempt-unique scratch name: a speculative/retried duplicate
@@ -235,7 +243,7 @@ object KeyedUpsertSink {
         // target) must not DROP/CREATE the other's staging table mid-
         // merge — partitionId alone would collide exactly there.
         val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-        val stg = s"${table}_stg_$attempt"
+        val stg = s"${table}_stg_${appTag}_$attempt"
         val props = new java.util.Properties()
         connProps.foreach { case (k, v) => props.setProperty(k, v) }
         val conn = java.sql.DriverManager.getConnection(url, props)

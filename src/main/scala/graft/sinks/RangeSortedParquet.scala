@@ -19,8 +19,16 @@ object RangeSortedParquet {
 
   /** Write `df` range-clustered on `key` into `nFiles` sorted files. */
   def write(df: DataFrame, path: String, key: Column, nFiles: Int): Unit =
-    df.repartitionByRange(nFiles, key)
-      .sortWithinPartitions(key)
+    write(df, path, Seq(key), nFiles)
+
+  /** Multi-key form: range boundaries and the within-file sort both use
+    * the full key tuple, so rows tied on the leading key still land in
+    * a single total order across files (the terasort layout — a global
+    * sort with no single-task funnel: one sampled range exchange, then
+    * per-partition sorts). */
+  def write(df: DataFrame, path: String, keys: Seq[Column], nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").parquet(path)
 
   /** Per-file min/max of `key` — the clustering audit: ranges must be

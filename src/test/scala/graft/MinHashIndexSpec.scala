@@ -49,4 +49,44 @@ class MinHashIndexSpec extends GraftSuite {
     assert(afterAppend == full, s"staged=$afterAppend expected=$full")
     assert(afterBuild < afterAppend)
   }
+
+  test("compact folds overlays into the base with probe results invariant") {
+    val docs = Tables(spark, sf, "documents")
+    val norm = normalizeText(col("text"))
+    val base = "target/lsh_index_spec3"
+    val ovl1 = "target/lsh_index_spec3_ovl1"
+    val ovl2 = "target/lsh_index_spec3_ovl2"
+    val split = 150L
+    // Two overlay GENERATIONS — the unbounded-ingest shape compaction
+    // exists to collapse.
+    MinHashIndex.build(docs.filter(col("doc_id") < split), "doc_id", norm, base)
+    MinHashIndex.build(
+      docs.filter(col("doc_id") >= split && col("doc_id") < 170), "doc_id", norm, ovl1)
+    MinHashIndex.build(docs.filter(col("doc_id") >= 170), "doc_id", norm, ovl2)
+
+    def probe(dirs: Seq[String]) = MinHashIndex
+      .probeNewMulti(spark, dirs, docs, "doc_id", norm, threshold = 0.7,
+        minNewId = split)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val layered = probe(Seq(base, ovl1, ovl2))
+    assert(layered.nonEmpty, "testdata plants near-dups across the split")
+
+    MinHashIndex.compact(spark, base, Seq(ovl1, ovl2))
+    // The compacted base alone must answer the layered probe exactly:
+    // bucket rows are per-doc facts, so folding layers may lose or
+    // invent nothing.
+    assert(probe(Seq(base)) == layered)
+    // The folded overlays are gone — probe fan-out is bounded again and
+    // a stale reader would fail loudly, not silently double-count.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ovl1)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ovl2)))
+    // Band partitioning survives the rewrite: probes keep per-band
+    // directory pruning on the compacted base.
+    val bands = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/buckets"))
+      .map(_.getPath.getName).filter(_.startsWith("band="))
+    assert(bands.length == 4, s"expected 4 band dirs, got ${bands.toSeq}")
+  }
 }

@@ -147,6 +147,47 @@ class SuffixArraySpec extends GraftSuite {
     }
   }
 
+  test("grid coarsening: pair ranking survives a weakly-monotone bucket key") {
+    // Executable form of the SuffixArray docstring's boundary claim:
+    // past ~9·10^7 positions the combined pair key r1·B + r2 loses
+    // precision in double arithmetic — DISTINCT pairs round to the SAME
+    // key and the grid coarsens. Correctness must not care, because
+    // PrefixSum.rank's contract is only WEAK monotonicity of the bucket
+    // key along orderCols (ties share a bucket; exact order comes from
+    // orderCols). Simulate the rounding directly: quantize the exact
+    // pair key onto a coarse grid (64 keys per cell — far harsher than
+    // real double rounding) and assert the ranking is bit-identical to
+    // the exact-key ranking AND to the brute-force row_number. If
+    // PrefixSum.rank ever started requiring STRICT bucket-key
+    // monotonicity, the coarse variant would mis-rank inside collapsed
+    // cells and this test would fail.
+    import spark.implicits._
+    import graft.operators.PrefixSum
+    val rnd = new scala.util.Random(7)
+    val n = 3000
+    // The doubling-round pair shape: r1 ∈ [1, 50], r2 ∈ [-1, 49]
+    // (−1 = past-end sentinel), id the (doc_id, pos) tiebreak stand-in.
+    val rows = (1 to n).map(i =>
+      (rnd.nextInt(50).toLong + 1, rnd.nextInt(51).toLong - 1, i.toLong))
+    val df = rows.toDF("r1", "r2", "id").localCheckpoint(false)
+    val b = 53.0
+    val exactKey = col("r1") * b + col("r2")
+    val coarseKey = floor((col("r1") * b + col("r2")) / 64.0) * 64.0
+    def ranked(key: org.apache.spark.sql.Column) =
+      PrefixSum.rank(df, key, Seq(col("r1"), col("r2"), col("id")), "ord",
+          preStaged = true, keyRange = Some((-64.0, 50 * b + 50)))
+        .select("r1", "r2", "id", "ord").as[(Long, Long, Long, Long)]
+        .collect().sortBy(_._3).toSeq
+    val exact = ranked(exactKey)
+    val coarse = ranked(coarseKey)
+    assert(exact === coarse, "coarsened grid changed the ranking")
+    val brute = rows.sortBy(t => (t._1, t._2, t._3)).zipWithIndex
+      .map { case ((_, _, id), ix) => id -> (ix + 1L) }.toMap
+    exact.foreach { case (_, _, id, ord) =>
+      assert(ord === brute(id), s"rank of id=$id diverges from row_number")
+    }
+  }
+
   test("sentinel: a proper prefix sorts strictly before its extension") {
     import spark.implicits._
     val docs = corpus(1L -> "a", 2L -> "a b")
