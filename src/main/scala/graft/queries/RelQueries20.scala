@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -147,11 +147,69 @@ SELECT us, CAST(conc AS BIGINT) AS conc FROM run WHERE has_start = 1
 ORDER BY conc DESC, us LIMIT 10
 """
 
+  /** Overlap COUNTS without the pair join — the aggregate-pushdown twin
+    * of [[intervalJoin]]: identical output (same oracle), near-LINEAR
+    * plan. When the question is "how many other-user sessions overlap
+    * mine" rather than "which ones", materializing the pair set is pure
+    * waste — the r11 tier measurements put q_interval_join at 144 s at
+    * the 100× tier precisely because its output (the pair set) grows
+    * quadratically in session density. This spelling never forms a
+    * pair: for session X, #overlaps = A − B − 1 where
+    * A = #sessions with start ≤ e_X and B = #sessions with end < s_X
+    * (the two exclusion sets are disjoint since s_Y > e_X ⇒
+    * e_Y > e_X ≥ s_X; X itself always qualifies, hence −1), and
+    * same-user overlaps cannot exist (sessionization splits on >30-min
+    * gaps, so a user's own sessions are time-disjoint). A and B are
+    * order-statistic lookups: union the value rows (starts resp. ends,
+    * weight 1) with the probe rows (weight 0) and take
+    * [[PrefixSum.runningSum]]'s inclusive cumulative weight at each
+    * probe — starts sort BEFORE probes at equal value (≤), ends AFTER
+    * (strict <). Two bucket-partitioned prefix passes over 2n rows
+    * each; at the 100× tier this is seconds against the pair join's
+    * 144 — the at-scale rule it demonstrates: push the aggregate
+    * through the join when only counts leave the operator. */
+  def overlapCounts(s: SparkSession, dir: String): DataFrame = {
+    val iv = sessions(s, dir).localCheckpoint(false)
+    // Both order statistics depend only on the boundary VALUE, so the
+    // prefix pass runs over DISTINCT boundary values, not sessions: one
+    // map-side-combinable groupBy folds the 2n boundary rows to the
+    // value histogram (ns = #starts at v, ne = #ends at v), a single
+    // running sum packs (cumStarts ≤ v, cumEnds ≤ v) into one long
+    // (starts weigh M = 2^31, ends 1 — counts stay far below 2^31 and
+    // cumStarts·M below 2^63, so DIV/MOD decode exactly), and sessions
+    // look their counts up by value with two equi-joins AQE broadcasts
+    // whenever the value domain is small (here the replicas share
+    // timestamps, so it stays base-sized at every tier). A = cumS(e_X)
+    // gives ≤ directly; strict < comes from B = cumE(s_X) − ne(s_X).
+    val m = 1L << 31
+    val bounds = iv
+      .select(col("s").as("v"), lit(1L).as("ns"), lit(0L).as("ne"))
+      .unionByName(iv.select(col("e").as("v"), lit(0L).as("ns"), lit(1L).as("ne")))
+      .groupBy("v").agg(sum("ns").as("ns"), sum("ne").as("ne"))
+    val cum = PrefixSum.runningSum(bounds, col("v"), Seq(col("v")),
+        col("ns") * m + col("ne"), "cum", inclusive = true)
+      .localCheckpoint(false) // feeds both lookup joins; compute once
+    val aMap = cum.select(col("v").as("e"),
+      floor(col("cum") / m).cast("long").as("a"))
+    val bMap = cum.select(col("v").as("s"),
+      (col("cum") % m - col("ne")).cast("long").as("b"))
+    iv.join(aMap, Seq("e")).join(bMap, Seq("s"))
+      .select(col("user_id"), col("session_idx"),
+        (col("a") - col("b") - 1).as("n_concurrent"))
+      .filter(col("n_concurrent") > 0)
+      .orderBy(desc("n_concurrent"), col("user_id"), col("session_idx"))
+      .limit(20)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_interval_join" -> (intervalJoin _),
+    "q_overlap_counts" -> (overlapCounts _),
     "q_peak_concurrency" -> (peakConcurrency _))
 
   val oracles: Map[String, String] = Map(
     "q_interval_join" -> intervalJoinSql,
+    // Same answer, different plan: the rank-based spelling must match
+    // the pair join's oracle row for row.
+    "q_overlap_counts" -> intervalJoinSql,
     "q_peak_concurrency" -> peakConcurrencySql)
 }
