@@ -173,9 +173,10 @@ class SuffixArraySpec extends GraftSuite {
     val b = 53.0
     val exactKey = col("r1") * b + col("r2")
     val coarseKey = floor((col("r1") * b + col("r2")) / 64.0) * 64.0
-    def ranked(key: org.apache.spark.sql.Column) =
+    def ranked(key: org.apache.spark.sql.Column,
+               range: (Double, Double) = (-64.0, 50 * b + 50)) =
       PrefixSum.rank(df, key, Seq(col("r1"), col("r2"), col("id")), "ord",
-          preStaged = true, keyRange = Some((-64.0, 50 * b + 50)))
+          preStaged = true, keyRange = Some(range))
         .select("r1", "r2", "id", "ord").as[(Long, Long, Long, Long)]
         .collect().sortBy(_._3).toSeq
     val exact = ranked(exactKey)
@@ -186,6 +187,14 @@ class SuffixArraySpec extends GraftSuite {
     exact.foreach { case (_, _, id, ord) =>
       assert(ord === brute(id), s"rank of id=$id diverges from row_number")
     }
+    // And the REAL mechanism, not a simulation: shift the key to the
+    // ~9·10^15 magnitude where a double's ulp is 2 — adjacent integer
+    // keys literally collapse to the same double, exactly what happens
+    // to r1·B + r2 past ~9·10^7 positions. Ranking must still be the
+    // brute-force row_number.
+    val shifted = ranked(lit(9.0e15) + col("r1") * b + col("r2"),
+      range = (9.0e15 - 64.0, 9.0e15 + 50 * b + 50))
+    assert(shifted === exact, "ulp-collapsed keys changed the ranking")
   }
 
   test("sentinel: a proper prefix sorts strictly before its extension") {
