@@ -72,6 +72,37 @@ object IvfIndex {
       .head.getDouble(0)
   }
 
+  /** Small-file maintenance for the appended index — the IVF sibling of
+    * [[MinHashIndex.compact]]: every [[append]] batch adds one file per
+    * touched cluster directory, so continuous ingest accretes
+    * batch-count × k files while the data volume barely moves — plan
+    * time and task count grow with FILES, not bytes. Rewrite the
+    * assignment table clustered by cid (one shuffle into the same
+    * partitioning the probes prune on) via write-aside + rename swap —
+    * the [[graft.sinks.Compaction]] crash discipline: a failure at any
+    * point leaves a complete table at `assignments` or intact at
+    * `__old`. Assignments are per-vector facts and centroids are
+    * untouched, so probe results are invariant — the spec asserts both
+    * the invariance and the file-count drop. Contract: single
+    * maintainer, no concurrent probes during the swap. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = s"$dir/assignments__compacting"
+    spark.read.parquet(s"$dir/assignments")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    val p = new Path(s"$dir/assignments")
+    val old = new Path(s"$dir/assignments__old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(old, true) // stale leftover from a previous crashed swap
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"ivf compaction: rename $p -> $old failed")
+    if (!fs.rename(new Path(tmp), p))
+      throw new java.io.IOException(
+        s"ivf compaction: rename $tmp -> $p failed; original intact at $old")
+    fs.delete(old, true)
+  }
+
   /** Probe the staged index: (qid, qe) queries → top-k neighbors from
     * the nprobe nearest clusters. Reads only `dir`; never re-clusters. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,

@@ -193,6 +193,46 @@ class MultimodalSpec extends GraftSuite {
     assert(driftAtBuild >= 0 && driftAfter >= 0 && driftAfter <= 2.0)
   }
 
+  test("IVF compact: per-cluster file count drops, probe results invariant") {
+    import graft.operators.IvfIndex
+    import graft.functions.VectorFns._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString + "/idx"
+    val all = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    IvfIndex.build(all.filter(col("vec_id") >= 30), "vec_id", "e",
+      k = 4, iters = 1, dir)
+    // Three append generations — each adds files to every touched
+    // cluster directory, the accretion compaction exists to undo.
+    Seq((20L, 30L), (10L, 20L), (0L, 10L)).foreach { case (lo, hi) =>
+      IvfIndex.append(spark, dir,
+        all.filter(col("vec_id") >= lo && col("vec_id") < hi), "vec_id", "e")
+    }
+    def files(): Int = {
+      val root = new java.io.File(s"$dir/assignments")
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(root)
+    }
+    val q = all.filter(col("vec_id").between(40, 43))
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    def probeSet() = IvfIndex.probe(spark, dir, q, k = 5, nprobe = 2)
+      .select("qid", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probeSet()
+    val filesBefore = files()
+    val centsBefore = spark.read.parquet(s"$dir/centroids").collect().toSet
+    IvfIndex.compact(spark, dir)
+    assert(files() < filesBefore,
+      s"compaction must shrink the file count (was $filesBefore, now ${files()})")
+    assert(probeSet() == before, "compaction changed probe results")
+    assert(spark.read.parquet(s"$dir/centroids").collect().toSet == centsBefore)
+    // The cid partitioning survives the rewrite — probes keep pruning.
+    val cids = new java.io.File(s"$dir/assignments").listFiles()
+      .map(_.getName).filter(_.startsWith("cid="))
+    assert(cids.length == 4, s"expected 4 cid dirs, got ${cids.toSeq}")
+  }
+
   test("Salted.join rejects join types that would duplicate unmatched small-side rows") {
     import spark.implicits._
     val big = Seq((1, "a"), (2, "b")).toDF("k", "v")
