@@ -1060,7 +1060,93 @@ SELECT grp, q,
 FROM b ORDER BY grp, q
 """
 
+  /** INCREMENTAL sequence packing under streaming ingest — the
+    * streaming counterpart of q_training_export's pack stage: docs
+    * arrive in id order across micro-batches, and each batch packs its
+    * docs into 1024-token sequences CONTINUING from the carried
+    * cumulative token offset (driver state across foreachBatch calls —
+    * the packer's only state is one long). Because a doc's seq_id is a
+    * pure function of the global token prefix sum, batch boundaries are
+    * invisible: a sequence left partially filled at a batch edge is
+    * completed by the next batch under the same seq_id, and the union
+    * of per-batch outputs equals the one-shot packing of the whole
+    * corpus — which is exactly what the oracle computes. Per-batch
+    * packing itself rides [[graft.operators.PrefixSum]], so even a
+    * huge micro-batch never funnels through one task; per-batch cost
+    * is batch-sized, corpus-sized work never re-runs. */
+  def streamSeqPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.functions.TextFns.bpeTokenCount
+    import graft.operators.PrefixSum
+    val outDir = "target/stream_pack_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val docs = slice(s, dir, "q_stream_seq_packing") {
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .orderBy("doc_id").limit(StreamRowCap)
+        .as[(Long, String)].collect()
+    }
+    require(docs.nonEmpty, "empty documents slice")
+    val batches = Seq(
+      docs.filter(_._1 < 150).toSeq,
+      docs.filter(d => d._1 >= 150 && d._1 < 350).toSeq,
+      docs.filter(_._1 >= 350).toSeq).filter(_.nonEmpty)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    // The packer's entire cross-batch state: tokens packed so far.
+    val carried = new java.util.concurrent.atomic.AtomicLong(0L)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toks = batch
+          .select(col("doc_id"), bpeTokenCount(col("text")).cast("long").as("toks"))
+        val packed = PrefixSum.runningSum(toks, col("doc_id"),
+            Seq(col("doc_id")), col("toks"), "cum0")
+          .withColumn("seq_id",
+            floor((col("cum0") + carried.get()) / 1024L))
+          .select("doc_id", "toks", "seq_id")
+          .localCheckpoint(true) // one compute serves the write AND the fold
+        packed.write.mode(if (batchId == 0) "overwrite" else "append")
+          .parquet(outDir)
+        carried.addAndGet(packed.agg(sum("toks")).head.getLong(0))
+        ()
+      }
+      .start()
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    s.read.parquet(outDir)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("seq_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
+  }
+
+  val streamSeqPackingSql: String = """
+WITH capped AS (
+  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 10000),
+d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+  FROM capped),
+c AS (
+  SELECT doc_id, toks,
+         SUM(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS cum0
+  FROM d)
+SELECT CAST(cum0 // 1024 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_seq_packing" -> (streamSeqPacking _),
     "q_stream_quantiles" -> (streamQuantiles _),
     "q_stream_session_window" -> (streamSessionWindow _),
     "q_stream_topk" -> (streamTopk _),
@@ -1076,6 +1162,7 @@ FROM b ORDER BY grp, q
     "q_stream_approx_distinct" -> (streamApproxDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_seq_packing" -> streamSeqPackingSql,
     "q_stream_quantiles" -> streamQuantilesSql,
     "q_stream_session_window" -> streamSessionWindowSql,
     "q_stream_topk" -> streamTopkSql,
