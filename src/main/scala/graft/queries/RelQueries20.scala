@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{IntervalJoin, PrefixSum}
+import graft.operators.{IntervalJoin, PrefixSum, StagedOnce}
 
 /** Twentieth relational batch: INTERVAL ANALYTICS over the session
   * intervals the q_sessionize island logic induces on `events` — the
@@ -21,22 +21,43 @@ object RelQueries20 {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
+  /** The registered queries the staged session table serves — the
+    * bench's build_s report keys its builds under this name. */
+  val SessionsOwner = "q_interval_join+q_peak_concurrency+q_overlap_counts"
+
+  private val sessMemo = new graft.SessionMemo[String, DataFrame]()
+
   /** Session intervals: the q_sessionize 30-min-gap island logic,
     * reduced to one [s, e] row per (user, session). One shuffle on
-    * user_id; all windows partitioned. */
-  private def sessions(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gapUs = 30L * 60 * 1000000
-    t(s, dir, "events")
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("new_session",
-        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1)
-          .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
-      .withColumn("session_idx",
-        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("session_idx").cast("long").as("session_idx"))
-      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
-  }
+    * user_id; all windows partitioned.
+    *
+    * STAGED once per (session, dir) — the DedupStage discipline: three
+    * registered queries consume this exact frame, and the sessionize
+    * window over the full events table is each one's dominant cost, so
+    * rebuilding it per query tripled the interval family's bench share.
+    * Eagerly checkpointed (the frame is one bounded row per session,
+    * tiny relative to events); build seconds land in the bench's
+    * build_s line under [[SessionsOwner]]. At 100 TB this is a
+    * persisted session table maintained incrementally — the memo models
+    * that read-amortization. */
+  private def sessions(s: SparkSession, dir: String): DataFrame =
+    sessMemo(s, dir) {
+      StagedOnce.timedBuild(s, s"session_intervals@$dir",
+          owner = SessionsOwner, dir = dir) {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("new_session",
+            when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1)
+              .when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+          .withColumn("session_idx",
+            sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx").cast("long").as("session_idx"))
+          .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+          .localCheckpoint(true)
+      }
+    }
 
   /** Interval-overlap self-join: for each session, the number of
     * OTHER-user sessions it overlaps in time (closed intervals), top
@@ -51,7 +72,7 @@ object RelQueries20 {
     * self-join's two sides. Output order (n desc, user, idx) is total →
     * deterministic LIMIT. */
   def intervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val iv = sessions(s, dir).localCheckpoint(false)
+    val iv = sessions(s, dir) // staged + checkpointed once per (session, dir)
     val a = iv.select(col("user_id").as("a_user"), col("session_idx").as("a_idx"),
       col("s").as("a_s"), col("e").as("a_e"))
     val b = iv.select(col("user_id").as("b_user"),
@@ -169,7 +190,7 @@ ORDER BY conc DESC, us LIMIT 10
     * 144 — the at-scale rule it demonstrates: push the aggregate
     * through the join when only counts leave the operator. */
   def overlapCounts(s: SparkSession, dir: String): DataFrame = {
-    val iv = sessions(s, dir).localCheckpoint(false)
+    val iv = sessions(s, dir) // staged + checkpointed once per (session, dir)
     // Both order statistics depend only on the boundary VALUE, so the
     // prefix pass runs over DISTINCT boundary values, not sessions: one
     // map-side-combinable groupBy folds the 2n boundary rows to the
