@@ -57,6 +57,35 @@ class EpochShuffleWriterSpec extends GraftSuite {
     assert(readOrder.take(head.length).sameElements(head))
   }
 
+  test("epoch write: mid-epoch resume reads only the covering files") {
+    // The crash-resume property the layout exists for: a training run
+    // restarting at global position N must not rescan the epoch head —
+    // the per-file offset map (bounded, nFiles rows) locates the files
+    // covering [N, N+k), and only those are read.
+    LlmQueries15.epochWrite(spark, sf).collect()
+    val files = RangeSortedParquet.fileRanges(spark, path, "k")
+      .select("file", "lo").as[(String, String)].collect().sortBy(_._2)
+    val counts = files.map { case (f, _) =>
+      f -> spark.read.parquet(f).count()
+    }
+    val offsets = counts.scanLeft(0L)(_ + _._2).init // exclusive, file order
+    val (from, n) = (100L, 21L) // resume window [101, 121] (1-based)
+    val covering = counts.zip(offsets).filter { case ((_, c), off) =>
+      off < from + n && off + c > from // [off, off+c) ∩ [from, from+n) ≠ ∅
+    }
+    assert(covering.length < counts.length,
+      "resume window must not require every file")
+    val resumed = covering.flatMap { case ((f, _), off) =>
+      spark.read.parquet(f).select("doc_id").as[Long].collect()
+        .zipWithIndex.map { case (d, i) => (off + i + 1, d) } // 1-based pos
+    }.filter { case (pos, _) => pos > from && pos <= from + n }
+      .sortBy(_._1).map(_._2)
+    val direct = keyed.orderBy("k", "doc_id").select("doc_id")
+      .as[Long].collect().slice(from.toInt, (from + n).toInt)
+    assert(resumed.sameElements(direct),
+      "resume-read slice diverges from the direct permutation slice")
+  }
+
   test("epoch write: deterministic given (seed, corpus) — rewrite reproduces") {
     val first = LlmQueries15.epochWrite(spark, sf)
       .select("blk", "n", "dot", "sig").as[(Long, Long, Long, String)]
