@@ -88,15 +88,30 @@ ORDER BY g
     * list — so bigrams carry the signal). Distinct (source, bigram)
     * pairs are ONE explode + combine; the pair intersection is an
     * equi-join on the bigram term — partition width is a term's source
-    * list (≤ #sources), never the corpus. Jaccard in integral micros. */
+    * list (≤ #sources), never the corpus. Jaccard in integral micros.
+    *
+    * Plan discipline (r12): the bigram array is `zip_with` over two
+    * `slice`s of the materialized word array — a CONSTANT number of
+    * split evaluations per document. The earlier
+    * `transform(sequence, i => element_at(words, i))` spelling let
+    * Catalyst inline the full split/regex pipeline into every
+    * element_at, i.e. O(words²) regex work per doc (2.98 s of a ~4 s
+    * query at sf0.1). The distinct tok frame is localCheckpoint-ed so
+    * the self-join reads it twice instead of computing it twice (AQE's
+    * broadcast of one side otherwise defeats exchange reuse). */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val words = split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")
-    val bigrams = when(size(words) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(words) - 1),
-        i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
-    val tok = t(s, dir, "documents")
+    val docs = t(s, dir, "documents").select(col("source"),
+      split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ").as("words"))
+    val n = size(col("words"))
+    val bigrams = when(n < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(col("words"), lit(1), n - 1),
+        slice(col("words"), lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val tok = docs
       .select(col("source"), explode(bigrams).as("term"))
       .distinct()
+      .localCheckpoint(true)
     val sz = tok.groupBy("source").agg(count(lit(1)).as("k"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.term") === col("b.term") && col("a.source") < col("b.source"))
