@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
-"""Compare two Bench JSON outputs per query; optionally gate on regressions.
+"""Compare Bench JSON outputs per query; optionally gate on regressions.
 
-Usage: python3 scripts/bench_diff.py old_bench.json new_bench.json [pct] [--gate]
+Usage: python3 scripts/bench_diff.py old_bench.json new_bench.json... [pct] [--gate]
 
 Prints queries whose runtime changed by more than `pct` percent
 (default 25), plus queries added/removed, plus totals. Bench reports
@@ -12,16 +12,42 @@ With --gate, exits 1 when any shared query regressed by more than
 milliseconds of scheduler noise; a 40% swing on a 50 ms query is not a
 regression signal). Round workflow (see BENCHLOG.md): run the full
 Bench, then `bench_diff.py bench_baseline.json target/bench.json 30
---gate`; investigate failures, then refresh bench_baseline.json with
-the accepted run.
+--gate`; investigate failures, then fold the accepted run via
+scripts/fold_baseline.py.
+
+PERSISTENT flags: pass EVERY accepted run of the round as additional
+new-run files (`bench_diff.py baseline.json run1.json run2.json ...`).
+The per-query report is against the LAST run; a query that exceeds the
+flag threshold in ALL provided runs is marked PERSISTENT. Protocol
+(r11 lesson — q_source_overlap carried a ~4x flag in all four accepted
+runs and was mis-filed as load noise): external-load noise flags are
+alphabet-scattered and differ run to run; a flag that recurs in every
+run is a plan defect until a scoped re-run with 1-2 in-band control
+queries proves otherwise. PERSISTENT flags therefore REQUIRE one
+scoped `SPARK_GRAFT_ONLY` re-run before the round's fold is accepted,
+and they fail the --gate regardless of the last run's delta.
 """
 import json
 import sys
 
 
-def main(old_path, new_path, pct=25.0, gate=False):
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+def load_queries(path):
+    return json.load(open(path))["queries"]
+
+
+def flagged(old, run, pct):
+    """Queries exceeding the double threshold (>pct% AND >0.3s) in run."""
+    return {q for q in set(old) & set(run)
+            if old[q] > 0 and (run[q] - old[q]) / old[q] * 100 > pct
+            and run[q] - old[q] > 0.3}
+
+
+def main(old_path, new_paths, pct=25.0, gate=False):
+    old = load_queries(old_path)
+    runs = [load_queries(p) for p in new_paths]
+    new = runs[-1]
+    persistent = set.intersection(*(flagged(old, r, pct) for r in runs)) \
+        if len(runs) > 1 else set()
     both = sorted(set(old) & set(new))
     regressions, improvements = [], []
     for q in both:
@@ -33,7 +59,8 @@ def main(old_path, new_path, pct=25.0, gate=False):
         elif delta < -pct:
             improvements.append((delta, q))
     for delta, q in sorted(regressions, reverse=True):
-        print(f"SLOWER {delta:+7.1f}%  {q}: {old[q]:.2f}s -> {new[q]:.2f}s")
+        mark = "  PERSISTENT" if q in persistent else ""
+        print(f"SLOWER {delta:+7.1f}%  {q}: {old[q]:.2f}s -> {new[q]:.2f}s{mark}")
     for delta, q in sorted(improvements):
         print(f"FASTER {delta:+7.1f}%  {q}: {old[q]:.2f}s -> {new[q]:.2f}s")
     for q in sorted(set(new) - set(old)):
@@ -45,11 +72,17 @@ def main(old_path, new_path, pct=25.0, gate=False):
     shared_new = sum(new[q] for q in both)
     print(f"total: {t_old:.2f}s -> {t_new:.2f}s "
           f"(shared queries: {shared_old:.2f}s -> {shared_new:.2f}s)")
+    if persistent:
+        print(f"PERSISTENT flags (exceed threshold in ALL {len(runs)} runs — "
+              f"NOT the load signature): {sorted(persistent)}")
+        print("protocol: each requires one scoped SPARK_GRAFT_ONLY re-run "
+              "with in-band controls before the fold is accepted")
     if gate:
         gated = [(d, q) for d, q in regressions if new[q] - old[q] > 0.3]
-        if gated:
-            print(f"GATE FAILED: {len(gated)} regression(s) over "
-                  f"{pct:.0f}% and 0.3s: {[q for _, q in gated]}")
+        gated_qs = {q for _, q in gated} | persistent
+        if gated_qs:
+            print(f"GATE FAILED: {len(gated_qs)} regression(s) over "
+                  f"{pct:.0f}% and 0.3s (or persistent): {sorted(gated_qs)}")
             return 1
         print("GATE OK")
     return 0
@@ -57,6 +90,12 @@ def main(old_path, new_path, pct=25.0, gate=False):
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if a != "--gate"]
-    sys.exit(main(args[0], args[1],
-                  float(args[2]) if len(args) > 2 else 25.0,
-                  gate="--gate" in sys.argv))
+    paths, pct = [], 25.0
+    for a in args:
+        try:
+            pct = float(a)
+        except ValueError:
+            paths.append(a)
+    if len(paths) < 2:
+        raise SystemExit(f"ERROR: need a baseline and at least one run\n{__doc__}")
+    sys.exit(main(paths[0], paths[1:], pct, gate="--gate" in sys.argv))
