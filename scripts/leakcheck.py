@@ -65,4 +65,8 @@ def main(round_no):
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 0))
+    # The round number is REQUIRED: a silent 0 default once shipped a
+    # round-11 artifact stamped round 0, confusing round-keyed tooling.
+    if len(sys.argv) < 2:
+        raise SystemExit("usage: leakcheck.py <round_number>")
+    sys.exit(main(int(sys.argv[1])))

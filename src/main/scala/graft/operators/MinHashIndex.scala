@@ -130,7 +130,12 @@ object MinHashIndex {
       .map(d => spark.read.parquet(s"$d/buckets"))
       .reduce(_.unionByName(_))
     val tmp = s"$baseDir/buckets__compacting"
-    union.write.mode("overwrite").partitionBy("band").parquet(tmp)
+    // Cluster by band BEFORE the partitioned write: without it every
+    // task emits up to one file per band and the rewrite can retain or
+    // even grow the small-file count it exists to reduce (the same
+    // discipline as IvfIndex.compact's repartition(cid)).
+    union.repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(tmp)
     val p = new Path(s"$baseDir/buckets")
     val old = new Path(s"$baseDir/buckets__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

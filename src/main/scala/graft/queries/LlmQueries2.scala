@@ -136,7 +136,8 @@ SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 5 ORDER BY doc_id,
     t(s, dir, "documents")
       .select(col("lang"), col("doc_id"), bpeTokenCount(col("text")).cast("long").as("toks"))
       .withColumn("cum", sum(col("toks")).over(w))
-      .withColumn("chunk_id", ((col("cum") - col("toks")) / lit(4096L)).cast("long"))
+      .withColumn("chunk_id", // exact DIV: long >> 12, not double division
+        shiftright(col("cum") - col("toks"), 12))
       .groupBy("lang", "chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("chunk_tokens"))
       .orderBy("lang", "chunk_id")

@@ -210,8 +210,12 @@ ORDER BY conc DESC, us LIMIT 10
     val cum = PrefixSum.runningSum(bounds, col("v"), Seq(col("v")),
         col("ns") * m + col("ne"), "cum", inclusive = true)
       .localCheckpoint(false) // feeds both lookup joins; compute once
+    // Decode with LONG bit ops, not floor(long / long): Spark's `/`
+    // promotes to double, which is exact only below 2^53 — a cliff at
+    // ~4M sessions, well under the 2^63/M bound the packing honors.
+    // cum >= 0 and M = 2^31, so shiftright/% are the exact DIV/MOD.
     val aMap = cum.select(col("v").as("e"),
-      floor(col("cum") / m).cast("long").as("a"))
+      shiftright(col("cum"), 31).cast("long").as("a"))
     val bMap = cum.select(col("v").as("s"),
       (col("cum") % m - col("ne")).cast("long").as("b"))
     iv.join(aMap, Seq("e")).join(bMap, Seq("s"))

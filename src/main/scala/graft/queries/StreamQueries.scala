@@ -1106,8 +1106,9 @@ FROM b ORDER BY grp, q
           .select(col("doc_id"), bpeTokenCount(col("text")).cast("long").as("toks"))
         val packed = PrefixSum.runningSum(toks, col("doc_id"),
             Seq(col("doc_id")), col("toks"), "cum0")
-          .withColumn("seq_id",
-            floor((col("cum0") + carried.get()) / 1024L))
+          .withColumn("seq_id", // exact DIV at any corpus size: long >> 10,
+            // not floor(long/long) (double-exact only below 2^53 tokens)
+            shiftright(col("cum0") + carried.get(), 10))
           .select("doc_id", "toks", "seq_id")
           .localCheckpoint(true) // one compute serves the write AND the fold
         packed.write.mode(if (batchId == 0) "overwrite" else "append")

@@ -218,12 +218,14 @@ object KeyedUpsertSink {
     * (`CSV PARSER/gcp_csv.py:51`, `RSS PARSER/gcp_rss.py:72`). It also
     * has no dependence on JDBC update-count semantics, so the
     * affected-rows/SUCCESS_NO_INFO contract of [[writeJdbc]] does not
-    * apply. Scratch tables are `<table>_stg_<appId>_<taskAttemptId>`
-    * (created via CREATE TABLE … AS … WITH NO DATA from the target's
-    * own schema), so concurrent partitions, speculative duplicate
-    * attempts, AND concurrent applications writing the same target
-    * never share staging state; same unique-key precondition as
-    * [[writeJdbc]]. */
+    * apply. Scratch tables are `<table≤40>_stg_<hash16>` where the
+    * 16-hex suffix hashes (full table, appId, taskAttemptId) — bounded
+    * at 61 chars so PostgreSQL's 63-byte identifier truncation can
+    * never cut the uniquifying part off — created via CREATE TABLE …
+    * AS … WITH NO DATA from the target's own schema, so concurrent
+    * partitions, speculative duplicate attempts, AND concurrent
+    * applications writing the same target never share staging state;
+    * same unique-key precondition as [[writeJdbc]]. */
   def writeJdbcMerge(df: DataFrame, table: String, keys: Seq[String],
                 updateCols: Seq[String], insertOnlyCols: Seq[String],
                 url: String, connProps: Map[String, String] = Map.empty,
@@ -242,8 +244,18 @@ object KeyedUpsertSink {
         // attempt of the same partition (or a concurrent job on the same
         // target) must not DROP/CREATE the other's staging table mid-
         // merge — partitionId alone would collide exactly there.
+        // BOUNDED length: PostgreSQL silently truncates identifiers at
+        // 63 bytes, which would cut the uniquifying suffix off a long
+        // target name and re-open the very collision appTag prevents.
+        // Hash (full table, appTag, attempt) into a fixed 16-hex suffix
+        // and cap the readable prefix at 40 chars: 40+5+16 = 61 <= 63;
+        // the hash covers the UNtruncated table name, so two long
+        // targets sharing a 40-char prefix still get distinct scratch.
         val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-        val stg = s"${table}_stg_${appTag}_$attempt"
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val tag = md.digest(s"$table|$appTag|$attempt".getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
+        val stg = s"${table.take(40)}_stg_$tag"
         val props = new java.util.Properties()
         connProps.foreach { case (k, v) => props.setProperty(k, v) }
         val conn = java.sql.DriverManager.getConnection(url, props)

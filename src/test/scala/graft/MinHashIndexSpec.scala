@@ -72,7 +72,27 @@ class MinHashIndexSpec extends GraftSuite {
     val layered = probe(Seq(base, ovl1, ovl2))
     assert(layered.nonEmpty, "testdata plants near-dups across the split")
 
+    def dataFiles(dirs: Seq[String]): Int = {
+      val fsc = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      dirs.map { d =>
+        val it = fsc.listFiles(new org.apache.hadoop.fs.Path(s"$d/buckets"), true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }.sum
+    }
+    val filesBefore = dataFiles(Seq(base, ovl1, ovl2))
+
     MinHashIndex.compact(spark, base, Seq(ovl1, ovl2))
+    // The rewrite clusters by band before the partitioned write, so the
+    // compacted base lands at one file per band — strictly fewer files
+    // than the layered index it replaces (the small-file reduction the
+    // operator exists for).
+    val filesAfter = dataFiles(Seq(base))
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink file count: $filesBefore -> $filesAfter")
+    assert(filesAfter <= 4, s"expected <=1 file per band, got $filesAfter")
     // The compacted base alone must answer the layered probe exactly:
     // bucket rows are per-doc facts, so folding layers may lose or
     // invent nothing.
