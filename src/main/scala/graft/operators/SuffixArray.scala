@@ -36,7 +36,15 @@ import org.apache.spark.sql.functions._
   *     monotone NON-STRICTLY at any corpus size (rounding a monotone
   *     sequence preserves ≤), so past ~9·10^7 positions the grid
   *     merely coarsens — balance degrades, correctness does not,
-  *     because exact order always comes from the orderCols;
+  *     because exact order always comes from the orderCols. MEASURED
+  *     at 1.05·10^8 positions (key range 1.22 × 2^53,
+  *     tools/SaBoundaryTier, BENCHLOG round-12): 2.9% of exact pairs
+  *     collapse onto shared doubles, bucket balance max/mean 1.00
+  *     (collapse granularity ~2 vs ~3·10^14-wide buckets), zero
+  *     windows lose their duplicate groups. Balance only starts to
+  *     move when the collapse width nears the bucket width
+  *     n²/#buckets — key ranges past ~2^57 — where the fix is more
+  *     buckets or a two-level grid, not a different key;
   *   - equal pairs collapse to one rank via `min(ord)` over a window
   *     partitioned by (range-bucket, pair) — equal pairs share a
   *     bucket, so this FUSES onto the rank pass's distribution
