@@ -111,7 +111,7 @@ ORDER BY g
     val tok = docs
       .select(col("source"), explode(bigrams).as("term"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: computed once, read by both join sides
     val sz = tok.groupBy("source").agg(count(lit(1)).as("k"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.term") === col("b.term") && col("a.source") < col("b.source"))
