@@ -45,7 +45,8 @@ object LlmQueries16 {
       .agg(min("doc_id").as("doc_id"), min("toks").as("toks"))
     val packed = PrefixSum.runningSum(deduped, col("doc_id"),
         Seq(col("doc_id")), col("toks"), "cum0")
-      .withColumn("seq_id", floor(col("cum0") / 1024L))
+      .withColumn("seq_id", // exact DIV: long >> 10, not double division
+        shiftright(col("cum0"), 10))
     val seqs = packed.groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("seq_tokens"))
     val keyed = seqs.withColumn("k",
@@ -53,7 +54,7 @@ object LlmQueries16 {
     val pos = PrefixSum.rank(keyed,
       conv(substring(col("k"), 1, 13), 16, 10).cast("long"),
       Seq(col("k"), col("seq_id")), "pos")
-    pos.groupBy(floor((col("pos") - 1) / 16).as("blk"))
+    pos.groupBy(shiftright(col("pos") - 1, 4).as("blk"))
       .agg(count(lit(1)).as("n_seqs"),
         sum("seq_tokens").as("blk_tokens"),
         md5(concat_ws(",",
