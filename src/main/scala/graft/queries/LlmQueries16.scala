@@ -88,9 +88,72 @@ SELECT CAST(floor((pos - 1) / 16) AS BIGINT) AS blk, COUNT(*) AS n_seqs,
 FROM r GROUP BY 1 ORDER BY 1
 """
 
+  /** BOUNDARY-SPLITTING sequence packing — the layout GPT-style
+    * pre-training actually trains on: the corpus is one concatenated
+    * token stream cut into fixed 1024-token sequences, and a document
+    * whose tokens straddle a cut contributes a FRAGMENT to each side
+    * (q_seq_packing's whole-doc bins are the padding-free simplification;
+    * this is the padding-free full layout). Each doc's global token
+    * interval [cum0, cum0+toks) comes from ONE PrefixSum pass; the
+    * fragments are an explode of the doc's covered sequence range —
+    * bounded by toks/1024 + 1 rows per doc, so total fragment rows are
+    * n_docs + total_tokens/1024 (linear, never quadratic). Per sequence
+    * the output is the loss-mask bookkeeping a trainer needs: fragment
+    * count, token fill (exactly 1024 everywhere but the tail), docs
+    * fully contained, and the largest fragment. All arithmetic is exact
+    * integer (shiftright DIV, greatest/least clamps). */
+  def packedFragments(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        bpeTokenCount(col("text")).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+    val spans = PrefixSum.runningSum(toks, col("doc_id"),
+        Seq(col("doc_id")), col("toks"), "cum0")
+      .withColumn("first_seq", shiftright(col("cum0"), 10))
+      .withColumn("last_seq", shiftright(col("cum0") + col("toks") - 1, 10))
+    val frags = spans
+      .select(col("doc_id"), col("cum0"), col("toks"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .withColumn("frag_tokens",
+        least(col("cum0") + col("toks"), (col("seq_id") + 1) * 1024L) -
+          greatest(col("cum0"), col("seq_id") * 1024L))
+      .withColumn("whole",
+        when(col("frag_tokens") === col("toks"), 1L).otherwise(0L))
+    frags.groupBy("seq_id")
+      .agg(count(lit(1)).as("n_frags"),
+        sum("frag_tokens").as("seq_tokens"),
+        sum("whole").as("n_whole_docs"),
+        max("frag_tokens").as("max_frag"))
+      .orderBy("seq_id")
+  }
+
+  val packedFragmentsSql: String = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+  FROM documents),
+p AS (
+  SELECT doc_id, toks,
+         SUM(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS cum0
+  FROM d WHERE toks > 0),
+f AS (
+  SELECT p.doc_id, p.cum0, p.toks, g.seq_id,
+         LEAST(p.cum0 + p.toks, (g.seq_id + 1) * 1024) -
+           GREATEST(p.cum0, g.seq_id * 1024) AS frag_tokens
+  FROM p, LATERAL (SELECT unnest(range(CAST(p.cum0 // 1024 AS BIGINT),
+                                       CAST((p.cum0 + p.toks - 1) // 1024 + 1 AS BIGINT))) AS seq_id) g)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, COUNT(*) AS n_frags,
+       CAST(SUM(frag_tokens) AS BIGINT) AS seq_tokens,
+       CAST(SUM(CASE WHEN frag_tokens = toks THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_docs,
+       CAST(MAX(frag_tokens) AS BIGINT) AS max_frag
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_training_export" -> (trainingExport _))
+    "q_training_export" -> (trainingExport _),
+    "q_packed_fragments" -> (packedFragments _))
 
   val oracles: Map[String, String] = Map(
-    "q_training_export" -> trainingExportSql)
+    "q_training_export" -> trainingExportSql,
+    "q_packed_fragments" -> packedFragmentsSql)
 }
