@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.BloomContains].getName, "bloom_contains"),
       (exprs: Seq[Expression]) => graft.plans.BloomContains(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[graft.plans.TokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => graft.plans.TokenCount(exprs.head)))
+    e.injectFunction((
       new FunctionIdentifier("mg_summary"),
       new ExpressionInfo(classOf[graft.plans.MisraGriesAgg].getName, "mg_summary"),
       (exprs: Seq[Expression]) => graft.plans.MisraGriesAgg(exprs(0),

@@ -20,9 +20,15 @@ object TextFns {
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish token estimate: runs of letters, runs of digits, or single
-    * non-alnum symbols — a cheap proxy for subword tokenizer counts. */
+    * non-alnum symbols — a cheap proxy for subword tokenizer counts.
+    * Native single-pass scan ([[graft.plans.TokenCount]]); equal to
+    * `regexp_count(c, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")` (the DuckDB
+    * oracle twins still spell the regex; TokenCountSpec pins the
+    * equivalence) without the per-row regex automaton. */
   def bpeTokenCount(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.TokenCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   /** Canonical fingerprint: lowercase, collapse non-alphanumerics, md5.
     * The normalized-text twin of C9's composite-key hash, applied to
