@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.TokenCount].getName, "bpe_token_count"),
       (exprs: Seq[Expression]) => graft.plans.TokenCount(exprs.head)))
     e.injectFunction((
+      new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[graft.plans.NormalizeText].getName, "normalize_text"),
+      (exprs: Seq[Expression]) => graft.plans.NormalizeText(exprs.head)))
+    e.injectFunction((
       new FunctionIdentifier("mg_summary"),
       new ExpressionInfo(classOf[graft.plans.MisraGriesAgg].getName, "mg_summary"),
       (exprs: Seq[Expression]) => graft.plans.MisraGriesAgg(exprs(0),

@@ -32,9 +32,15 @@ object TextFns {
 
   /** Canonical fingerprint: lowercase, collapse non-alphanumerics, md5.
     * The normalized-text twin of C9's composite-key hash, applied to
-    * document bodies for exact-after-normalization dedup. */
+    * document bodies for exact-after-normalization dedup. Native
+    * single-pass scan ([[graft.plans.NormalizeText]]); equal to
+    * `trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))` — the DuckDB
+    * oracle twins still spell the regex, NormalizeTextSpec sweeps
+    * every Unicode code point to pin the equivalence. */
   def normalizeText(c: Column): Column =
-    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.NormalizeText(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
