@@ -90,9 +90,14 @@ object MinHashDedup {
   def signatures(docs: DataFrame, idCol: String, textNorm: Column,
                  k: Int = 9, maxChars: Int = 200, nHashes: Int = 16): DataFrame = {
     val params = hashParams(nHashes)
+    // Native basis (graft.plans.Md5PrefixLong): digest bytes → long
+    // directly, skipping the per-shingle hex render + substring + radix
+    // parse of the composed spelling — Md5PrefixLongSpec pins equality.
+    val basis = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Md5PrefixLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__sh")), 8))
     val sh = shingleRows(docs, idCol, textNorm, k, maxChars)
-      .select(col(idCol),
-        (conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long") % P).as("__x"))
+      .select(col(idCol), (basis % P).as("__x"))
     val aggs = params.zipWithIndex.map { case ((a, b), j) =>
       min((col("__x") * a + b) % P).as(s"mh$j")
     }
