@@ -35,6 +35,14 @@ def load_queries(path):
     return json.load(open(path))["queries"]
 
 
+def load_evidence(path):
+    """Machine-load samples Bench records since r13: run-level
+    load_start/load_end plus a per-query /proc/loadavg sample taken at
+    each query's start. Absent in pre-r13 artifacts -> empty."""
+    d = json.load(open(path))
+    return (d.get("load_start"), d.get("load_end"), d.get("load", {}))
+
+
 def flagged(old, run, pct):
     """Queries exceeding the double threshold (>pct% AND >0.3s) in run."""
     return {q for q in set(old) & set(run)
@@ -46,6 +54,7 @@ def main(old_path, new_paths, pct=25.0, gate=False):
     old = load_queries(old_path)
     runs = [load_queries(p) for p in new_paths]
     new = runs[-1]
+    load_start, load_end, qload = load_evidence(new_paths[-1])
     persistent = set.intersection(*(flagged(old, r, pct) for r in runs)) \
         if len(runs) > 1 else set()
     both = sorted(set(old) & set(new))
@@ -60,7 +69,8 @@ def main(old_path, new_paths, pct=25.0, gate=False):
             improvements.append((delta, q))
     for delta, q in sorted(regressions, reverse=True):
         mark = "  PERSISTENT" if q in persistent else ""
-        print(f"SLOWER {delta:+7.1f}%  {q}: {old[q]:.2f}s -> {new[q]:.2f}s{mark}")
+        la = f"  load={qload[q]:.1f}" if q in qload else ""
+        print(f"SLOWER {delta:+7.1f}%  {q}: {old[q]:.2f}s -> {new[q]:.2f}s{la}{mark}")
     for delta, q in sorted(improvements):
         print(f"FASTER {delta:+7.1f}%  {q}: {old[q]:.2f}s -> {new[q]:.2f}s")
     for q in sorted(set(new) - set(old)):
@@ -72,6 +82,11 @@ def main(old_path, new_paths, pct=25.0, gate=False):
     shared_new = sum(new[q] for q in both)
     print(f"total: {t_old:.2f}s -> {t_new:.2f}s "
           f"(shared queries: {shared_old:.2f}s -> {shared_new:.2f}s)")
+    if load_start is not None:
+        peak = max(qload.values()) if qload else load_start
+        print(f"machine load (1-min avg): start {load_start:.1f}, "
+              f"end {load_end:.1f}, per-query peak {peak:.1f} "
+              f"[calm < 2; this machine's external spikes hit 7-15]")
     if persistent:
         print(f"PERSISTENT flags (exceed threshold in ALL {len(runs)} runs — "
               f"NOT the load signature): {sorted(persistent)}")
@@ -90,12 +105,28 @@ def main(old_path, new_paths, pct=25.0, gate=False):
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if a != "--gate"]
-    paths, pct = [], 25.0
-    for a in args:
+    # pct is accepted ONLY as the final positional argument: anywhere
+    # else, a bench file named like a number ('30') would be silently
+    # consumed as the threshold and dropped from the run list.
+    pct = 25.0
+    if args and not args[-1].endswith(".json"):
         try:
-            pct = float(a)
+            pct = float(args[-1])
+            args = args[:-1]
         except ValueError:
-            paths.append(a)
+            pass
+    stray = [a for a in args if not a.endswith(".json")]
+    numeric_stray = []
+    for a in stray:
+        try:
+            float(a)
+            numeric_stray.append(a)
+        except ValueError:
+            pass
+    if numeric_stray:
+        raise SystemExit(f"ERROR: numeric argument(s) {numeric_stray} not in "
+                         f"final position — pct must be the last argument\n{__doc__}")
+    paths = args
     if len(paths) < 2:
         raise SystemExit(f"ERROR: need a baseline and at least one run\n{__doc__}")
     sys.exit(main(paths[0], paths[1:], pct, gate="--gate" in sys.argv))

@@ -47,7 +47,24 @@ object Bench {
     // brief line) and on stderr; timing keeps the measured
     // time-to-failure so totals stay comparable.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Machine-load evidence (verdict r12): this machine carries cycling
+    // EXTERNAL load spikes (loadavg 0.2 → 7-15 on a ~5 min period), and
+    // a 7-minute full bench always overlaps one — r12's driver artifact
+    // read 2.06× on an engine measuring 1.30× calm, and adjudicating
+    // that required a full judge re-run. Sampling /proc/loadavg at run
+    // start/end AND at each query's start makes a load-poisoned run
+    // self-adjudicating: a flagged query whose load sample is high is
+    // the load signature, not a plan regression (bench_diff.py prints
+    // the samples next to its flags).
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    val benchT0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
+      val qLoad = loadavg()
+      val qOff = (System.nanoTime() - benchT0) / 1e9
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
@@ -58,8 +75,9 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, qLoad, qOff)
     }
+    val loadEnd = loadavg()
     errors.foreach { case (n, m) => System.err.println(s"[bench] $n FAILED: $m") }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -72,7 +90,11 @@ object Bench {
       case c if c < ' '  => f"\\u${c.toInt}%04x"
       case c             => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => jkey(k) + ":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => jkey(k) + ":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val loadsJson = results.map { case (k, _, la, _) => jkey(k) + ":" + fmt(la) }
+      .mkString("{", ",", "}")
+    val offsJson = results.map { case (k, _, _, off) => jkey(k) + ":" + fmt(off) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Build/probe split: staged-index queries (StagedOnce / DedupStage)
@@ -103,13 +125,13 @@ object Bench {
     val errJson = errors.map { case (k, m) => jkey(k) + ":" + jkey(m) }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_s":$bs,"errors":$errJson,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_s":$bs,"errors":$errJson,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load":$loadsJson,"t_start":$offsJson,"sf":$sfJson}"""
     // The per-query map (100+ entries, ~3 KB) goes to the file only: the
     // driver's bounded tail capture truncates long stdout lines from the
     // HEAD, which beheaded the full JSON three rounds running. The final
     // stdout line is a ~130-byte total-only object that always survives.
     val brief =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_errors":${errors.size},"queries_file":"target/bench.json","sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_errors":${errors.size},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"queries_file":"target/bench.json","sf":$sfJson}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target", "bench.json"), full + "\n")
     SessionMemo.evictSession(spark)

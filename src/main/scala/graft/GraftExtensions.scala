@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.NormalizeText].getName, "normalize_text"),
       (exprs: Seq[Expression]) => graft.plans.NormalizeText(exprs.head)))
     e.injectFunction((
+      new FunctionIdentifier("md5_prefix_long"),
+      new ExpressionInfo(classOf[graft.plans.Md5PrefixLong].getName, "md5_prefix_long"),
+      (exprs: Seq[Expression]) => graft.plans.Md5PrefixLong(exprs(0),
+        graft.functions.SketchFns.literalIntArg("md5_prefix_long", "hexChars", exprs(1)))))
+    e.injectFunction((
       new FunctionIdentifier("mg_summary"),
       new ExpressionInfo(classOf[graft.plans.MisraGriesAgg].getName, "mg_summary"),
       (exprs: Seq[Expression]) => graft.plans.MisraGriesAgg(exprs(0),

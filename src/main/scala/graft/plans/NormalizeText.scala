@@ -22,7 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * 'i' + U+0307 (the combining dot then becomes a separator). Both are
   * handled by exact byte-sequence match; [[graft.NormalizeTextSpec]]
   * sweeps EVERY Unicode code point against the regex spelling to prove
-  * there is no third case in this JVM's casing tables. */
+  * there is no third case in this JVM's casing tables.
+  *
+  * LOCALE ASSUMPTION (non-tr/az default locale): it is the COMPOSED
+  * spelling that is locale-sensitive, not this scan — Spark's `lower()`
+  * routes any string containing a non-ASCII char through
+  * default-locale `String.toLowerCase`, and under a Turkish/Azeri
+  * default locale ASCII 'I' in such a string lowercases to dotless
+  * U+0131 (a separator under the character class) while this scan
+  * always folds 'I' → 'i' (the behavior every other locale gets, and
+  * the one the DuckDB oracle reproduces). The equivalence the spec
+  * sweep proves therefore holds for the test JVM's locale; sessions
+  * must not run under tr/az default locales (Spark itself documents
+  * the same caveat on its locale-sensitive functions). */
 case class NormalizeText(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType

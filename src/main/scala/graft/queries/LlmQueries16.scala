@@ -51,8 +51,15 @@ object LlmQueries16 {
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("seq_tokens"))
     val keyed = seqs.withColumn("k",
       md5(concat(lit("epoch1:"), col("seq_id").cast("string"))))
-    val pos = PrefixSum.rank(keyed,
-      conv(substring(col("k"), 1, 13), 16, 10).cast("long"),
+    // Native permutation decode (graft.plans.Md5PrefixLong over the
+    // PRE-digest key): identical value to conv(substring(k,1,13),16,10)
+    // since the digest bytes high-nibble-first ARE the hex digit order;
+    // skips the hex render + substring + radix parse per sequence.
+    val permKey = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Md5PrefixLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          concat(lit("epoch1:"), col("seq_id").cast("string"))), 13))
+    val pos = PrefixSum.rank(keyed, permKey,
       Seq(col("k"), col("seq_id")), "pos")
     pos.groupBy(shiftright(col("pos") - 1, 4).as("blk"))
       .agg(count(lit(1)).as("n_seqs"),

@@ -248,14 +248,20 @@ object KeyedUpsertSink {
         // 63 bytes, which would cut the uniquifying suffix off a long
         // target name and re-open the very collision appTag prevents.
         // Hash (full table, appTag, attempt) into a fixed 16-hex suffix
-        // and cap the readable prefix at 40 chars: 40+5+16 = 61 <= 63;
-        // the hash covers the UNtruncated table name, so two long
-        // targets sharing a 40-char prefix still get distinct scratch.
+        // and cap the readable prefix at 40 BYTES (PostgreSQL's 63-char
+        // identifier limit is NAMEDATALEN-1 bytes, not chars — a
+        // multibyte prefix truncated by char count could spill into and
+        // cut the uniquifying suffix): 40+5+16 = 61 <= 63; the hash
+        // covers the UNtruncated table name, so two long targets
+        // sharing a 40-byte prefix still get distinct scratch.
         val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
         val md = java.security.MessageDigest.getInstance("MD5")
         val tag = md.digest(s"$table|$appTag|$attempt".getBytes("UTF-8"))
           .take(8).map("%02x".format(_)).mkString
-        val stg = s"${table.take(40)}_stg_$tag"
+        var prefix = table.take(40)
+        while (prefix.getBytes("UTF-8").length > 40)
+          prefix = prefix.substring(0, prefix.length - 1)
+        val stg = s"${prefix}_stg_$tag"
         val props = new java.util.Properties()
         connProps.foreach { case (k, v) => props.setProperty(k, v) }
         val conn = java.sql.DriverManager.getConnection(url, props)

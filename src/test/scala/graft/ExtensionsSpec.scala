@@ -21,6 +21,13 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
         .collect()(0).getDouble(0)
       assert(math.abs(r - 1.0) < 1e-12)
+      // md5_prefix_long must decode exactly what the composed SQL
+      // spelling does (hexChars as a required int literal).
+      val m = s2.sql(
+        "SELECT md5_prefix_long('abc', 13) AS v, " +
+          "CAST(conv(substring(md5('abc'), 1, 13), 16, 10) AS BIGINT) AS w")
+        .collect()(0)
+      assert(m.getLong(0) == m.getLong(1))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

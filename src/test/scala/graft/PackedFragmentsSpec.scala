@@ -28,7 +28,9 @@ class PackedFragmentsSpec extends GraftSuite {
     val rows = out.select("seq_id", "seq_tokens").as[(Long, Long)]
       .collect().sortBy(_._1)
     assert(rows.head._1 == 0L, "first sequence must be 0")
-    rows.sliding(2).foreach { case Array((a, _), (b, _)) =>
+    // zip against the tail (not sliding(2)): a single-sequence corpus
+    // yields one length-1 window from sliding and a MatchError here.
+    rows.zip(rows.tail).foreach { case ((a, _), (b, _)) =>
       assert(b == a + 1, s"gap in seq ids: $a -> $b")
     }
     // Every sequence is exactly 1024 tokens except possibly the tail.
