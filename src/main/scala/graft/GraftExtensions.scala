@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.plans.Md5PrefixLong(exprs(0),
         graft.functions.SketchFns.literalIntArg("md5_prefix_long", "hexChars", exprs(1)))))
     e.injectFunction((
+      new FunctionIdentifier("distinct_shingles"),
+      new ExpressionInfo(classOf[graft.plans.DistinctShingles].getName, "distinct_shingles"),
+      (exprs: Seq[Expression]) => graft.plans.DistinctShingles(exprs(0),
+        graft.functions.SketchFns.literalIntArg("distinct_shingles", "k", exprs(1)))))
+    e.injectFunction((
       new FunctionIdentifier("mg_summary"),
       new ExpressionInfo(classOf[graft.plans.MisraGriesAgg].getName, "mg_summary"),
       (exprs: Seq[Expression]) => graft.plans.MisraGriesAgg(exprs(0),

@@ -34,12 +34,15 @@ object MinHashDedup {
 
   /** Distinct k-char shingles of the first `maxChars` of `c` as an array
     * (verification-side representation; see `shingleRows` for the
-    * signature-side one). */
+    * signature-side one). Native codegen'd build
+    * ([[graft.plans.DistinctShingles]]) — the composed
+    * `array_distinct(transform(sequence...))` spelling it replaces runs
+    * interpreted and was the dominant cost of candidate verification at
+    * the 100× tier; DistinctShinglesSpec pins element/order equality. */
   def shingles(c: Column, k: Int = 9, maxChars: Int = 200): Column = {
-    val s = substring(c, 1, maxChars)
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(s) - (k - 1), lit(1))),
-      i => s.substr(i, lit(k))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.DistinctShingles(
+      ColumnBridge.expression(substring(c, 1, maxChars)), k))
   }
 
   /** One row per (doc, shingle position) — NOT deduplicated: min over a
@@ -181,12 +184,26 @@ object MinHashDedup {
 
   /** Full near-dup pipeline: pairs with Jaccard ≥ `threshold`.
     *
-    * `sig` feeds a self-join and `pairs` feeds three consumers, so the
+    * `sig` feeds a self-join and `pairs` feeds several consumers, so the
     * shingle/md5 work must not recompute per consumer (Catalyst does not
     * materialize common subplans across self-joins). `sig` is persisted
     * only for the duration of the candidate join: `pairs` — tiny, just id
     * pairs — is eagerly localCheckpoint'ed, after which `sig`'s cache is
-    * released. Nothing session-lifetime leaks beyond the id-pair blocks. */
+    * released. Nothing session-lifetime leaks beyond the id-pair blocks.
+    *
+    * Verification (the dominant phase at the 100× tier before r13)
+    * applies the standard set-similarity pruning stack ahead of the
+    * exact-Jaccard pass:
+    *   - shingle arrays build ONCE per candidate doc (semi-join pruned,
+    *     eagerly checkpointed) — previously each array-join consumer
+    *     rebuilt them, doubling the interpreted-build cost;
+    *   - LENGTH FILTER on exact distinct-set sizes: J(A,B) ≤
+    *     min|A|,|B| / max|A|,|B|, so pairs with size ratio below the
+    *     threshold die on a size-only join — they never ship their
+    *     ~1.7 KB shingle arrays through the pair join and never reach
+    *     the Jaccard pass. The bound is exact on sizes; the 1e-9 slack
+    *     only ever KEEPS borderline pairs (the final jaccard filter is
+    *     still the arbiter), so the prune cannot drop a passing pair. */
   def nearDuplicates(docs: DataFrame, idCol: String, textNorm: Column,
                      threshold: Double, k: Int = 9, maxChars: Int = 200,
                      nHashes: Int = 16, bands: Int = 4,
@@ -200,9 +217,18 @@ object MinHashDedup {
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     val shArr = docs.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), shingles(textNorm, k, maxChars).as("__sh"))
-    pairs
-      .join(shArr.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-      .join(shArr.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .withColumn("__n", size(col("__sh")))
+      .localCheckpoint(true)
+    val sizes = shArr.select(col(idCol), col("__n"))
+    val pruned = pairs
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        (lit(threshold) - lit(1e-9)) * greatest(col("n_a"), col("n_b")))
+      .select("id_a", "id_b")
+    pruned
+      .join(shArr.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(shArr.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -81,9 +81,17 @@ object SaBoundaryTier {
     // --- key collapse + grid balance at the final round, production path
     val step = 1 << 3
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val paired = lv(3)._2.withColumn("__r2",
-      coalesce(lead(col("rank"), step).over(wDoc), lit(-1L)))
-      .localCheckpoint(false)
+    // Stage the paired frame on DISK, not in heap: localCheckpoint
+    // caches ~10^8 deserialized rows at MEMORY_AND_DISK, which is what
+    // forced this tool onto a 48g driver (the BUILD itself spills fine
+    // at the default 8g). A parquet round-trip keeps every downstream
+    // stats job column-pruned and off-heap, so the whole audit runs at
+    // default heap.
+    val pairedPath = "target/sa_tier_paired.parquet"
+    lv(3)._2.withColumn("__r2",
+        coalesce(lead(col("rank"), step).over(wDoc), lit(-1L)))
+      .write.mode("overwrite").parquet(pairedPath)
+    val paired = spark.read.parquet(pairedPath)
     val exactPairs = paired.select("rank", "__r2").distinct().count()
     val doubleKeys = paired
       .select((col("rank") * b + col("__r2")).cast("double").as("k"))
@@ -98,12 +106,18 @@ object SaBoundaryTier {
       preStaged = true,
       keyRange = Some((b - 2.0, n * b + n + 2.0)),
       keepBucket = Some("__b"))
-    val buckets = ranked.groupBy("__b").count()
-      .select(col("count")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .collect().sorted
-    val mean = buckets.sum.toDouble / buckets.length
-    println(f"[sa-tier] grid buckets=${buckets.length} rows min=${buckets.head} " +
-      f"max=${buckets.last} mean=$mean%.0f max/mean=${buckets.last / mean}%.2f")
+    // Balance stats computed distributively (one agg over the per-bucket
+    // counts) — no per-bucket collect to the driver.
+    val bs = ranked.groupBy("__b").count()
+      .agg(count(lit(1)).as("nb"), min("count").as("mn"),
+        max("count").as("mx"), sum("count").as("tot")).head
+    val (nb, mn, mx, tot) = (bs.getLong(0), bs.getLong(1), bs.getLong(2), bs.getLong(3))
+    val mean = tot.toDouble / nb
+    println(f"[sa-tier] grid buckets=$nb rows min=$mn " +
+      f"max=$mx mean=$mean%.0f max/mean=${mx / mean}%.2f")
+    org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(pairedPath), true)
 
     // --- end-to-end probe: every tail-avoiding 16-token window must be
     // cross-document duplicated (each copy carries it verbatim).
