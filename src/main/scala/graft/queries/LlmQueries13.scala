@@ -183,8 +183,13 @@ FROM nt GROUP BY bucket ORDER BY bucket
     // shape as MinHashDedup.nearDuplicates).
     val ids = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    // Build ONCE (eager checkpoint): the two array-join consumers below
+    // would otherwise each recompute the shingle arrays — Catalyst does
+    // not share subplans across self-joins (same fix as
+    // MinHashDedup.nearDuplicates, r13).
     val shArr = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), MinHashDedup.shingles(norm).as("__sh"))
+      .localCheckpoint(true)
     val exact = pairs
       .join(shArr.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(shArr.select(col("doc_id").as("id_b"), col("__sh").as("sh_b")), "id_b")
