@@ -55,21 +55,38 @@ object SimHash {
     * contiguous blocks — a pair differing in ≤ maxDist bits must agree
     * exactly on at least one whole block. Candidates = equi-join per
     * (block index, block value); verification = popcount of the XOR.
-    * At scale this is one shuffle on uniformly-distributed block values;
-    * the all-pairs form never appears.
+    *
+    * A block is only ~nBits/(maxDist+1) bits (≈11 for 32/3), so block
+    * VALUES have at most a few thousand distinct values and bucket
+    * width grows LINEARLY with corpus size — the plain per-bucket
+    * self-join is quadratic in width (measured: ≈ width² growth at the
+    * 100× tier before r13). Buckets wider than `maxBucket` therefore
+    * RECURSE the pigeonhole instead of self-joining: members of a wide
+    * (blk, bval) bucket already agree on block blk, so a qualifying
+    * pair's ≤ maxDist differing bits all lie in the REMAINING bits —
+    * by the same pigeonhole they must agree on at least one of
+    * maxDist+1 contiguous sub-blocks of those remaining bits. The wide
+    * path joins on (blk, bval, sub-block, sub-value), shrinking bucket
+    * width by ~2^(remBits/(maxDist+1)) (~128× at 32/3) per level. One
+    * level is exact (it only refines candidate GENERATION; popcount
+    * verification is unchanged) and is enough through the 100× tier;
+    * at corpus sizes where sub-buckets grow wide again the same
+    * rewrite applies recursively. Wide-bucket detection is one
+    * map-side-combined count per distinct (blk, bval), broadcast —
+    * the same narrow/wide split shape as MinHashDedup.candidatePairs.
     *
     * Input must carry (`idCol`, `simhash`); output (id_a, id_b, hamming).
     */
   def hammingPairs(withSim: DataFrame, idCol: String, nBits: Int = 32,
-                   maxDist: Int = 2): DataFrame = {
+                   maxDist: Int = 2, maxBucket: Int = 256): DataFrame = {
     require(maxDist >= 0 && maxDist + 1 <= nBits, "need at least one bit per block")
     // Same self-join recompute guard as `clusters`: materialize the
     // (id, simhash) frame once before fanning out to x/y sides.
     val sim = withSim.localCheckpoint(true)
     val nBlocks = maxDist + 1
+    val bounds = (0 to nBlocks).map(b => b * nBits / nBlocks)
     val blocks = (0 until nBlocks).map { b =>
-      val lo = b * nBits / nBlocks
-      val hi = (b + 1) * nBits / nBlocks
+      val (lo, hi) = (bounds(b), bounds(b + 1))
       val mask = (1L << (hi - lo)) - 1
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bval"))
@@ -77,11 +94,41 @@ object SimHash {
     val blocked = sim
       .select(col(idCol), col("simhash"), explode(array(blocks: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.blk").as("blk"), col("bb.bval").as("bval"))
-    blocked.as("x").join(blocked.as("y"),
-        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
+    val wide = blocked.groupBy("blk", "bval")
+      .agg(count(lit(1)).as("__bw")).filter(col("__bw") > maxBucket)
+      .select("blk", "bval")
+    val narrow = blocked.join(broadcast(wide), Seq("blk", "bval"), "left_anti")
+    def selfPairs(rows: DataFrame, keys: Seq[String]): DataFrame =
+      rows.as("x").join(rows.as("y"),
+          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
+    val narrowPairs = selfPairs(narrow, Seq("blk", "bval"))
+    // Remaining bits of block b = low [0,lo) ++ high [hi,nBits) packed
+    // contiguously, then re-split into nBlocks sub-blocks. remBits is
+    // the same for every b only when nBlocks divides nBits evenly, so
+    // compute per block; the sub-explode multiplies only WIDE rows.
+    val wideRows = blocked.join(broadcast(wide), Seq("blk", "bval"))
+    val subbed = (0 until nBlocks).map { b =>
+      val (lo, hi) = (bounds(b), bounds(b + 1))
+      val remBits = nBits - (hi - lo)
+      val rv = shiftright(col("simhash"), hi).multiply(lit(1L << lo))
+        .bitwiseOR(col("simhash").bitwiseAND(lit((1L << lo) - 1)))
+      val subs = (0 until nBlocks).map { sb =>
+        val (slo, shi) = (sb * remBits / nBlocks, (sb + 1) * remBits / nBlocks)
+        val smask = (1L << (shi - slo)) - 1
+        struct(lit(sb).as("sblk"),
+          shiftright(rv, slo).bitwiseAND(lit(smask)).as("sbval"))
+      }
+      wideRows.filter(col("blk") === b)
+        .select(col(idCol), col("simhash"), col("blk"), col("bval"),
+          explode(array(subs: _*)).as("ss"))
+        .select(col(idCol), col("simhash"), col("blk"), col("bval"),
+          col("ss.sblk").as("sblk"), col("ss.sbval").as("sbval"))
+    }.reduce(_ unionByName _)
+    val widePairs = selfPairs(subbed, Seq("blk", "bval", "sblk", "sbval"))
+    narrowPairs.unionByName(widePairs)
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -121,9 +121,26 @@ object SaBoundaryTier {
 
     // --- end-to-end probe: every tail-avoiding 16-token window must be
     // cross-document duplicated (each copy carries it verbatim).
-    val undup = last.filter(col("pos") + 16 <= col("dlen") - 1)
-      .groupBy("rank").agg(countDistinct(col("doc_id")).as("nd"))
+    // Staged to parquet and aggregated on 256 partitions: the level
+    // checkpoints pin most of the 8g storage pool, and a 32-partition
+    // countDistinct over 10^8 rows asked each task for more execution
+    // memory than remained (measured: UNABLE_TO_ACQUIRE_MEMORY at the
+    // default heap). Small tasks over a disk-staged two-column frame
+    // keep every hash map comfortably under the per-task share.
+    val probePath = "target/sa_tier_probe.parquet"
+    last.filter(col("pos") + 16 <= col("dlen") - 1)
+      .select("rank", "doc_id")
+      .write.mode("overwrite").parquet(probePath)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    val undup = spark.read.parquet(probePath)
+      .distinct()
+      .groupBy("rank").agg(count(lit(1)).as("nd"))
       .filter(col("nd") < 2).count()
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    org.apache.hadoop.fs.FileSystem
+      .getLocal(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(probePath), true)
     println(s"[sa-tier] unduplicated tail-avoiding 16-token windows: $undup (must be 0)")
     require(undup == 0L, s"rank groups split at the boundary: $undup windows lost their duplicates")
     println("[sa-tier] OK")

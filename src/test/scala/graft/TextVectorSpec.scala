@@ -69,6 +69,39 @@ class TextVectorSpec extends GraftSuite {
     assert(sim(0) == sim(1) && sim(0) != sim(2))
   }
 
+  test("hammingPairs wide-bucket recursion is exact vs brute force") {
+    // Force the wide path: 600 simhashes sharing block 0 (low bits),
+    // differing only in the upper bits — the (blk=0, bval) bucket is
+    // 600 wide, far over maxBucket=8, so its pairs MUST come from the
+    // sub-block pigeonhole join. Mix in a narrow-path clique too.
+    val rnd = new scala.util.Random(7)
+    val wideGroup = (0 until 600).map { i =>
+      // block 0 = bits [0,10) fixed to 0x155; upper 22 bits random but
+      // with planted neighbors every 50th element (flip one high bit)
+      val base = (rnd.nextInt(1 << 22).toLong << 10) | 0x155L
+      val sh = if (i % 50 == 3) ((i - 1).toLong, base) else (i.toLong, base)
+      sh
+    }
+    // planted: element i copies i-1's simhash with one high bit flipped
+    val rows = wideGroup.zipWithIndex.map { case ((_, sh), i) =>
+      if (i % 50 == 3) (i.toLong, wideGroup(i - 1)._2 ^ (1L << 31))
+      else (i.toLong, sh)
+    } ++ Seq((1000L, 0x2AAL), (1001L, 0x2AAL), (1002L, 0x2AAL ^ (1L << 15)))
+    val df = rows.toDF("doc_id", "simhash")
+    val got = SimHash.hammingPairs(df, "doc_id", nBits = 32, maxDist = 2,
+        maxBucket = 8)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
+    } yield (a, b, h)).toSet
+    assert(got == brute,
+      s"wide-path mismatch: missing=${brute -- got} extra=${got -- brute}")
+    // sanity: the wide path really engaged (bucket width 600 > 8)
+    assert(brute.nonEmpty)
+  }
+
   test("multimodal decode stub: deterministic meta from payload bytes") {
     val df = Seq((7L, "g", "abcd")).toDF("doc_id", "source", "text")
     val meta = Multimodal.decode(
