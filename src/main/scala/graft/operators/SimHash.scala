@@ -98,28 +98,67 @@ object SimHash {
       .agg(count(lit(1)).as("__bw")).filter(col("__bw") > maxBucket)
       .select("blk", "bval")
     val narrow = blocked.join(broadcast(wide), Seq("blk", "bval"), "left_anti")
-    def selfPairs(rows: DataFrame, keys: Seq[String]): DataFrame =
+    // --- exactly-once emission, no dedup shuffle -------------------
+    // A qualifying pair agrees on one or more blocks, so the naive
+    // form emits it once per agreeing block (and once per agreeing
+    // sub-block on the wide path) and dedups with distinct() — an
+    // exchange carrying the WHOLE output. On replica-heavy corpora the
+    // true output is itself quadratic in copy count (every cross-copy
+    // pair is a near-dup), so that distinct shuffled ~0.5G rows at the
+    // 100× tier. Instead each pair is emitted ONLY at its FIRST
+    // agreeing block (all earlier blocks must disagree — both
+    // fingerprints ride the join row, so the check is a few bit ops),
+    // and within a wide block only at its first agreeing sub-block.
+    // The first agreeing block is a property of the fingerprint pair,
+    // not of the path, and a (blk, bval) bucket is globally wide or
+    // narrow — so exactly one path emits each pair, exactly once, and
+    // the union needs no distinct at all.
+    def bVal(sim: Column, b: Int): Column = {
+      val (lo, hi) = (bounds(b), bounds(b + 1))
+      shiftright(sim, lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+    }
+    def earlierBlocksDisagree(b: Int): Column =
+      (0 until b).map(bp => bVal(col("x.simhash"), bp) =!= bVal(col("y.simhash"), bp))
+        .foldLeft(lit(true))(_ && _)
+    // Popcount verification runs inside the join projection, before
+    // any exchange: failing candidates die map-side.
+    def selfPairs(rows: DataFrame, keys: Seq[String], emitOnce: Column): DataFrame =
       rows.as("x").join(rows.as("y"),
           keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
             col(s"x.$idCol") < col(s"y.$idCol"))
+        .filter(emitOnce)
         .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int").as("hamming"))
-    val narrowPairs = selfPairs(narrow, Seq("blk", "bval"))
+        .filter(col("hamming") <= maxDist)
+    val narrowOnce = (0 until nBlocks).map(b =>
+      col("x.blk") === b && earlierBlocksDisagree(b)).reduce(_ || _)
+    // Small corpora skip the narrow/wide split entirely: even a
+    // maximally skewed bucket is cheap to self-join when n is tens of
+    // thousands, and the split's fixed cost (width groupBy + broadcast
+    // + anti-join + empty wide union) measured ~+0.6 s at bench scale.
+    // `sim` is already eagerly checkpointed, so the count is free.
+    if (sim.count() <= 64L * maxBucket)
+      return selfPairs(blocked, Seq("blk", "bval"), narrowOnce)
+    val narrowPairs = selfPairs(narrow, Seq("blk", "bval"), narrowOnce)
     // Remaining bits of block b = low [0,lo) ++ high [hi,nBits) packed
     // contiguously, then re-split into nBlocks sub-blocks. remBits is
     // the same for every b only when nBlocks divides nBits evenly, so
     // compute per block; the sub-explode multiplies only WIDE rows.
-    val wideRows = blocked.join(broadcast(wide), Seq("blk", "bval"))
-    val subbed = (0 until nBlocks).map { b =>
+    def rvOf(sim: Column, b: Int): Column = {
+      val (lo, hi) = (bounds(b), bounds(b + 1))
+      shiftright(sim, hi).multiply(lit(1L << lo))
+        .bitwiseOR(sim.bitwiseAND(lit((1L << lo) - 1)))
+    }
+    def sVal(sim: Column, b: Int, sb: Int): Column = {
       val (lo, hi) = (bounds(b), bounds(b + 1))
       val remBits = nBits - (hi - lo)
-      val rv = shiftright(col("simhash"), hi).multiply(lit(1L << lo))
-        .bitwiseOR(col("simhash").bitwiseAND(lit((1L << lo) - 1)))
+      val (slo, shi) = (sb * remBits / nBlocks, (sb + 1) * remBits / nBlocks)
+      shiftright(rvOf(sim, b), slo).bitwiseAND(lit((1L << (shi - slo)) - 1))
+    }
+    val wideRows = blocked.join(broadcast(wide), Seq("blk", "bval"))
+    val subbed = (0 until nBlocks).map { b =>
       val subs = (0 until nBlocks).map { sb =>
-        val (slo, shi) = (sb * remBits / nBlocks, (sb + 1) * remBits / nBlocks)
-        val smask = (1L << (shi - slo)) - 1
-        struct(lit(sb).as("sblk"),
-          shiftright(rv, slo).bitwiseAND(lit(smask)).as("sbval"))
+        struct(lit(sb).as("sblk"), sVal(col("simhash"), b, sb).as("sbval"))
       }
       wideRows.filter(col("blk") === b)
         .select(col(idCol), col("simhash"), col("blk"), col("bval"),
@@ -127,9 +166,11 @@ object SimHash {
         .select(col(idCol), col("simhash"), col("blk"), col("bval"),
           col("ss.sblk").as("sblk"), col("ss.sbval").as("sbval"))
     }.reduce(_ unionByName _)
-    val widePairs = selfPairs(subbed, Seq("blk", "bval", "sblk", "sbval"))
+    val wideOnce = (for { b <- 0 until nBlocks; sb <- 0 until nBlocks } yield
+      col("x.blk") === b && col("x.sblk") === sb && earlierBlocksDisagree(b) &&
+        (0 until sb).map(sp => sVal(col("x.simhash"), b, sp) =!= sVal(col("y.simhash"), b, sp))
+          .foldLeft(lit(true))(_ && _)).reduce(_ || _)
+    val widePairs = selfPairs(subbed, Seq("blk", "bval", "sblk", "sbval"), wideOnce)
     narrowPairs.unionByName(widePairs)
-      .distinct()
-      .filter(col("hamming") <= maxDist)
   }
 }

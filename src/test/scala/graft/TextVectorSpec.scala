@@ -88,10 +88,15 @@ class TextVectorSpec extends GraftSuite {
       else (i.toLong, sh)
     } ++ Seq((1000L, 0x2AAL), (1001L, 0x2AAL), (1002L, 0x2AAL ^ (1L << 15)))
     val df = rows.toDF("doc_id", "simhash")
-    val got = SimHash.hammingPairs(df, "doc_id", nBits = 32, maxDist = 2,
+    val gotRows = SimHash.hammingPairs(df, "doc_id", nBits = 32, maxDist = 2,
         maxBucket = 8)
       .select("id_a", "id_b", "hamming")
-      .as[(Long, Long, Int)].collect().toSet
+      .as[(Long, Long, Int)].collect().toSeq
+    val got = gotRows.toSet
+    // first-agreeing-block exclusivity: every pair exactly once, no
+    // dedup shuffle needed
+    assert(gotRows.length == got.size,
+      s"duplicate emissions: ${gotRows.groupBy(identity).filter(_._2.length > 1).keys}")
     val brute = (for {
       (a, sa) <- rows; (b, sb) <- rows if a < b
       h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
