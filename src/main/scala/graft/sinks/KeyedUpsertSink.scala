@@ -184,6 +184,20 @@ object KeyedUpsertSink {
     * update columns means no WHEN MATCHED branch at all (the DO NOTHING
     * shape). Exposed for unit tests and for stores where the caller
     * manages staging itself. */
+  /** Readable prefix of a scratch-table name, bounded to 40 UTF-8
+    * BYTES (PostgreSQL truncates identifiers at NAMEDATALEN-1 = 63
+    * bytes, not chars; 40 + "_stg_" + 16-hex suffix = 61 ≤ 63). A
+    * byte-bounded trim can cut between a surrogate pair, so a trailing
+    * lone high surrogate is dropped too. Exposed for unit tests. */
+  def scratchPrefix(table: String): String = {
+    var prefix = table.take(40)
+    while (prefix.getBytes("UTF-8").length > 40)
+      prefix = prefix.substring(0, prefix.length - 1)
+    if (prefix.nonEmpty && Character.isHighSurrogate(prefix.last))
+      prefix = prefix.substring(0, prefix.length - 1)
+    prefix
+  }
+
   def mergeSql(table: String, staging: String, keys: Seq[String],
                updateCols: Seq[String], insertOnlyCols: Seq[String]): String = {
     val cols = keys ++ updateCols ++ insertOnlyCols
@@ -258,10 +272,7 @@ object KeyedUpsertSink {
         val md = java.security.MessageDigest.getInstance("MD5")
         val tag = md.digest(s"$table|$appTag|$attempt".getBytes("UTF-8"))
           .take(8).map("%02x".format(_)).mkString
-        var prefix = table.take(40)
-        while (prefix.getBytes("UTF-8").length > 40)
-          prefix = prefix.substring(0, prefix.length - 1)
-        val stg = s"${prefix}_stg_$tag"
+        val stg = s"${KeyedUpsertSink.scratchPrefix(table)}_stg_$tag"
         val props = new java.util.Properties()
         connProps.foreach { case (k, v) => props.setProperty(k, v) }
         val conn = java.sql.DriverManager.getConnection(url, props)

@@ -207,6 +207,26 @@ class SinkSpec extends GraftSuite {
       .contains("WHEN MATCHED"), "no update cols -> no WHEN MATCHED branch")
   }
 
+  test("scratchPrefix: 40-byte bound, multibyte-safe, no trailing surrogate") {
+    assert(KeyedUpsertSink.scratchPrefix("short") == "short")
+    assert(KeyedUpsertSink.scratchPrefix("x" * 80) == "x" * 40)
+    // 2-byte chars: 40 chars = 80 bytes, must trim to 20 chars
+    val twoByte = "é" * 80
+    val p2 = KeyedUpsertSink.scratchPrefix(twoByte)
+    assert(p2.getBytes("UTF-8").length <= 40 && p2 == "é" * 20)
+    // 4-byte (surrogate-pair) chars: 40 bytes = 10 chars; a cut that
+    // lands mid-pair must not leave a lone high surrogate
+    val emoji = "🚀" * 40
+    val p4 = KeyedUpsertSink.scratchPrefix(emoji)
+    assert(p4.getBytes("UTF-8").length <= 40)
+    assert(!Character.isHighSurrogate(p4.last))
+    // mixed: 39 ASCII bytes + a surrogate pair straddling the bound
+    val mixed = ("a" * 39) + "🚀🚀🚀"
+    val pm = KeyedUpsertSink.scratchPrefix(mixed)
+    assert(pm.getBytes("UTF-8").length <= 40 && !Character.isHighSurrogate(pm.last))
+    assert(pm.startsWith("a" * 39))
+  }
+
   test("write: partition-parallel batching delivers every row once") {
     // closures serialize per task even in local mode — capture through an
     // accumulator, the supported executor→driver channel
