@@ -26,8 +26,17 @@ object SimHash {
   def withSimhash(docs: DataFrame, idCol: String, tokensCol: Column,
                   nBits: Int = 32): DataFrame = {
     require(nBits >= 1 && nBits <= 32, "token hash is 32 bits (8 md5 hex chars)")
+    // Native basis (graft.plans.Md5PrefixLong): digest bytes → long
+    // directly, skipping the per-token hex render + substring + radix
+    // parse of the composed spelling — value-identical by
+    // Md5PrefixLongSpec, so the DuckDB twin's CAST('0x'||substr(md5..))
+    // decode is unchanged. This is the signature hot path: one hash per
+    // (doc, token) row.
+    val basis = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Md5PrefixLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__tok")), 8))
     val tok = docs.select(col(idCol), explode(tokensCol).as("__tok"))
-      .withColumn("__h", conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("__h", basis)
     val votes = (0 until nBits).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__v$i")
     }
