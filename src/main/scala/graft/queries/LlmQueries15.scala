@@ -38,8 +38,13 @@ object LlmQueries15 {
     val keyed = Tables.staged(s, dir, "documents", Seq("doc_id"))
       .select(col("doc_id"),
         md5(concat(lit("epoch7:"), col("doc_id").cast("string"))).as("k"))
-    PrefixSum.selectRanks(keyed,
-        conv(substring(col("k"), 1, 13), 16, 10).cast("long"),
+    // Native decode of the permutation key prefix (value-identical to
+    // conv(substring(k,1,13),16,10) — digest bytes ARE the hex order).
+    val permKey = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Md5PrefixLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          concat(lit("epoch7:"), col("doc_id").cast("string"))), 13))
+    PrefixSum.selectRanks(keyed, permKey,
         Seq(col("k"), col("doc_id")),
         n => (1L to math.min(30L, n)).map(i => (i.toString, i)),
         "lbl", stable = true)

@@ -85,9 +85,14 @@ FROM clean
     * reproducible cross-engine. Plans as TakeOrdered: no global sort
     * materializes, each partition keeps k candidates. */
   def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    // Native decode of the 56-bit sampling key (value-identical to the
+    // conv(substring(md5)) spelling the oracle keeps).
+    val uKey = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Md5PrefixLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          concat(lit("ws|"), col("doc_id").cast("string"))), 14))
     val h = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
-      conv(substring(md5(concat(lit("ws|"), col("doc_id").cast("string"))), 1, 14), 16, 10)
-        .cast("long").as("u"))
+      uKey.as("u"))
     val p = h.withColumn("pri", col("n_chars").cast("double") / col("u").cast("double"))
     p.select(col("doc_id"), col("n_chars"),
         floor(col("pri") * lit(1e18)).cast("long").as("pri_atto"), col("pri"))

@@ -160,12 +160,18 @@ ORDER BY jaccard_micro DESC, sa, sb LIMIT 15
     * over the full stream. */
   def abZtest(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
+    // Arm assignment is a pure function of user_id: hash on the
+    // per-USER frame (native Md5PrefixLong decode, value-identical to
+    // the conv(substring(md5)) spelling the oracle keeps), not on the
+    // joined per-event rows — one hash per user instead of per event.
+    val armHash = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Md5PrefixLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          concat(lit("ab|"), col("user_id").cast("string"))), 1))
+    val arm = when(armHash % 2 === 0, "A").otherwise("B")
     val f = ev.groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t0"))
-    val arm = when(
-      conv(substring(md5(concat(lit("ab|"), col("user_id").cast("string"))), 1, 1), 16, 10)
-        .cast("long") % 2 === 0, "A").otherwise("B")
-    val u = f.join(ev, "user_id")
       .withColumn("arm", arm)
+    val u = f.join(ev, "user_id")
       .groupBy("user_id", "arm")
       .agg(max(when(col("event_type") === "purchase" &&
         unix_micros(col("ts")) - col("t0") <= 259200000000L, 1L).otherwise(0L)).as("conv"))
