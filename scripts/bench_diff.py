@@ -84,8 +84,9 @@ def main(old_path, new_paths, pct=25.0, gate=False):
           f"(shared queries: {shared_old:.2f}s -> {shared_new:.2f}s)")
     if load_start is not None:
         peak = max(qload.values()) if qload else load_start
+        end = f"{load_end:.1f}" if load_end is not None else "n/a"
         print(f"machine load (1-min avg): start {load_start:.1f}, "
-              f"end {load_end:.1f}, per-query peak {peak:.1f} "
+              f"end {end}, per-query peak {peak:.1f} "
               f"[calm < 2; this machine's external spikes hit 7-15]")
     if persistent:
         print(f"PERSISTENT flags (exceed threshold in ALL {len(runs)} runs — "

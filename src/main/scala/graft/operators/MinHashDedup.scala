@@ -189,7 +189,14 @@ object MinHashDedup {
     * materialize common subplans across self-joins). `sig` is persisted
     * only for the duration of the candidate join: `pairs` — tiny, just id
     * pairs — is eagerly localCheckpoint'ed, after which `sig`'s cache is
-    * released. Nothing session-lifetime leaks beyond the id-pair blocks.
+    * released. Block lifetime contract: the id-pair blocks AND the
+    * candidate-doc shingle-array blocks (r13; ~1.7 KB/candidate doc,
+    * MEMORY_AND_DISK so they demote under pressure) stay pinned while
+    * the returned frame is alive — the arrays cannot be released
+    * earlier because the result is lazy and its verification joins read
+    * them; rebuilding per consumer instead would pay the build 4×
+    * (two size joins + two array joins). Same lifetime class as the
+    * StagedOnce index family.
     *
     * Verification (the dominant phase at the 100× tier before r13)
     * applies the standard set-similarity pruning stack ahead of the

@@ -59,6 +59,20 @@ object SimHash {
     sim.join(counts, "simhash").select(col(idCol), col("simhash"), col("cluster_size"))
   }
 
+  /** Pigeonhole block-key structs (blk, bval) of an `nBits` fingerprint
+    * split into `nBlocks` contiguous blocks — shared by [[hammingPairs]]
+    * and the SimHashTier dev tool, so the tool's bucket-width report
+    * measures exactly the production join's key space. */
+  private[graft] def blockKeys(sim: Column, nBits: Int, nBlocks: Int): Seq[Column] = {
+    val bounds = (0 to nBlocks).map(b => b * nBits / nBlocks)
+    (0 until nBlocks).map { b =>
+      val (lo, hi) = (bounds(b), bounds(b + 1))
+      val mask = (1L << (hi - lo)) - 1
+      struct(lit(b).as("blk"),
+        shiftright(sim, lo).bitwiseAND(lit(mask)).as("bval"))
+    }
+  }
+
   /** Pairs within Hamming distance ≤ `maxDist` of each other, via the
     * Manku WWW'07 pigeonhole split: `nBits` split into `maxDist + 1`
     * contiguous blocks — a pair differing in ≤ maxDist bits must agree
@@ -94,14 +108,9 @@ object SimHash {
     val sim = withSim.localCheckpoint(true)
     val nBlocks = maxDist + 1
     val bounds = (0 to nBlocks).map(b => b * nBits / nBlocks)
-    val blocks = (0 until nBlocks).map { b =>
-      val (lo, hi) = (bounds(b), bounds(b + 1))
-      val mask = (1L << (hi - lo)) - 1
-      struct(lit(b).as("blk"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bval"))
-    }
     val blocked = sim
-      .select(col(idCol), col("simhash"), explode(array(blocks: _*)).as("bb"))
+      .select(col(idCol), col("simhash"),
+        explode(array(blockKeys(col("simhash"), nBits, nBlocks): _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.blk").as("blk"), col("bb.bval").as("bval"))
     val wide = blocked.groupBy("blk", "bval")
       .agg(count(lit(1)).as("__bw")).filter(col("__bw") > maxBucket)
@@ -148,6 +157,16 @@ object SimHash {
     // `sim` is already eagerly checkpointed, so the count is free.
     if (sim.count() <= 64L * maxBucket)
       return selfPairs(blocked, Seq("blk", "bval"), narrowOnce)
+    // The wide path engages: every block's REMAINING bits must split
+    // into nBlocks non-empty sub-blocks, or sVal degenerates to a
+    // zero-width mask (every row in sub-bucket 0) and the sub-join
+    // silently falls back to the full-width quadratic self-join the
+    // maxBucket mechanism exists to prevent.
+    require((0 until nBlocks).forall(b =>
+      nBits - (bounds(b + 1) - bounds(b)) >= nBlocks),
+      s"remaining bits per block must cover $nBlocks sub-blocks " +
+        s"(nBits=$nBits, maxDist=$maxDist): corpus too large for the " +
+        "unsplit path and too few bits to recurse — raise nBits or maxBucket")
     val narrowPairs = selfPairs(narrow, Seq("blk", "bval"), narrowOnce)
     // Remaining bits of block b = low [0,lo) ++ high [hi,nBits) packed
     // contiguously, then re-split into nBlocks sub-blocks. remBits is

@@ -92,30 +92,31 @@ object SaBoundaryTier {
         coalesce(lead(col("rank"), step).over(wDoc), lit(-1L)))
       .write.mode("overwrite").parquet(pairedPath)
     val paired = spark.read.parquet(pairedPath)
-    val exactPairs = paired.select("rank", "__r2").distinct().count()
-    val doubleKeys = paired
-      .select((col("rank") * b + col("__r2")).cast("double").as("k"))
-      .distinct().count()
-    println(f"[sa-tier] level-4 exact pairs=$exactPairs double keys=$doubleKeys " +
-      f"collapsed=${exactPairs - doubleKeys} " +
-      f"(${100.0 * (exactPairs - doubleKeys) / exactPairs}%.1f%%)")
+    try {
+      val exactPairs = paired.select("rank", "__r2").distinct().count()
+      val doubleKeys = paired
+        .select((col("rank") * b + col("__r2")).cast("double").as("k"))
+        .distinct().count()
+      println(f"[sa-tier] level-4 exact pairs=$exactPairs double keys=$doubleKeys " +
+        f"collapsed=${exactPairs - doubleKeys} " +
+        f"(${100.0 * (exactPairs - doubleKeys) / exactPairs}%.1f%%)")
 
-    val ranked = PrefixSum.rank(paired,
-      col("rank") * b + col("__r2"),
-      Seq(col("rank"), col("__r2"), col("doc_id"), col("pos")), "__ord",
-      preStaged = true,
-      keyRange = Some((b - 2.0, n * b + n + 2.0)),
-      keepBucket = Some("__b"))
-    // Balance stats computed distributively (one agg over the per-bucket
-    // counts) — no per-bucket collect to the driver.
-    val bs = ranked.groupBy("__b").count()
-      .agg(count(lit(1)).as("nb"), min("count").as("mn"),
-        max("count").as("mx"), sum("count").as("tot")).head
-    val (nb, mn, mx, tot) = (bs.getLong(0), bs.getLong(1), bs.getLong(2), bs.getLong(3))
-    val mean = tot.toDouble / nb
-    println(f"[sa-tier] grid buckets=$nb rows min=$mn " +
-      f"max=$mx mean=$mean%.0f max/mean=${mx / mean}%.2f")
-    org.apache.hadoop.fs.FileSystem
+      val ranked = PrefixSum.rank(paired,
+        col("rank") * b + col("__r2"),
+        Seq(col("rank"), col("__r2"), col("doc_id"), col("pos")), "__ord",
+        preStaged = true,
+        keyRange = Some((b - 2.0, n * b + n + 2.0)),
+        keepBucket = Some("__b"))
+      // Balance stats computed distributively (one agg over the per-bucket
+      // counts) — no per-bucket collect to the driver.
+      val bs = ranked.groupBy("__b").count()
+        .agg(count(lit(1)).as("nb"), min("count").as("mn"),
+          max("count").as("mx"), sum("count").as("tot")).head
+      val (nb, mn, mx, tot) = (bs.getLong(0), bs.getLong(1), bs.getLong(2), bs.getLong(3))
+      val mean = tot.toDouble / nb
+      println(f"[sa-tier] grid buckets=$nb rows min=$mn " +
+        f"max=$mx mean=$mean%.0f max/mean=${mx / mean}%.2f")
+    } finally org.apache.hadoop.fs.FileSystem
       .getLocal(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(pairedPath), true)
 
@@ -133,14 +134,17 @@ object SaBoundaryTier {
       .write.mode("overwrite").parquet(probePath)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "256")
-    val undup = spark.read.parquet(probePath)
-      .distinct()
-      .groupBy("rank").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") < 2).count()
-    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    org.apache.hadoop.fs.FileSystem
-      .getLocal(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(probePath), true)
+    val undup =
+      try spark.read.parquet(probePath)
+        .distinct()
+        .groupBy("rank").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") < 2).count()
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        org.apache.hadoop.fs.FileSystem
+          .getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(probePath), true)
+      }
     println(s"[sa-tier] unduplicated tail-avoiding 16-token windows: $undup (must be 0)")
     require(undup == 0L, s"rank groups split at the boundary: $undup windows lost their duplicates")
     println("[sa-tier] OK")

@@ -44,16 +44,13 @@ object SimHashTier {
     val nDistinct = sim.select("simhash").distinct().count()
     println(s"[simhash-tier] rows=$n distinct_simhashes=$nDistinct")
 
-    // block-bucket width distribution (the candidate join's key space)
+    // block-bucket width distribution — the PRODUCTION join's key
+    // space: the structs come from SimHash.blockKeys itself, so a
+    // change to the block split can't silently divorce this report
+    // from the operator it attributes cost for.
     val nBits = 32; val nBlocks = 3
-    val blocks = (0 until nBlocks).map { b =>
-      val lo = b * nBits / nBlocks
-      val hi = (b + 1) * nBits / nBlocks
-      val mask = (1L << (hi - lo)) - 1
-      struct(lit(b).as("blk"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bval"))
-    }
-    val widths = sim.select(explode(array(blocks: _*)).as("bb"))
+    val widths = sim.select(
+        explode(array(SimHash.blockKeys(col("simhash"), nBits, nBlocks): _*)).as("bb"))
       .groupBy(col("bb.blk").as("blk"), col("bb.bval").as("bval"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
