@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.plans.DistinctShingles(exprs(0),
         graft.functions.SketchFns.literalIntArg("distinct_shingles", "k", exprs(1)))))
     e.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[graft.plans.MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => graft.plans.MinHashSignature(exprs(0),
+        graft.functions.SketchFns.literalIntArg("minhash_signature", "k", exprs(1)),
+        graft.functions.SketchFns.literalIntArg("minhash_signature", "nHashes", exprs(2)))))
+    e.injectFunction((
       new FunctionIdentifier("mg_summary"),
       new ExpressionInfo(classOf[graft.plans.MisraGriesAgg].getName, "mg_summary"),
       (exprs: Seq[Expression]) => graft.plans.MisraGriesAgg(exprs(0),

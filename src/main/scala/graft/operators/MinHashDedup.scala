@@ -83,45 +83,62 @@ object MinHashDedup {
   /** One row per doc: (id, mh0..mhN) — minhash signature as BIGINT mins
     * of a Carter–Wegman universal family over a single md5-derived basis:
     * x = uint32(first 8 md5 hex chars) mod P, mh_j = min over shingles of
-    * (a_j·x + b_j) mod P. ONE md5 per shingle row (the seeded-md5-per-
-    * chunk form this replaces needed nHashes/4 of them — hashing was the
-    * dominant signature cost); the per-j transforms are three integer ops
-    * each, codegen'd, and the mins combine map-side so the shuffle still
-    * carries one signature row per doc. The md5 basis (not xxhash64) is
-    * what keeps a bit-exact DuckDB twin: `CAST('0x'||substr(md5(sh),1,8)
-    * AS BIGINT)` decodes the identical value. */
+    * (a_j·x + b_j) mod P. Computed by the native per-document expression
+    * [[graft.plans.MinHashSignature]] — one codegen'd pass over each
+    * doc's shingle set, value-identical to (and pinned against, in
+    * MinHashSignatureSpec) the explode→md5-basis→min-aggregate spelling
+    * it replaces. The signature phase is now a pure projection: no
+    * exploded (doc, shingle) rows, no nHashes-buffer hash aggregate, NO
+    * exchange — at 100 TB the densest intermediate of the pipeline never
+    * becomes shuffle files. The md5 basis (not xxhash64) is what keeps a
+    * bit-exact DuckDB twin: `CAST('0x'||substr(md5(sh),1,8) AS BIGINT)`
+    * decodes the identical value.
+    *
+    * Two-step projection on purpose: `__sig` is materialized once and
+    * the mh_j columns are `getItem`s over it — CollapseProject keeps the
+    * split because the producing expression is non-cheap and referenced
+    * nHashes times (MinHashSignatureSpec pins single evaluation). */
   def signatures(docs: DataFrame, idCol: String, textNorm: Column,
                  k: Int = 9, maxChars: Int = 200, nHashes: Int = 16): DataFrame = {
-    val params = hashParams(nHashes)
-    // Native basis (graft.plans.Md5PrefixLong): digest bytes → long
-    // directly, skipping the per-shingle hex render + substring + radix
-    // parse of the composed spelling — Md5PrefixLongSpec pins equality.
-    val basis = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.plans.Md5PrefixLong(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__sh")), 8))
-    val sh = shingleRows(docs, idCol, textNorm, k, maxChars)
-      .select(col(idCol), (basis % P).as("__x"))
-    val aggs = params.zipWithIndex.map { case ((a, b), j) =>
-      min((col("__x") * a + b) % P).as(s"mh$j")
-    }
-    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sigArr = ColumnBridge.column(graft.plans.MinHashSignature(
+      ColumnBridge.expression(substring(textNorm, 1, maxChars)), k, nHashes))
+    docs.filter(textNorm.isNotNull)
+      .select(col(idCol), sigArr.as("__sig"))
+      .select(col(idCol) +: (0 until nHashes).map(j =>
+        col("__sig").getItem(j).as(s"mh$j")): _*)
   }
 
   /** Banded bucket rows (id, band, bucket) of a signature frame — the
     * join key surface of the LSH step, factored out so the persisted
     * index ([[MinHashIndex]]) stages exactly the rows the in-query
-    * pipeline joins on. */
+    * pipeline joins on.
+    *
+    * The bucket is a LONG — the first 15 hex chars (60 bits) of the
+    * band's md5, not the 32-char hex string (r14): the banded frame is
+    * the widest shuffle surface of the LSH step (bands× the corpus row
+    * count, grouped once and self-joined once on (band, bucket)), and an
+    * 8-byte key hashes/compares/ships ~4× cheaper than a 40-byte UTF8
+    * string. A 60-bit prefix collision between DIFFERENT band values
+    * (~n²/2^61 ≈ 10^-5 at the 100× tier's 4M buckets) could only ADD a
+    * candidate pair, and every candidate is verified by exact Jaccard
+    * downstream — and both engines take the same prefix, so the twins
+    * agree exactly regardless. Cross-engine: DuckDB decodes the same 60
+    * bits as `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. */
   def banded(sig: DataFrame, idCol: String,
              nHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(nHashes % bands == 0, "bands must divide nHashes")
     val r = nHashes / bands
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     sig.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
         // "," separator: signature values are variable-width decimal
         // renderings now, so unseparated concatenation would be ambiguous.
         struct(lit(b).as("band"),
-          md5(concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*)).as("bucket"))
+          ColumnBridge.column(graft.plans.Md5PrefixLong(ColumnBridge.expression(
+            concat_ws(",", (0 until r).map(i => col(s"mh${b * r + i}")): _*)), 15))
+            .as("bucket"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }
@@ -218,26 +235,54 @@ object MinHashDedup {
     val sig = signatures(docs, idCol, textNorm, k, maxChars, nHashes).persist()
     val pairs = candidatePairs(sig, idCol, nHashes, bands, maxBucket).localCheckpoint(true)
     sig.unpersist()
+    // Verification runs per DISTINCT truncated text, not per pair (r14).
+    // A replica-heavy corpus — THE near-dup use case — surfaces huge
+    // candidate sets whose members are bitwise-identical texts: the tier
+    // corpus yields 716k candidate pairs over ~7k distinct texts, so a
+    // per-pair verify ships ~1.7 KB shingle arrays through two joins
+    // 716k times to compute ~7k distinct Jaccard values. Instead:
+    //   fp = md5 of the truncated normalized text (equal text ⟹ equal
+    //   shingle sequence ⟹ equal set size and equal Jaccard against any
+    //   partner — md5 at 128 bits, so fp equality IS text equality);
+    //   shingle arrays are built ONCE per distinct fp (representative),
+    //   the length prune joins fp-level sizes, exact Jaccard runs once
+    //   per distinct (fp_a, fp_b), and the per-pair rows get their
+    //   jaccard by an (fp_a, fp_b) join that AQE broadcasts when the
+    //   distinct side is small. Worst case (all texts unique) the work
+    //   matches the old per-pair shape plus one slim join; best case
+    //   (replicas) the array traffic drops by the replication factor².
     // Shingle arrays are only materialized for candidate docs (semi-join
     // prune): the expensive array build never touches non-candidates.
     val ids = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val shArr = docs.join(ids, Seq(idCol), "left_semi")
-      .select(col(idCol), shingles(textNorm, k, maxChars).as("__sh"))
+    val cand = docs.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol), substring(textNorm, 1, maxChars).as("__t"))
+      .withColumn("__fp", md5(col("__t")))
+    // Slim (id → fp) map and per-fp representative arrays are the two
+    // staged frames (same lifetime contract as the r13 shArr checkpoint:
+    // pinned while the returned lazy frame is alive).
+    val docFp = cand.select(col(idCol), col("__fp")).localCheckpoint(true)
+    val repArr = cand.dropDuplicates("__fp")
+      .select(col("__fp"), shingles(col("__t"), k, maxChars).as("__sh"))
       .withColumn("__n", size(col("__sh")))
       .localCheckpoint(true)
-    val sizes = shArr.select(col(idCol), col("__n"))
-    val pruned = pairs
-      .join(sizes.toDF("id_a", "n_a"), "id_a")
-      .join(sizes.toDF("id_b", "n_b"), "id_b")
+    val fpPairs = pairs
+      .join(docFp.toDF("id_a", "fp_a"), "id_a")
+      .join(docFp.toDF("id_b", "fp_b"), "id_b")
+    val sizes = repArr.select(col("__fp"), col("__n"))
+    val pruned = fpPairs
+      .join(sizes.toDF("fp_a", "n_a"), "fp_a")
+      .join(sizes.toDF("fp_b", "n_b"), "fp_b")
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         (lit(threshold) - lit(1e-9)) * greatest(col("n_a"), col("n_b")))
-      .select("id_a", "id_b")
-    pruned
-      .join(shArr.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(shArr.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .select("id_a", "id_b", "fp_a", "fp_b")
+    val jac = pruned.select("fp_a", "fp_b").distinct()
+      .join(repArr.select(col("__fp").as("fp_a"), col("__sh").as("sh_a")), "fp_a")
+      .join(repArr.select(col("__fp").as("fp_b"), col("__sh").as("sh_b")), "fp_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
+      .select("fp_a", "fp_b", "jaccard")
+    pruned.join(jac, Seq("fp_a", "fp_b"))
       .select("id_a", "id_b", "jaccard")
   }
 }

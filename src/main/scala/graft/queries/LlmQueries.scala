@@ -81,9 +81,11 @@ ORDER BY fingerprint
     val mins = MinHashDedup.hashParams(16).zipWithIndex.map { case ((a, b), j) =>
       s"MIN((x * $a + $b) % $P) AS mh$j"
     }.mkString(",\n         ")
+    // bucket = first 15 md5 hex chars as BIGINT — the same 60 bits
+    // MinHashDedup.banded's Md5PrefixLong decodes (long join keys, r14)
     val bandRows = (0 until 4).map { b =>
       val cols = (0 until 4).map(i => s"mh${b * 4 + i}").mkString(", ',', ")
-      s"SELECT doc_id, $b AS b, md5(concat($cols)) AS bucket FROM sig"
+      s"SELECT doc_id, $b AS b, CAST('0x' || substr(md5(concat($cols)), 1, 15) AS BIGINT) AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""
 WITH norm AS (
