@@ -43,7 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_prefix_long"),
       new ExpressionInfo(classOf[graft.plans.Md5PrefixLong].getName, "md5_prefix_long"),
       (exprs: Seq[Expression]) => graft.plans.Md5PrefixLong(exprs(0),
-        graft.functions.SketchFns.literalIntArg("md5_prefix_long", "hexChars", exprs(1)))))
+        graft.functions.SketchFns.literalIntArg("md5_prefix_long", "hexChars", exprs(1)),
+        if (exprs.length > 2)
+          graft.functions.SketchFns.literalIntArg("md5_prefix_long", "startHex", exprs(2))
+        else 1)))
     e.injectFunction((
       new FunctionIdentifier("distinct_shingles"),
       new ExpressionInfo(classOf[graft.plans.DistinctShingles].getName, "distinct_shingles"),

@@ -22,28 +22,41 @@ import org.apache.spark.sql.functions._
 object SimHash {
 
   /** Adds `simhash` to one-row-per-doc input. `tokensCol` must be an
-    * array<string> column; docs with no tokens drop out (no votes). */
+    * array<string> column; docs with no tokens drop out (no votes).
+    *
+    * Fingerprints up to 64 bits (Manku WWW'07's production width, r14):
+    * the token-hash basis is one 32-bit md5 word for nBits ≤ 32 and TWO
+    * words (hex chars 1–8 and 9–16 — both DuckDB-decodable via
+    * `substr(md5(tk), start, 8)`) above, so bit i votes from word i/32.
+    * The pack ORs disjoint bit terms instead of adding them: bit 63's
+    * term is Long.MinValue, which an ANSI-mode SUM would reject as
+    * overflow but OR composes exactly (the twin packs the same value as
+    * an addition whose one negative term keeps it in range). */
   def withSimhash(docs: DataFrame, idCol: String, tokensCol: Column,
                   nBits: Int = 32): DataFrame = {
-    require(nBits >= 1 && nBits <= 32, "token hash is 32 bits (8 md5 hex chars)")
+    require(nBits >= 1 && nBits <= 64, "fingerprint is at most 64 bits (two 32-bit md5 words)")
     // Native basis (graft.plans.Md5PrefixLong): digest bytes → long
     // directly, skipping the per-token hex render + substring + radix
     // parse of the composed spelling — value-identical by
     // Md5PrefixLongSpec, so the DuckDB twin's CAST('0x'||substr(md5..))
     // decode is unchanged. This is the signature hot path: one hash per
-    // (doc, token) row.
-    val basis = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.plans.Md5PrefixLong(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__tok")), 8))
-    val tok = docs.select(col(idCol), explode(tokensCol).as("__tok"))
-      .withColumn("__h", basis)
+    // (doc, token) row (two above 32 bits, same digest both words).
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def md5Word(startHex: Int) = ColumnBridge.column(graft.plans.Md5PrefixLong(
+      ColumnBridge.expression(col("__tok")), 8, startHex))
+    val tok0 = docs.select(col(idCol), explode(tokensCol).as("__tok"))
+    val tok = if (nBits <= 32) tok0.withColumn("__h", md5Word(1))
+      else tok0.withColumn("__h", md5Word(1)).withColumn("__h2", md5Word(9))
+    def bit(i: Int): Column =
+      if (i < 32) shiftright(col("__h"), i).bitwiseAND(1)
+      else shiftright(col("__h2"), i - 32).bitwiseAND(1)
     val votes = (0 until nBits).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__v$i")
+      sum(when(bit(i) === 1, 1).otherwise(-1)).as(s"__v$i")
     }
     val agg = tok.groupBy(idCol).agg(votes.head, votes.tail: _*)
     val packed = (0 until nBits).map { i =>
       when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    }.reduce(_ bitwiseOR _)
     agg.select(col(idCol), packed.as("simhash"))
   }
 
@@ -59,18 +72,75 @@ object SimHash {
     sim.join(counts, "simhash").select(col(idCol), col("simhash"), col("cluster_size"))
   }
 
+  /** All-ones mask of width `w` bits, 64-safe: `(1L << 64) - 1` is 0 in
+    * Java shift semantics (the ADVICE-r13 silent-degenerate-bucket bug
+    * for a full-width 64-bit block), so width ≥ 64 returns -1L. */
+  private[graft] def maskOf(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+
   /** Pigeonhole block-key structs (blk, bval) of an `nBits` fingerprint
-    * split into `nBlocks` contiguous blocks — shared by [[hammingPairs]]
-    * and the SimHashTier dev tool, so the tool's bucket-width report
-    * measures exactly the production join's key space. */
+    * split into `nBlocks` contiguous blocks — shared by [[hammingPairs]],
+    * [[hammingClusters]] and the SimHashTier dev tool, so the tool's
+    * bucket-width report measures exactly the production join's key
+    * space. Arithmetic shiftright sign-extension (64-bit fingerprints
+    * are negative when bit 63 is set) is masked off by `maskOf`. */
   private[graft] def blockKeys(sim: Column, nBits: Int, nBlocks: Int): Seq[Column] = {
     val bounds = (0 to nBlocks).map(b => b * nBits / nBlocks)
     (0 until nBlocks).map { b =>
       val (lo, hi) = (bounds(b), bounds(b + 1))
-      val mask = (1L << (hi - lo)) - 1
       struct(lit(b).as("blk"),
-        shiftright(sim, lo).bitwiseAND(lit(mask)).as("bval"))
+        shiftright(sim, lo).bitwiseAND(lit(maskOf(hi - lo))).as("bval"))
     }
+  }
+
+  /** Linear-output near-dup clustering — the operator a 100 TB dedup
+    * pipeline actually consumes. [[hammingPairs]]' output is QUADRATIC
+    * in copy count on replica-heavy corpora (every cross-copy pair is a
+    * true pair — 485M rows at the r13 100× tier, output-bound by
+    * construction); a dedup decision only needs cluster membership, so
+    * this emits STAR EDGES instead: within every pigeonhole (blk, bval)
+    * bucket, each member pairs only with the bucket's min-id
+    * representative (popcount-verified ≤ maxDist), giving ≤ nBlocks
+    * edge rows per doc — linear — and [[ConnectedComponents]] closes
+    * the transitive clusters through the hubs in O(log n) rounds.
+    *
+    * Semantics contract (mirrored exactly by the DuckDB twin): clusters
+    * are connected components of the VERIFIED star graph. That graph is
+    * a SUBSET of the full pairwise Hamming graph — two docs within
+    * maxDist of each other but both > maxDist from their shared bucket
+    * rep connect only if some chain of verified star edges links them —
+    * so this is the standard representative-linking approximation, not
+    * a drop-in replacement for [[hammingPairs]]' exact pair relation.
+    * On replica clusters (the case that matters at scale) every copy is
+    * within maxDist of the rep and the cluster is recovered exactly.
+    * No wide-bucket handling is needed: a bucket of ANY width emits
+    * width−1 edges, so mega-buckets cost linear work by construction.
+    *
+    * Output: one row per doc that appears in a verified edge —
+    * (`idCol`, component = min reachable id, cluster_size). Docs with
+    * no near-dup partner are singletons and do not appear. */
+  def hammingClusters(withSim: DataFrame, idCol: String, nBits: Int = 32,
+                      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0 && maxDist + 1 <= nBits, "need at least one bit per block")
+    val sim = withSim.localCheckpoint(true)
+    val nBlocks = maxDist + 1
+    val blocked = sim
+      .select(col(idCol), col("simhash"),
+        explode(array(blockKeys(col("simhash"), nBits, nBlocks): _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.blk").as("blk"), col("bb.bval").as("bval"))
+    // min(struct(id, simhash)) rides the rep's OWN fingerprint out of
+    // the same aggregation (ids are unique, so the struct min is the
+    // min-id row) — no second join to fetch it.
+    val reps = blocked.groupBy("blk", "bval")
+      .agg(min(struct(col(idCol).as("i"), col("simhash").as("s"))).as("r"))
+      .select(col("blk"), col("bval"), col("r.i").as("__rid"), col("r.s").as("__rsim"))
+    val edges = blocked.join(reps, Seq("blk", "bval"))
+      .filter(col(idCol) =!= col("__rid") &&
+        bit_count(col("simhash").bitwiseXOR(col("__rsim"))) <= maxDist)
+      .select(col("__rid").as("src"), col(idCol).as("dst"))
+      .distinct()
+    val comp = ConnectedComponents.components(edges)
+    comp.join(ConnectedComponents.clusterSizes(comp), "component")
+      .select(col("id").as(idCol), col("component"), col("cluster_size"))
   }
 
   /** Pairs within Hamming distance ≤ `maxDist` of each other, via the
@@ -112,10 +182,6 @@ object SimHash {
       .select(col(idCol), col("simhash"),
         explode(array(blockKeys(col("simhash"), nBits, nBlocks): _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.blk").as("blk"), col("bb.bval").as("bval"))
-    val wide = blocked.groupBy("blk", "bval")
-      .agg(count(lit(1)).as("__bw")).filter(col("__bw") > maxBucket)
-      .select("blk", "bval")
-    val narrow = blocked.join(broadcast(wide), Seq("blk", "bval"), "left_anti")
     // --- exactly-once emission, no dedup shuffle -------------------
     // A qualifying pair agrees on one or more blocks, so the naive
     // form emits it once per agreeing block (and once per agreeing
@@ -133,7 +199,7 @@ object SimHash {
     // the union needs no distinct at all.
     def bVal(sim: Column, b: Int): Column = {
       val (lo, hi) = (bounds(b), bounds(b + 1))
-      shiftright(sim, lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+      shiftright(sim, lo).bitwiseAND(lit(maskOf(hi - lo)))
     }
     def earlierBlocksDisagree(b: Int): Column =
       (0 until b).map(bp => bVal(col("x.simhash"), bp) =!= bVal(col("y.simhash"), bp))
@@ -157,31 +223,50 @@ object SimHash {
     // `sim` is already eagerly checkpointed, so the count is free.
     if (sim.count() <= 64L * maxBucket)
       return selfPairs(blocked, Seq("blk", "bval"), narrowOnce)
-    // The wide path engages: every block's REMAINING bits must split
-    // into nBlocks non-empty sub-blocks, or sVal degenerates to a
-    // zero-width mask (every row in sub-bucket 0) and the sub-join
-    // silently falls back to the full-width quadratic self-join the
-    // maxBucket mechanism exists to prevent.
-    require((0 until nBlocks).forall(b =>
-      nBits - (bounds(b + 1) - bounds(b)) >= nBlocks),
-      s"remaining bits per block must cover $nBlocks sub-blocks " +
-        s"(nBits=$nBits, maxDist=$maxDist): corpus too large for the " +
-        "unsplit path and too few bits to recurse — raise nBits or maxBucket")
+    // Wide-bucket detection: one map-side-combined count per distinct
+    // (blk, bval), eagerly staged (tiny by construction) so the agg runs
+    // once across its anti-join and wide-rows consumers.
+    val wide = blocked.groupBy("blk", "bval")
+      .agg(count(lit(1)).as("__bw")).filter(col("__bw") > maxBucket)
+      .select("blk", "bval")
+      .localCheckpoint(true)
+    // No bucket is actually wide (large but well-spread corpora — the
+    // common case once blocks are ≥ ~20 bits): the plain per-bucket
+    // self-join IS the right plan; engaging the split would pay the
+    // anti-join plus an empty wide union for nothing (ADVICE r13: the
+    // old unconditional `require` below also aborted such corpora on
+    // configs that cannot recurse).
+    if (wide.isEmpty) return selfPairs(blocked, Seq("blk", "bval"), narrowOnce)
+    // Configs that cannot recurse — remaining bits of some block fewer
+    // than nBlocks sub-blocks (e.g. maxDist=0, or nBits too small) —
+    // fall back to the plain self-join: quadratic in the wide bucket's
+    // width, but for these configs that is the true output shape anyway
+    // (maxDist=0 wide buckets are replica sets whose every pair is
+    // emitted) and silent-degenerate sub-masks are never built.
+    val canRecurse = (0 until nBlocks).forall(b =>
+      nBits - (bounds(b + 1) - bounds(b)) >= nBlocks)
+    if (!canRecurse) return selfPairs(blocked, Seq("blk", "bval"), narrowOnce)
+    val narrow = blocked.join(broadcast(wide), Seq("blk", "bval"), "left_anti")
     val narrowPairs = selfPairs(narrow, Seq("blk", "bval"), narrowOnce)
     // Remaining bits of block b = low [0,lo) ++ high [hi,nBits) packed
     // contiguously, then re-split into nBlocks sub-blocks. remBits is
     // the same for every b only when nBlocks divides nBits evenly, so
     // compute per block; the sub-explode multiplies only WIDE rows.
+    // Shifts stay 64-safe: the high part is masked to its true width
+    // BEFORE the shiftleft (sign-extension from 64-bit fingerprints
+    // would otherwise ride up), and hi = nBits means no high bits at
+    // all (shiftright by 64 is shiftright by 0 in Java semantics).
     def rvOf(sim: Column, b: Int): Column = {
       val (lo, hi) = (bounds(b), bounds(b + 1))
-      shiftright(sim, hi).multiply(lit(1L << lo))
-        .bitwiseOR(sim.bitwiseAND(lit((1L << lo) - 1)))
+      val high = if (hi >= nBits) lit(0L)
+        else shiftleft(shiftright(sim, hi).bitwiseAND(lit(maskOf(nBits - hi))), lo)
+      high.bitwiseOR(sim.bitwiseAND(lit(maskOf(lo))))
     }
     def sVal(sim: Column, b: Int, sb: Int): Column = {
       val (lo, hi) = (bounds(b), bounds(b + 1))
       val remBits = nBits - (hi - lo)
       val (slo, shi) = (sb * remBits / nBlocks, (sb + 1) * remBits / nBlocks)
-      shiftright(rvOf(sim, b), slo).bitwiseAND(lit((1L << (shi - slo)) - 1))
+      shiftright(rvOf(sim, b), slo).bitwiseAND(lit(maskOf(shi - slo)))
     }
     val wideRows = blocked.join(broadcast(wide), Seq("blk", "bval"))
     val subbed = (0 until nBlocks).map { b =>

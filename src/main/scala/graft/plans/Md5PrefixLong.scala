@@ -18,8 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * keeps the value positive in a signed long, matching conv's range
   * on these widths. The md5 basis itself stays, NOT a cheaper hash:
   * it is what the DuckDB oracle twins reproduce bit-exactly. */
-case class Md5PrefixLong(child: Expression, hexChars: Int) extends UnaryExpression {
+case class Md5PrefixLong(child: Expression, hexChars: Int, startHex: Int = 1)
+  extends UnaryExpression {
   require(hexChars >= 1 && hexChars <= 15, s"hexChars out of range: $hexChars")
+  require(startHex >= 1 && startHex + hexChars - 1 <= 32,
+    s"hex window [$startHex, ${startHex + hexChars - 1}] outside md5's 32 digits")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_prefix_long"
@@ -30,11 +33,11 @@ case class Md5PrefixLong(child: Expression, hexChars: Int) extends UnaryExpressi
       s"md5_prefix_long expects a string, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
-    Md5PrefixLong.eval(input.asInstanceOf[UTF8String], hexChars)
+    Md5PrefixLong.eval(input.asInstanceOf[UTF8String], hexChars, startHex)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.Md5PrefixLong$$.MODULE$$.eval($c, $hexChars)")
+      c => s"graft.plans.Md5PrefixLong$$.MODULE$$.eval($c, $hexChars, $startHex)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -45,13 +48,18 @@ object Md5PrefixLong {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
-  def eval(s: UTF8String, hexChars: Int): Long = {
+  def eval(s: UTF8String, hexChars: Int): Long = eval(s, hexChars, 1)
+
+  /** Value of hex digits [startHex, startHex + hexChars) (1-based) of
+    * md5(s) — `conv(substring(md5(s), startHex, hexChars), 16, 10)`. */
+  def eval(s: UTF8String, hexChars: Int, startHex: Int): Long = {
     val d = md.get()
     d.reset()
     val digest = d.digest(s.getBytes)
     var v = 0L
-    var i = 0
-    while (i < hexChars) {
+    var i = startHex - 1
+    val end = startHex - 1 + hexChars
+    while (i < end) {
       val b = digest(i >> 1) & 0xFF
       v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xF)
       i += 1

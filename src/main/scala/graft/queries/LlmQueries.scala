@@ -136,18 +136,24 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b
   }
 
   /** Shared oracle CTE chain ending in `sim(doc_id, simhash)` — the
-    * DuckDB twin of `SimHash.withSimhash` at 32 bits: token hash = first
-    * 8 md5 hex chars; bit j lives in hex char 8 − j/4 (big-endian), at
-    * in-nibble position j%4. Vote/pack expressions are generated so both
-    * engines agree bit-for-bit. */
-  private[queries] val simhashBaseSql: String = {
-    val nibbles = (0 until 8).map { i =>
-      s"strpos('0123456789abcdef', substr(hx, ${8 - i}, 1)) - 1 AS n$i"
+    * DuckDB twin of `SimHash.withSimhash`: token-hash word w (w = bit/32)
+    * is md5 hex chars [8w+1, 8w+8]; bit j lives in hex char
+    * (w+1)·8 − (j%32)/4 (big-endian within each word), at in-nibble
+    * position j%4. Vote/pack expressions are generated so both engines
+    * agree bit-for-bit; bit 63's pack term renders as the MIN_VALUE
+    * literal directly (DuckDB rejects `1 << 63` as overflow) and the
+    * pack ADDITION stays in range because that one term is negative. */
+  private[queries] def simhashBaseSqlFor(nBits: Int): String = {
+    require(nBits >= 1 && nBits <= 64)
+    val nNib = (nBits + 3) / 4
+    val nibbles = (0 until nNib).map { i =>
+      val pos = if (i < 8) 8 - i else 24 - i
+      s"strpos('0123456789abcdef', substr(hx, $pos, 1)) - 1 AS n$i"
     }.mkString(",\n    ")
-    val votes = (0 until 32).map { j =>
+    val votes = (0 until nBits).map { j =>
       s"SUM(CASE WHEN ((n${j / 4} >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$j"
     }.mkString(",\n    ")
-    val pack = (0 until 32).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+    val pack = (0 until nBits).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
     s"""
 WITH norm AS (
@@ -158,7 +164,7 @@ tok AS (
 nib AS (
   SELECT doc_id,
     $nibbles
-  FROM (SELECT doc_id, substr(md5(tk), 1, 8) AS hx FROM tok)),
+  FROM (SELECT doc_id, substr(md5(tk), 1, ${if (nBits <= 32) 8 else 16}) AS hx FROM tok)),
 votes AS (
   SELECT doc_id,
     $votes
@@ -167,6 +173,8 @@ sim AS (
   SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM votes)
 """
   }
+
+  private[queries] val simhashBaseSql: String = simhashBaseSqlFor(32)
 
   val simhashClustersSql: String = simhashBaseSql + """
 SELECT s.doc_id, s.simhash, c.cluster_size

@@ -107,6 +107,108 @@ class TextVectorSpec extends GraftSuite {
     assert(brute.nonEmpty)
   }
 
+  test("hammingPairs non-recursable config falls back instead of aborting (r13 ADVICE)") {
+    // maxDist=0 → one full-width block, zero remaining bits: the old
+    // unconditional `require` aborted ANY corpus over 64*maxBucket even
+    // with no wide bucket. 600 distinct + one 20-replica simhash, with
+    // maxBucket=8: corpus is over the gate AND a bucket is wide AND the
+    // config cannot recurse — must fall back to the plain self-join.
+    val rnd = new scala.util.Random(11)
+    val distinct = (0 until 600).map(i => (i.toLong, rnd.nextLong() & 0xFFFFFFFFL))
+    val replicas = (0 until 20).map(i => (1000L + i, 0x12345678L))
+    val df = (distinct ++ replicas).toDF("doc_id", "simhash")
+    val got = SimHash.hammingPairs(df, "doc_id", nBits = 32, maxDist = 0,
+        maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (a, sa) <- distinct ++ replicas; (b, sb) <- distinct ++ replicas
+      if a < b && sa == sb
+    } yield (a, b)).toSet
+    assert(got == brute && brute.size >= 190)
+  }
+
+  test("hammingPairs 64-bit wide-bucket recursion exact vs brute force (sign bit set)") {
+    // 64-bit fingerprints with bit 63 set: negative longs through every
+    // mask/shift (blockKeys, rvOf's packed remainder, sVal) — the
+    // arithmetic-shift sign-extension and the 64-width mask paths.
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 700).map { i =>
+      // block 0 = bits [0,21) fixed; upper bits random; sign bit forced
+      val base = (rnd.nextLong() << 21) | 0x155555L | Long.MinValue
+      if (i % 50 == 3) (i.toLong, ((rnd.nextLong() << 21) | 0x155555L | Long.MinValue) ^ (1L << 62))
+      else (i.toLong, base)
+    }
+    // add planted neighbors: every 50th copies predecessor with a high flip
+    val planted = rows.zipWithIndex.map { case ((id, sh), i) =>
+      if (i % 50 == 7) (id, rows(i - 1)._2 ^ (1L << 63))
+      else (id, sh)
+    }
+    val df = planted.toDF("doc_id", "simhash")
+    val gotRows = SimHash.hammingPairs(df, "doc_id", nBits = 64, maxDist = 2,
+        maxBucket = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSeq
+    assert(gotRows.length == gotRows.toSet.size, "duplicate emissions")
+    val brute = (for {
+      (a, sa) <- planted; (b, sb) <- planted if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 2
+    } yield (a, b, h)).toSet
+    assert(gotRows.toSet == brute,
+      s"64-bit mismatch: missing=${brute -- gotRows.toSet} extra=${gotRows.toSet -- brute}")
+    assert(brute.nonEmpty)
+  }
+
+  test("withSimhash 64-bit: bit 63 populated, 32-bit prefix matches the 32-bit fingerprint") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val s64 = SimHash.withSimhash(docs, "doc_id", split($"text", " "), nBits = 64)
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    val s32 = SimHash.withSimhash(docs, "doc_id", split($"text", " "), nBits = 32)
+      .orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(s64(0) == s64(1) && s64(0) != s64(2))
+    // low 32 bits vote from the same first md5 word → equal prefixes
+    assert(s64.zip(s32).forall { case (a, b) => (a & 0xFFFFFFFFL) == b })
+    // some doc must use the upper word (probability of all-zero upper
+    // words across 3 docs is ~2^-96 under the vote model)
+    assert(s64.exists(v => (v >>> 32) != 0))
+  }
+
+  test("hammingClusters equals the closure of the verified star graph") {
+    // replica clusters + a planted 1-bit neighbor + isolated docs
+    val rows = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L),        // replica cluster
+      (4L, 100L ^ 2L),                            // 1 bit from the reps
+      (10L, 0x0F0F0F0FL), (11L, 0x0F0F0F0FL),     // second cluster
+      (20L, 0x7777000AL))                         // singleton
+    val df = rows.toDF("doc_id", "simhash")
+    val got = SimHash.hammingClusters(df, "doc_id", nBits = 32, maxDist = 2)
+      .select("doc_id", "component", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute star graph: per (blk, bval) bucket, edges member→min id with
+    // popcount ≤ 2; closure via union-find
+    val nBlocks = 3
+    val buckets = (for {
+      (id, sh) <- rows; b <- 0 until nBlocks
+      lo = b * 32 / nBlocks; hi = (b + 1) * 32 / nBlocks
+    } yield ((b, (sh >> lo) & ((1L << (hi - lo)) - 1)), (id, sh)))
+      .groupBy(_._1).values
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def unite(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    for (bucket <- buckets) {
+      val members = bucket.map(_._2)
+      val rep = members.minBy(_._1)
+      for ((id, sh) <- members if id != rep._1 &&
+             java.lang.Long.bitCount(sh ^ rep._2) <= 2) unite(id, rep._1)
+    }
+    val nodes = parent.keySet ++ parent.values
+    val comps = nodes.groupBy(find)
+    val expected = (for ((root, members) <- comps; m <- members)
+      yield (m, root, members.size.toLong)).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.exists(_._3 >= 4L)) // 1..4 connect through the rep hub
+    assert(!got.exists(_._1 == 20L)) // singleton absent
+  }
+
   test("multimodal decode stub: deterministic meta from payload bytes") {
     val df = Seq((7L, "g", "abcd")).toDF("doc_id", "source", "text")
     val meta = Multimodal.decode(
