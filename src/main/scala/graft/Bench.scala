@@ -63,7 +63,7 @@ object Bench {
     val loadStart = loadavg()
     val benchT0 = System.nanoTime()
     val results = selected.map { case (name, fn) =>
-      val qLoad = loadavg()
+      val qLoadBefore = loadavg()
       val qOff = (System.nanoTime() - benchT0) / 1e9
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -75,6 +75,11 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // max(before, after): a spike arriving MID-reps (slow-tier queries
+      // run tens of seconds) was invisible in a start-only sample and
+      // only surfaced in the NEXT query's row (ADVICE r13) — the max
+      // makes each query's own load entry cover its whole window.
+      val qLoad = math.max(qLoadBefore, loadavg())
       (name, times.min, qLoad, qOff)
     }
     val loadEnd = loadavg()

@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.plans.DistinctShingles(exprs(0),
         graft.functions.SketchFns.literalIntArg("distinct_shingles", "k", exprs(1)))))
     e.injectFunction((
+      new FunctionIdentifier("hex_prefix_long"),
+      new ExpressionInfo(classOf[graft.plans.HexPrefixLong].getName, "hex_prefix_long"),
+      (exprs: Seq[Expression]) => graft.plans.HexPrefixLong(exprs(0),
+        graft.functions.SketchFns.literalIntArg("hex_prefix_long", "hexChars", exprs(1)))))
+    e.injectFunction((
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[graft.plans.MinHashSignature].getName, "minhash_signature"),
       (exprs: Seq[Expression]) => graft.plans.MinHashSignature(exprs(0),

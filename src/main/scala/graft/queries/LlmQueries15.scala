@@ -39,11 +39,13 @@ object LlmQueries15 {
       .select(col("doc_id"),
         md5(concat(lit("epoch7:"), col("doc_id").cast("string"))).as("k"))
     // Native decode of the permutation key prefix (value-identical to
-    // conv(substring(k,1,13),16,10) — digest bytes ARE the hex order).
+    // conv(substring(k,1,13),16,10)) — reads the EXISTING hex column k,
+    // which must stay alive as the tiebreak, so the md5 digests once
+    // per row (the r13 Md5PrefixLong spelling re-digested the
+    // pre-image: two digests per row, ADVICE r13).
     val permKey = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.plans.Md5PrefixLong(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-          concat(lit("epoch7:"), col("doc_id").cast("string"))), 13))
+      graft.plans.HexPrefixLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("k")), 13))
     PrefixSum.selectRanks(keyed, permKey,
         Seq(col("k"), col("doc_id")),
         n => (1L to math.min(30L, n)).map(i => (i.toString, i)),

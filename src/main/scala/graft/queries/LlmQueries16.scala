@@ -51,14 +51,14 @@ object LlmQueries16 {
       .agg(count(lit(1)).as("n_docs"), sum("toks").as("seq_tokens"))
     val keyed = seqs.withColumn("k",
       md5(concat(lit("epoch1:"), col("seq_id").cast("string"))))
-    // Native permutation decode (graft.plans.Md5PrefixLong over the
-    // PRE-digest key): identical value to conv(substring(k,1,13),16,10)
-    // since the digest bytes high-nibble-first ARE the hex digit order;
-    // skips the hex render + substring + radix parse per sequence.
+    // Native permutation decode reading the EXISTING hex column k
+    // (identical value to conv(substring(k,1,13),16,10)): k must stay
+    // alive as the tiebreak, so decoding it runs the md5 once per
+    // sequence where the r13 Md5PrefixLong-over-pre-image spelling
+    // digested twice (ADVICE r13).
     val permKey = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.plans.Md5PrefixLong(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-          concat(lit("epoch1:"), col("seq_id").cast("string"))), 13))
+      graft.plans.HexPrefixLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("k")), 13))
     val pos = PrefixSum.rank(keyed, permKey,
       Seq(col("k"), col("seq_id")), "pos")
     pos.groupBy(shiftright(col("pos") - 1, 4).as("blk"))
