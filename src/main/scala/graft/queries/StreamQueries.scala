@@ -1089,10 +1089,16 @@ FROM b ORDER BY grp, q
         .as[(Long, String)].collect()
     }
     require(docs.nonEmpty, "empty documents slice")
+    // Two batches, not three (r14 batch-count harvest): the carried
+    // offset's cross-batch contract — a sequence left partially filled
+    // at a batch edge completed under the same seq_id — is exercised by
+    // ONE edge; a third batch re-ran the same path and only paid the
+    // ~0.35 s of per-micro-batch machinery the r13 bisection measured.
+    // seq_id is a pure function of the global token prefix sum, so the
+    // oracle (one-shot packing) is feed-partition-invariant.
     val batches = Seq(
       docs.filter(_._1 < 150).toSeq,
-      docs.filter(d => d._1 >= 150 && d._1 < 350).toSeq,
-      docs.filter(_._1 >= 350).toSeq).filter(_.nonEmpty)
+      docs.filter(_._1 >= 150).toSeq).filter(_.nonEmpty)
     val partKey = "spark.sql.shuffle.partitions"
     val prevPart = s.conf.get(partKey)
     s.conf.set(partKey, "4")
