@@ -33,11 +33,22 @@ import org.apache.spark.sql.functions._
   */
 object MinHashIndex {
 
+  /** Bucket rows, repartitioned BY BAND before the write (r14): the
+    * signature pass is now a pure projection (no aggregate, no
+    * exchange), so without this the writer would emit one file per
+    * input scan partition per band — 256 near-empty files at bench
+    * scale, and every probe re-lists and re-reads them in each of its
+    * four staged-read consumers (measured: the probe doubled). The
+    * band repartition is one slim shuffle whose output AQE sizes by
+    * data — a handful of right-sized files per band at any scale
+    * (r13 got the same effect accidentally, from the signature
+    * aggregate's AQE-coalesced shuffle). */
   private def bucketRows(docs: DataFrame, idCol: String, textNorm: Column,
                          nHashes: Int, bands: Int): DataFrame =
     MinHashDedup.banded(
       MinHashDedup.signatures(docs, idCol, textNorm, nHashes = nHashes),
       idCol, nHashes, bands)
+      .repartition(col("band"))
 
   /** Stage the corpus bucket table at `dir` (overwrite). */
   def build(docs: DataFrame, idCol: String, textNorm: Column, dir: String,
