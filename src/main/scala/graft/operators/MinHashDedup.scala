@@ -170,10 +170,16 @@ object MinHashDedup {
     // Over-cap buckets only (rarities by construction): aggregated
     // map-side to one row per distinct bucket, then broadcast — the
     // narrow/wide split is an anti/equi broadcast join, costing the
-    // banded frame no sort and no shuffle.
+    // banded frame no sort and no shuffle. Eagerly staged (r14): the
+    // three broadcast consumers (anti-join, star join, and the star's
+    // width fields) would each otherwise rebuild the full
+    // banded-explode + exchange + aggregate — physical-plan audit at
+    // the 100× tier showed the agg subtree planned THREE times with no
+    // exchange reuse; the checkpoint is a handful of rows.
     val wide = bandedRows.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bw"), min(col(idCol)).as("__rep"))
       .filter(col("__bw") > maxBucket)
+      .localCheckpoint(true)
     val narrow = bandedRows.join(broadcast(wide.select("band", "bucket")),
       Seq("band", "bucket"), "left_anti")
     val narrowPairs = narrow.as("x").join(narrow.as("y"),

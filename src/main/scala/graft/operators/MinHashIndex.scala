@@ -87,9 +87,13 @@ object MinHashIndex {
     // band-partition pruning intact and the union is by name.
     val staged = dirs.map(d => spark.read.parquet(s"$d/buckets"))
       .reduce(_.unionByName(_))
+    // Eagerly staged, same reason as MinHashDedup.candidatePairs (r14):
+    // the anti-join and star-join broadcasts would each rebuild the
+    // aggregate over the full staged read otherwise.
     val wide = staged.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bw"), min(col(idCol)).as("__rep"))
       .filter(col("__bw") > maxBucket)
+      .localCheckpoint(true)
     val narrow = staged.join(broadcast(wide.select("band", "bucket")),
       Seq("band", "bucket"), "left_anti")
     val narrowPairs = narrow.as("x")
