@@ -39,17 +39,21 @@ object SimHash {
     // directly, skipping the per-token hex render + substring + radix
     // parse of the composed spelling — value-identical by
     // Md5PrefixLongSpec, so the DuckDB twin's CAST('0x'||substr(md5..))
-    // decode is unchanged. This is the signature hot path: one hash per
-    // (doc, token) row (two above 32 bits, same digest both words).
+    // decode is unchanged. This is the signature hot path: ONE digest
+    // per (doc, token) row at any width — above 32 bits the basis is
+    // the 16-hex (signed 64-bit) decode, whose HIGH word is hex chars
+    // 1–8 and LOW word chars 9–16, so bit i of word i/32 reads as a
+    // plain shift off one column (arithmetic sign-extension is
+    // harmless under the &1).
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    def md5Word(startHex: Int) = ColumnBridge.column(graft.plans.Md5PrefixLong(
-      ColumnBridge.expression(col("__tok")), 8, startHex))
-    val tok0 = docs.select(col(idCol), explode(tokensCol).as("__tok"))
-    val tok = if (nBits <= 32) tok0.withColumn("__h", md5Word(1))
-      else tok0.withColumn("__h", md5Word(1)).withColumn("__h2", md5Word(9))
+    val basis = ColumnBridge.column(graft.plans.Md5PrefixLong(
+      ColumnBridge.expression(col("__tok")), if (nBits <= 32) 8 else 16))
+    val tok = docs.select(col(idCol), explode(tokensCol).as("__tok"))
+      .withColumn("__h", basis)
     def bit(i: Int): Column =
-      if (i < 32) shiftright(col("__h"), i).bitwiseAND(1)
-      else shiftright(col("__h2"), i - 32).bitwiseAND(1)
+      if (nBits <= 32) shiftright(col("__h"), i).bitwiseAND(1)
+      else if (i < 32) shiftright(col("__h"), 32 + i).bitwiseAND(1)
+      else shiftright(col("__h"), i - 32).bitwiseAND(1)
     val votes = (0 until nBits).map { i =>
       sum(when(bit(i) === 1, 1).otherwise(-1)).as(s"__v$i")
     }

@@ -20,7 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * it is what the DuckDB oracle twins reproduce bit-exactly. */
 case class Md5PrefixLong(child: Expression, hexChars: Int, startHex: Int = 1)
   extends UnaryExpression {
-  require(hexChars >= 1 && hexChars <= 15, s"hexChars out of range: $hexChars")
+  // widths 1..15 match conv(substring(...),16,10) exactly (positive);
+  // width 16 is the SIGNED two's-complement of the 64-bit window (bit
+  // 63 = the first hex digit's high bit) — for bit-extraction callers
+  // (the 64-bit SimHash basis reads both 32-bit words from one digest);
+  // it has no conv twin (DuckDB overflows CASTing '0x'+16 hex chars).
+  require(hexChars >= 1 && hexChars <= 16, s"hexChars out of range: $hexChars")
   require(startHex >= 1 && startHex + hexChars - 1 <= 32,
     s"hex window [$startHex, ${startHex + hexChars - 1}] outside md5's 32 digits")
 
