@@ -243,10 +243,12 @@ object MinHashDedup {
     sig.unpersist()
     // Verification runs per DISTINCT truncated text, not per pair (r14).
     // A replica-heavy corpus — THE near-dup use case — surfaces huge
-    // candidate sets whose members are bitwise-identical texts: the tier
-    // corpus yields 716k candidate pairs over ~7k distinct texts, so a
-    // per-pair verify ships ~1.7 KB shingle arrays through two joins
-    // 716k times to compute ~7k distinct Jaccard values. Instead:
+    // candidate sets whose members are bitwise-identical texts: the 100×
+    // tier yields 716k candidate pairs over 147k distinct truncated
+    // texts among 500k candidate docs (3.4× array dedup; a pure-replica
+    // corpus collapses by the full replication factor), so a per-pair
+    // verify ships ~1.7 KB shingle arrays through two joins once per
+    // PAIR to compute per-distinct-TEXT-pair Jaccard values. Instead:
     //   fp = md5 of the truncated normalized text (equal text ⟹ equal
     //   shingle sequence ⟹ equal set size and equal Jaccard against any
     //   partner — md5 at 128 bits, so fp equality IS text equality);
