@@ -35,6 +35,29 @@ def load_queries(path):
     return json.load(open(path))["queries"]
 
 
+def check_config(old_path, new_paths):
+    """Refuse cross-config comparison (r15): Bench stamps `cpus` (and
+    shuffle_partitions) into the artifact because a judge run at the
+    wrong CPU count once produced four convincing 3-4x phantom
+    regressions — CPU-bound scans lose 3-4x at local[4] while the
+    overhead-dominated majority runs faster there, so the total looks
+    plausible and the flags look real. Comparing timings measured at
+    different CPU counts is meaningless; error out instead."""
+    docs = [(p, json.load(open(p))) for p in [old_path] + list(new_paths)]
+    stamped = [(p, d["cpus"]) for p, d in docs if "cpus" in d]
+    missing = [p for p, d in docs if "cpus" not in d]
+    for p in missing:
+        print(f"WARNING: {p} lacks the `cpus` field (pre-r15 artifact) — "
+              f"cannot verify it was measured at the canonical CPU count")
+    if len({c for _, c in stamped}) > 1:
+        detail = ", ".join(f"{p}: cpus={c}" for p, c in stamped)
+        raise SystemExit(
+            f"ERROR: refusing cross-config comparison — artifacts disagree "
+            f"on CPU count ({detail}). Per-query times at different CPU "
+            f"counts are not comparable (local[4] vs local[32] swings "
+            f"CPU-bound queries 3-4x both ways); re-measure at one config.")
+
+
 def load_evidence(path):
     """Machine-load samples Bench records since r13: run-level
     load_start/load_end plus a per-query /proc/loadavg sample taken at
@@ -51,6 +74,7 @@ def flagged(old, run, pct):
 
 
 def main(old_path, new_paths, pct=25.0, gate=False):
+    check_config(old_path, new_paths)
     old = load_queries(old_path)
     runs = [load_queries(p) for p in new_paths]
     new = runs[-1]

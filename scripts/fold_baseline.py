@@ -28,6 +28,7 @@ import json
 import sys
 
 CANON_SF = "/root/testdata/sf0.1"
+CANON_CPUS = "32"
 MAX_DROP = 2.5
 
 
@@ -84,6 +85,19 @@ def main() -> int:
     sf = run_doc["sf"]
     if sf != CANON_SF:
         print(f"REFUSED: run measured at {sf}, baseline is {CANON_SF}")
+        return 1
+    # Canonical CPU count (r15): a run measured at the wrong local[N]
+    # swings CPU-bound floors 3-4x both ways — folding one would poison
+    # floors exactly like a wrong-scale artifact. Bench stamps `cpus`
+    # since r15; absence means an old-format artifact that cannot prove
+    # its config, refused for the same reason as a missing `sf`.
+    if "cpus" not in run_doc:
+        print("REFUSED: run JSON lacks the `cpus` key (pre-r15 artifact) — "
+              "cannot verify the measurement CPU count")
+        return 1
+    if str(run_doc["cpus"]) != CANON_CPUS:
+        print(f"REFUSED: run measured at cpus={run_doc['cpus']}, "
+              f"canonical is {CANON_CPUS}")
         return 1
     missing = sorted(set(base) - set(run))
     if missing:

@@ -127,16 +127,23 @@ object Bench {
     val bs = builds.map { case (k, v) => jkey(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val sfJson = jkey(sfDir) // same escaping as keys: sfDir is user input
+    // Measurement config rides in the artifact (r15): a judge bench at
+    // the wrong CPU count produced four convincing 3-4x phantom
+    // regressions (CPU-bound scans lose 3-4x at local[4]; the
+    // overhead-dominated majority runs FASTER there, so the total looks
+    // plausible). With `cpus` in the JSON, bench_diff refuses
+    // cross-config comparison instead of adjudicating ghosts.
+    val cpusJson = jkey(cpus)
     val errJson = errors.map { case (k, m) => jkey(k) + ":" + jkey(m) }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_s":$bs,"errors":$errJson,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load":$loadsJson,"t_start":$offsJson,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_s":$bs,"errors":$errJson,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load":$loadsJson,"t_start":$offsJson,"cpus":$cpusJson,"shuffle_partitions":$cpusJson,"sf":$sfJson}"""
     // The per-query map (100+ entries, ~3 KB) goes to the file only: the
     // driver's bounded tail capture truncates long stdout lines from the
     // HEAD, which beheaded the full JSON three rounds running. The final
     // stdout line is a ~130-byte total-only object that always survives.
     val brief =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_errors":${errors.size},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"queries_file":"target/bench.json","sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_errors":${errors.size},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"cpus":$cpusJson,"queries_file":"target/bench.json","sf":$sfJson}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target", "bench.json"), full + "\n")
     SessionMemo.evictSession(spark)

@@ -52,6 +52,25 @@ object SketchFns {
     }
   }
 
+  /** SQL-builder arity validation: an injected function builder that
+    * indexes `exprs(i)` unconditionally throws
+    * IndexOutOfBoundsException (an internal error) when called with too
+    * few arguments. Raises the standard WRONG_NUM_ARGS analysis error
+    * naming the function and expected count instead. `expected` is a
+    * display string so variadic signatures can say "2 or 3". */
+  private[graft] def requireArity(fn: String, exprs: Seq[
+      org.apache.spark.sql.catalyst.expressions.Expression],
+      ok: Int => Boolean, expected: String): Unit = {
+    if (!ok(exprs.length))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$fn`",
+          "expectedNum" -> expected,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+  }
+
   /** Register the SQL surface (`cms_estimate(sketch, key)`) on an
     * already-built session; session-build-time users get it from
     * `GraftExtensions` instead. */

@@ -80,34 +80,54 @@ object MinHashDedup {
     IndexedSeq.fill(n)((Math.floorMod(next(), P - 1) + 1, Math.floorMod(next(), P)))
   }
 
-  /** One row per doc: (id, mh0..mhN) — minhash signature as BIGINT mins
-    * of a Carter–Wegman universal family over a single md5-derived basis:
-    * x = uint32(first 8 md5 hex chars) mod P, mh_j = min over shingles of
-    * (a_j·x + b_j) mod P. Computed by the native per-document expression
+  /** One row per doc: (id, __sig) — the PACKED minhash signature, one
+    * array<bigint> of nHashes BIGINT mins of a Carter–Wegman universal
+    * family over a single md5-derived basis: x = uint32(first 8 md5 hex
+    * chars) mod P, sig[j] = min over shingles of (a_j·x + b_j) mod P.
+    * Computed by the native per-document expression
     * [[graft.plans.MinHashSignature]] — one codegen'd pass over each
     * doc's shingle set, value-identical to (and pinned against, in
     * MinHashSignatureSpec) the explode→md5-basis→min-aggregate spelling
-    * it replaces. The signature phase is now a pure projection: no
-    * exploded (doc, shingle) rows, no nHashes-buffer hash aggregate, NO
-    * exchange — at 100 TB the densest intermediate of the pipeline never
-    * becomes shuffle files. The md5 basis (not xxhash64) is what keeps a
+    * it replaces. The signature phase is a pure projection: no exploded
+    * (doc, shingle) rows, no nHashes-buffer hash aggregate, NO exchange
+    * — at 100 TB the densest intermediate of the pipeline never becomes
+    * shuffle files. The md5 basis (not xxhash64) is what keeps a
     * bit-exact DuckDB twin: `CAST('0x'||substr(md5(sh),1,8) AS BIGINT)`
     * decodes the identical value.
+    *
+    * This packed form is the one to JOIN on when a consumer needs whole
+    * signatures per row (the q_lsh_precision estimate join ships one
+    * array column per side instead of nHashes separate columns — r15);
+    * [[signatures]] unpacks it when banding needs the slots. */
+  def signaturesArr(docs: DataFrame, idCol: String, textNorm: Column,
+                    k: Int = 9, maxChars: Int = 200, nHashes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sigArr = ColumnBridge.column(graft.plans.MinHashSignature(
+      ColumnBridge.expression(substring(textNorm, 1, maxChars)), k, nHashes))
+    docs.filter(textNorm.isNotNull)
+      .select(col(idCol), sigArr.as("__sig"))
+  }
+
+  /** Unpack a [[signaturesArr]] frame to (id, mh0..mhN) slot columns —
+    * a pure local projection (getItem per slot), so running it over an
+    * eagerly-staged packed frame re-reads cached blocks, never the
+    * shingle/md5 pipeline. */
+  def unpackSignature(sigArr: DataFrame, idCol: String,
+                      nHashes: Int = 16): DataFrame =
+    sigArr.select(col(idCol) +: (0 until nHashes).map(j =>
+      col("__sig").getItem(j).as(s"mh$j")): _*)
+
+  /** One row per doc: (id, mh0..mhN) — [[signaturesArr]] unpacked to
+    * slot columns (the banding surface).
     *
     * Two-step projection on purpose: `__sig` is materialized once and
     * the mh_j columns are `getItem`s over it — CollapseProject keeps the
     * split because the producing expression is non-cheap and referenced
     * nHashes times (MinHashSignatureSpec pins single evaluation). */
   def signatures(docs: DataFrame, idCol: String, textNorm: Column,
-                 k: Int = 9, maxChars: Int = 200, nHashes: Int = 16): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val sigArr = ColumnBridge.column(graft.plans.MinHashSignature(
-      ColumnBridge.expression(substring(textNorm, 1, maxChars)), k, nHashes))
-    docs.filter(textNorm.isNotNull)
-      .select(col(idCol), sigArr.as("__sig"))
-      .select(col(idCol) +: (0 until nHashes).map(j =>
-        col("__sig").getItem(j).as(s"mh$j")): _*)
-  }
+                 k: Int = 9, maxChars: Int = 200, nHashes: Int = 16): DataFrame =
+    unpackSignature(signaturesArr(docs, idCol, textNorm, k, maxChars, nHashes),
+      idCol, nHashes)
 
   /** Banded bucket rows (id, band, bucket) of a signature frame — the
     * join key surface of the LSH step, factored out so the persisted
@@ -205,6 +225,17 @@ object MinHashDedup {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Agreeing-slot count of two packed signatures (array<bigint>) — the
+    * MinHash estimated-similarity statistic (agreement/nHashes estimates
+    * Jaccard). Codegen'd single loop ([[graft.plans.ArrayAgreement]]);
+    * the composed form is an nHashes-term chained CASE WHEN over nHashes
+    * separate columns per join side. */
+  def signatureAgreement(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.ArrayAgreement(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Full near-dup pipeline: pairs with Jaccard ≥ `threshold`.
     *
     * `sig` feeds a self-join and `pairs` feeds several consumers, so the
@@ -249,9 +280,15 @@ object MinHashDedup {
     // corpus collapses by the full replication factor), so a per-pair
     // verify ships ~1.7 KB shingle arrays through two joins once per
     // PAIR to compute per-distinct-TEXT-pair Jaccard values. Instead:
-    //   fp = md5 of the truncated normalized text (equal text ⟹ equal
-    //   shingle sequence ⟹ equal set size and equal Jaccard against any
-    //   partner — md5 at 128 bits, so fp equality IS text equality);
+    //   fp = sha2-256 of the truncated normalized text (equal text ⟹
+    //   equal shingle sequence ⟹ equal set size and equal Jaccard
+    //   against any partner). sha256 — not md5 — because fp equality
+    //   must BE text equality even adversarially: md5 chosen-prefix
+    //   collisions are practical, and a collision here silently merges
+    //   two distinct texts' representatives, i.e. wrong Jaccard and
+    //   possible false-positive DELETION in a dedup pipeline. The fp
+    //   never crosses to the oracle (the twin verifies per pair), so
+    //   the engine is free to pick the collision-resistant hash;
     //   shingle arrays are built ONCE per distinct fp (representative),
     //   the length prune joins fp-level sizes, exact Jaccard runs once
     //   per distinct (fp_a, fp_b), and the per-pair rows get their
@@ -265,7 +302,7 @@ object MinHashDedup {
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     val cand = docs.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), substring(textNorm, 1, maxChars).as("__t"))
-      .withColumn("__fp", md5(col("__t")))
+      .withColumn("__fp", sha2(col("__t"), 256))
     // Slim (id → fp) map and per-fp representative arrays are the two
     // staged frames (same lifetime contract as the r13 shArr checkpoint:
     // pinned while the returned lazy frame is alive).

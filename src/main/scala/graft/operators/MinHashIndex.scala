@@ -33,6 +33,28 @@ import org.apache.spark.sql.functions._
   */
 object MinHashIndex {
 
+  /** On-disk format guard (r15, ADVICE r14): the bucket column changed
+    * type in r14 (32-char md5 hex STRING → 60-bit LONG), and a probe
+    * that unions a pre-r14 layer would silently coerce long/string to
+    * string — where decimal renderings never equal hex keys, so the
+    * probe returns MISSING pairs instead of failing. Every read or
+    * append of an existing index therefore asserts the staged bucket
+    * type is LongType and fails loudly on mismatch: the bucket dtype IS
+    * the format version (exactly one incompatible generation exists),
+    * so the schema itself is the marker — nothing extra to write, and
+    * pre-r14 directories without any marker file are still caught. */
+  private def assertBucketFormat(df: DataFrame, where: String): DataFrame = {
+    val t = df.schema("bucket").dataType
+    if (t != org.apache.spark.sql.types.LongType)
+      throw new IllegalStateException(
+        s"MinHash index at $where stages bucket as ${t.catalogString}, " +
+          "expected BIGINT (60-bit md5-prefix buckets, engine format r14+). " +
+          "This is an incompatible pre-r14 index (hex STRING buckets) — " +
+          "probing or appending would silently return missing candidates. " +
+          "Rebuild it with MinHashIndex.build.")
+    df
+  }
+
   /** Bucket rows, repartitioned BY BAND before the write (r14): the
     * signature pass is now a pure projection (no aggregate, no
     * exchange), so without this the writer would emit one file per
@@ -56,11 +78,20 @@ object MinHashIndex {
     bucketRows(docs, idCol, textNorm, nHashes, bands)
       .write.mode("overwrite").partitionBy("band").parquet(s"$dir/buckets")
 
-  /** Append a delta batch's bucket rows — per-doc work only. */
+  /** Append a delta batch's bucket rows — per-doc work only. Validates
+    * the existing directory's format first: appending long-bucket files
+    * into a pre-r14 string-bucket index would leave mixed schemas under
+    * one root, poisoning every later probe. */
   def append(delta: DataFrame, idCol: String, textNorm: Column, dir: String,
-             nHashes: Int = 16, bands: Int = 4): Unit =
+             nHashes: Int = 16, bands: Int = 4): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = delta.sparkSession
+    val p = new Path(s"$dir/buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) assertBucketFormat(spark.read.parquet(p.toString), dir)
     bucketRows(delta, idCol, textNorm, nHashes, bands)
       .write.mode("append").partitionBy("band").parquet(s"$dir/buckets")
+  }
 
   /** Near-dup pairs (id_a, id_b, jaccard ≥ threshold) whose LATER side
     * (id_b) is a delta doc (id ≥ minNewId) — new-vs-corpus, including
@@ -85,7 +116,8 @@ object MinHashIndex {
     // partition discovery (CONFLICTING_DIRECTORY_STRUCTURES — each root
     // carries its own band=N dirs); per-layer reads keep each root's
     // band-partition pruning intact and the union is by name.
-    val staged = dirs.map(d => spark.read.parquet(s"$d/buckets"))
+    val staged = dirs
+      .map(d => assertBucketFormat(spark.read.parquet(s"$d/buckets"), d))
       .reduce(_.unionByName(_))
     // Eagerly staged, same reason as MinHashDedup.candidatePairs (r14):
     // the anti-join and star-join broadcasts would each rebuild the
@@ -142,7 +174,7 @@ object MinHashIndex {
               overlayDirs: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val union = (baseDir +: overlayDirs)
-      .map(d => spark.read.parquet(s"$d/buckets"))
+      .map(d => assertBucketFormat(spark.read.parquet(s"$d/buckets"), d))
       .reduce(_.unionByName(_))
     val tmp = s"$baseDir/buckets__compacting"
     // Cluster by band BEFORE the partitioned write: without it every

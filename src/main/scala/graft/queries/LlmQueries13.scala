@@ -168,17 +168,23 @@ FROM nt GROUP BY bucket ORDER BY bucket
     val docs = t(s, dir, "documents")
     val norm = normalizeText(col("text"))
     // The signature frame feeds the candidate self-join AND both sides
-    // of the estimate join — eager localCheckpoint (1 row/doc of 16
-    // BIGINTs) so the shingle/md5 pipeline runs exactly once.
-    val sig = MinHashDedup.signatures(docs, "doc_id", norm).localCheckpoint(true)
+    // of the estimate join — eager localCheckpoint (1 row/doc) so the
+    // shingle/md5 pipeline runs exactly once. Staged PACKED (one
+    // array<bigint> column, r15): the estimate join ships one array per
+    // side and compares with a codegen'd agreement loop instead of
+    // shipping 16 separate BIGINT columns per side through both joins
+    // and evaluating a 16-term chained CASE WHEN per pair — the per-pair
+    // EST join dominated this query's 100× tier. Banding unpacks slots
+    // by local getItem projection off the same checkpoint.
+    val sigA = MinHashDedup.signaturesArr(docs, "doc_id", norm).localCheckpoint(true)
+    val sig = MinHashDedup.unpackSignature(sigA, "doc_id")
     val pairs = MinHashDedup.candidatePairs(sig, "doc_id").localCheckpoint(true)
-    val nMatch = (0 until 16).map(j =>
-        when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
-      .reduce(_ + _)
     val est = pairs
-      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
-      .select(col("id_a"), col("id_b"), nMatch.cast("long").as("n_match"))
+      .join(sigA.toDF("id_a", "sig_a"), "id_a")
+      .join(sigA.toDF("id_b", "sig_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        MinHashDedup.signatureAgreement(col("sig_a"), col("sig_b"))
+          .cast("long").as("n_match"))
     // Exact verify only on candidate docs (semi-join prune — the same
     // shape as MinHashDedup.nearDuplicates).
     val ids = pairs.select(col("id_a").as("doc_id"))

@@ -24,37 +24,57 @@ object LlmQueries17 {
 
   /** Corpus + planted 1-bit-flip copies (the simhashHamming fixture),
     * clustered linearly: star edges to each pigeonhole bucket's min-id
-    * rep, verified at Hamming ≤ 2, closed by connected components. */
-  def hammingClusters(s: SparkSession, dir: String): DataFrame = {
+    * rep, verified at Hamming ≤ 2, closed by connected components.
+    * Parametrized by fingerprint width (r15): `q_hamming_clusters64`
+    * composes the round-14 pair — 64-bit production fingerprints AND
+    * linear cluster output — which the 32-bit cluster query and the
+    * 64-bit PAIRS query each exercise only half of. */
+  private def hammingClustersQ(nBits: Int)(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val base = SimHash.withSimhash(docs, "doc_id", tokens(normalizeText(col("text"))))
+    val base = SimHash.withSimhash(docs, "doc_id",
+        tokens(normalizeText(col("text"))), nBits = nBits)
       .localCheckpoint(true)
+    // Java shift semantics make bit 63 exact here: 1L << 63 IS the sign
+    // bit (the twin needs a MIN_VALUE special case instead).
     val planted = base.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       col("simhash").bitwiseXOR(
-        expr("shiftleft(bigint(1), int(doc_id % 32))")).as("simhash"))
-    SimHash.hammingClusters(base.union(planted), "doc_id", nBits = 32, maxDist = 2)
+        expr(s"shiftleft(bigint(1), int(doc_id % $nBits))")).as("simhash"))
+    SimHash.hammingClusters(base.union(planted), "doc_id", nBits = nBits, maxDist = 2)
       .orderBy("doc_id")
   }
+
+  def hammingClusters(s: SparkSession, dir: String): DataFrame =
+    hammingClustersQ(32)(s, dir)
+
+  def hammingClusters64(s: SparkSession, dir: String): DataFrame =
+    hammingClustersQ(64)(s, dir)
 
   /** Twin: the same star-edge graph (per-bucket min-id rep, popcount
     * verification), components via recursive-CTE closure — the
     * dedupClustersSql discipline. The star graph is the CONTRACT, not an
     * approximation the oracle smooths over: both engines build exactly
     * the verified member→rep edge set, so the components match row for
-    * row. */
-  val hammingClustersSql: String = {
-    val nBits = 32; val nBlocks = 3
+    * row. At 64 bits the planted flip spells bit 63 as a MIN_VALUE
+    * literal (DuckDB rejects `1 << 63` as BIGINT overflow where Java
+    * wraps to the sign bit — the simhash64HammingSql discipline). */
+  private def hammingClustersSqlFor(nBits: Int): String = {
+    val nBlocks = 3
     val blockSelects = (0 until nBlocks).map { b =>
       val lo = b * nBits / nBlocks
       val hi = (b + 1) * nBits / nBlocks
       val mask = (1L << (hi - lo)) - 1
       s"SELECT doc_id, simhash, $b AS blk, (simhash >> $lo) & $mask AS bval FROM allsim"
     }.mkString("\n  UNION ALL\n  ")
-    LlmQueries.simhashBaseSql.replaceFirst("WITH", "WITH RECURSIVE") + s""",
+    val flip =
+      if (nBits == 64)
+        """CASE WHEN doc_id % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << CAST(doc_id % 64 AS INTEGER) END"""
+      else s"CAST(1 AS BIGINT) << CAST(doc_id % $nBits AS INTEGER)"
+    LlmQueries.simhashBaseSqlFor(nBits).replaceFirst("WITH", "WITH RECURSIVE") + s""",
 pert AS (
   SELECT doc_id + 1000000 AS doc_id,
-         xor(simhash, CAST(1 AS BIGINT) << CAST(doc_id % 32 AS INTEGER)) AS simhash
+         xor(simhash, $flip) AS simhash
   FROM sim),
 allsim AS (SELECT * FROM sim UNION ALL SELECT * FROM pert),
 blocked AS (
@@ -78,6 +98,9 @@ FROM comp c JOIN sizes s USING (component)
 ORDER BY doc_id
 """
   }
+
+  val hammingClustersSql: String = hammingClustersSqlFor(32)
+  val hammingClusters64Sql: String = hammingClustersSqlFor(64)
 
   /** 64-bit fingerprints end-to-end: two-word md5 token basis, bit 63 in
     * the sign position, planted flips across all 64 bit positions, and
@@ -130,9 +153,11 @@ SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 2 ORDER BY id_a, id_b
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hamming_clusters" -> (hammingClusters _),
+    "q_hamming_clusters64" -> (hammingClusters64 _),
     "q_simhash64_hamming" -> (simhash64Hamming _))
 
   val oracles: Map[String, String] = Map(
     "q_hamming_clusters" -> hammingClustersSql,
+    "q_hamming_clusters64" -> hammingClusters64Sql,
     "q_simhash64_hamming" -> simhash64HammingSql)
 }

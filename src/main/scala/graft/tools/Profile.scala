@@ -59,7 +59,7 @@ object Profile {
     println(s"[profile] n_candidate_docs = ${time("verify: ids distinct")(ids.count())}")
     val cand = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), substring(norm, 1, 200).as("__t"))
-      .withColumn("__fp", md5(col("__t")))
+      .withColumn("__fp", sha2(col("__t"), 256))
     val docFp = time("verify: docFp checkpoint")(
       cand.select(col("doc_id"), col("__fp")).localCheckpoint(true))
     val repArr = time("verify: repArr checkpoint")(

@@ -109,4 +109,42 @@ class MinHashIndexSpec extends GraftSuite {
       .map(_.getPath.getName).filter(_.startsWith("band="))
     assert(bands.length == 4, s"expected 4 band dirs, got ${bands.toSeq}")
   }
+
+  test("pre-r14 string-bucket layers fail loudly on probe, append and compact") {
+    val docs = Tables(spark, sf, "documents")
+    val norm = normalizeText(col("text"))
+    val good = "target/lsh_index_spec_fmt_good"
+    val old = "target/lsh_index_spec_fmt_old"
+    MinHashIndex.build(docs.filter(col("doc_id") < 150), "doc_id", norm, good)
+    // A pre-r14 index: same columns, bucket as 32-char md5 HEX STRING.
+    // unionByName would coerce long/string to string, where decimal
+    // renderings never equal hex keys — probes would silently return
+    // missing pairs, the failure mode the guard exists to prevent.
+    MinHashDedup.banded(
+        MinHashDedup.signatures(docs.filter(col("doc_id") >= 150), "doc_id", norm),
+        "doc_id")
+      .withColumn("bucket", md5(col("bucket").cast("string")))
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$old/buckets")
+    def msgOf(t: Throwable): String = t.getMessage
+    val eProbe = intercept[IllegalStateException] {
+      MinHashIndex.probeNewMulti(spark, Seq(good, old), docs, "doc_id", norm,
+        threshold = 0.7, minNewId = 150L)
+    }
+    assert(msgOf(eProbe).contains("pre-r14") && msgOf(eProbe).contains(old))
+    val eAppend = intercept[IllegalStateException] {
+      MinHashIndex.append(docs.filter(col("doc_id") >= 150), "doc_id", norm, old)
+    }
+    assert(msgOf(eAppend).contains("Rebuild"))
+    val eCompact = intercept[IllegalStateException] {
+      MinHashIndex.compact(spark, good, Seq(old))
+    }
+    assert(msgOf(eCompact).contains(old))
+    // The good single-layer index still probes (guard is per-layer, not
+    // a blanket failure), and append into a valid dir still works.
+    val ok = MinHashIndex.probeNew(spark, good, docs, "doc_id", norm,
+      threshold = 0.7, minNewId = 0L)
+    assert(ok.columns.toSeq == Seq("id_a", "id_b", "jaccard"))
+    MinHashIndex.append(docs.filter(col("doc_id") >= 150), "doc_id", norm, good)
+  }
 }
