@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Dev-only per-round trace (GRAFT_CC_DEBUG=1): round count and
+    * large/small-star split — the convergence diagnostics the r15
+    * hammingClusters profiling needed. Costs one extra count per round
+    * when on; completely inert otherwise. */
+  private val debug = sys.env.contains("GRAFT_CC_DEBUG")
+
   /** (id, component) for every node appearing in `edges`, where
     * `component` is the minimum node id reachable from it. Node ids may
     * be any orderable type (long, string). Self-loops are dropped.
@@ -46,8 +52,28 @@ object ConnectedComponents {
     var converged = isMinStar(e)
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
-      converged = isMinStar(next)
+      // largeStar's output feeds smallStar's THREE consuming subtrees
+      // (the mins groupBy under both relink and self, plus relink's
+      // probe side), and Catalyst does not share subplans — unstaged,
+      // every round re-planned and re-shuffled the largeStar sym-union
+      // + groupBy + join three times (the candidatePairs r14 lesson,
+      // found here by the r15 hammingClusters stage split where CC
+      // dominated the operator). One eager checkpoint per round caps
+      // the round at one largeStar evaluation; the edge frame is
+      // O(|edges|) rows of two ids, so the blocks are cheap at any
+      // scale and strictly cheaper than two recomputes.
+      val t0 = if (debug) System.nanoTime() else 0L
+      val ls = largeStar(e).localCheckpoint(true)
+      val t1 = if (debug) System.nanoTime() else 0L
+      val next = smallStar(ls).localCheckpoint(false)
+      converged = isMinStar(next) // materializes next; ls now releasable
+      if (debug) {
+        val t2 = System.nanoTime()
+        println(f"[cc] round $iter: largeStar ${(t1 - t0) / 1e9}%.2f s, " +
+          f"smallStar+check ${(t2 - t1) / 1e9}%.2f s, " +
+          s"edges=${next.count()} parts=${next.rdd.getNumPartitions}")
+      }
+      ls.unpersist()
       if (prev != null) prev.unpersist()
       prev = e
       e = next

@@ -280,15 +280,19 @@ object MinHashDedup {
     // corpus collapses by the full replication factor), so a per-pair
     // verify ships ~1.7 KB shingle arrays through two joins once per
     // PAIR to compute per-distinct-TEXT-pair Jaccard values. Instead:
-    //   fp = sha2-256 of the truncated normalized text (equal text ⟹
-    //   equal shingle sequence ⟹ equal set size and equal Jaccard
-    //   against any partner). sha256 — not md5 — because fp equality
-    //   must BE text equality even adversarially: md5 chosen-prefix
-    //   collisions are practical, and a collision here silently merges
-    //   two distinct texts' representatives, i.e. wrong Jaccard and
-    //   possible false-positive DELETION in a dedup pipeline. The fp
-    //   never crosses to the oracle (the twin verifies per pair), so
-    //   the engine is free to pick the collision-resistant hash;
+    //   fp = 128-bit sha2-256 prefix of the truncated normalized text
+    //   (equal text ⟹ equal shingle sequence ⟹ equal set size and
+    //   equal Jaccard against any partner). sha256-derived — not md5 —
+    //   because fp equality must BE text equality even adversarially:
+    //   md5 chosen-prefix collisions are practical, and a collision
+    //   here silently merges two distinct texts' representatives, i.e.
+    //   wrong Jaccard and possible false-positive DELETION in a dedup
+    //   pipeline. A 128-bit prefix keeps md5's key width on the
+    //   verify stage's hottest join surface (fp rides five joins and a
+    //   distinct) while forcing an attacker to a 2^64 birthday search
+    //   with no known shortcut — vs md5's practical construction. The
+    //   fp never crosses to the oracle (the twin verifies per pair),
+    //   so the engine is free to pick its hash;
     //   shingle arrays are built ONCE per distinct fp (representative),
     //   the length prune joins fp-level sizes, exact Jaccard runs once
     //   per distinct (fp_a, fp_b), and the per-pair rows get their
@@ -302,7 +306,7 @@ object MinHashDedup {
       .union(pairs.select(col("id_b").as(idCol))).distinct()
     val cand = docs.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), substring(textNorm, 1, maxChars).as("__t"))
-      .withColumn("__fp", sha2(col("__t"), 256))
+      .withColumn("__fp", substring(sha2(col("__t"), 256), 1, 32))
     // Slim (id → fp) map and per-fp representative arrays are the two
     // staged frames (same lifetime contract as the r13 shArr checkpoint:
     // pinned while the returned lazy frame is alive).

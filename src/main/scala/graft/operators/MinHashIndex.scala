@@ -144,8 +144,15 @@ object MinHashIndex {
     val pairs = narrowPairs.union(starPairs).distinct().localCheckpoint(true)
     val ids = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
+    // Eagerly staged (r15): the two array-join consumers below would
+    // each rebuild the shingle arrays otherwise — Catalyst does not
+    // share subplans across self-joins (the r13 nearDuplicates fix,
+    // found missing here by the r15 pair-join-shape sweep). Same block
+    // lifetime contract as nearDuplicates' staged frames: pinned while
+    // the returned lazy frame is alive.
     val shArr = corpus.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), MinHashDedup.shingles(textNorm).as("__sh"))
+      .localCheckpoint(true)
     pairs
       .join(shArr.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(shArr.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")

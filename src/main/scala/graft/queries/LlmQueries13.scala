@@ -179,29 +179,29 @@ FROM nt GROUP BY bucket ORDER BY bucket
     val sigA = MinHashDedup.signaturesArr(docs, "doc_id", norm).localCheckpoint(true)
     val sig = MinHashDedup.unpackSignature(sigA, "doc_id")
     val pairs = MinHashDedup.candidatePairs(sig, "doc_id").localCheckpoint(true)
-    val est = pairs
-      .join(sigA.toDF("id_a", "sig_a"), "id_a")
-      .join(sigA.toDF("id_b", "sig_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        MinHashDedup.signatureAgreement(col("sig_a"), col("sig_b"))
-          .cast("long").as("n_match"))
-    // Exact verify only on candidate docs (semi-join prune — the same
-    // shape as MinHashDedup.nearDuplicates).
+    // Estimate and exact verify in ONE scored pass (r15). The split
+    // spelling ran FIVE pair-scale joins — two shipping signatures
+    // (est), two shipping shingle arrays (exact), plus the per-pair
+    // est⋈exact join-back — where both statistics are per-(doc_a,doc_b)
+    // functions of per-doc payloads. One payload frame per candidate
+    // doc (packed signature + shingle array, semi-join pruned, built
+    // once behind an eager checkpoint: Catalyst does not share subplans
+    // across self-joins) feeds TWO pair joins that compute n_match and
+    // jaccard side by side; the join-back disappears.
     val ids = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    // Build ONCE (eager checkpoint): the two array-join consumers below
-    // would otherwise each recompute the shingle arrays — Catalyst does
-    // not share subplans across self-joins (same fix as
-    // MinHashDedup.nearDuplicates, r13).
-    val shArr = docs.join(ids, Seq("doc_id"), "left_semi")
+    val payload = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), MinHashDedup.shingles(norm).as("__sh"))
+      .join(sigA, "doc_id")
       .localCheckpoint(true)
-    val exact = pairs
-      .join(shArr.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(shArr.select(col("doc_id").as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    val scored = pairs
+      .join(payload.toDF("id_a", "sh_a", "sig_a"), "id_a")
+      .join(payload.toDF("id_b", "sh_b", "sig_b"), "id_b")
+      .select(
+        MinHashDedup.signatureAgreement(col("sig_a"), col("sig_b"))
+          .cast("long").as("n_match"),
         MinHashDedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-    est.join(exact, Seq("id_a", "id_b"))
+    scored
       .groupBy("n_match")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_dup"))

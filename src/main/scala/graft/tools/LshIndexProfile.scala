@@ -62,6 +62,7 @@ object LshIndexProfile {
     println(s"[lshprof] candidate docs: ${ids.count()}")
     val shArr = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), graft.operators.MinHashDedup.shingles(norm).as("__sh"))
+      .localCheckpoint(true) // mirrors probeNewMulti's r15 staging
     time("probe: verify")(
       pairs
         .join(shArr.withColumnRenamed("doc_id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")

@@ -59,7 +59,7 @@ object Profile {
     println(s"[profile] n_candidate_docs = ${time("verify: ids distinct")(ids.count())}")
     val cand = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), substring(norm, 1, 200).as("__t"))
-      .withColumn("__fp", sha2(col("__t"), 256))
+      .withColumn("__fp", substring(sha2(col("__t"), 256), 1, 32))
     val docFp = time("verify: docFp checkpoint")(
       cand.select(col("doc_id"), col("__fp")).localCheckpoint(true))
     val repArr = time("verify: repArr checkpoint")(
@@ -79,14 +79,26 @@ object Profile {
         (lit(threshold) - lit(1e-9)) * greatest(col("n_a"), col("n_b")))
       .select("id_a", "id_b", "fp_a", "fp_b")
     println(s"[profile] n_pruned = ${time("verify: fp + length prune")(pruned.count())}")
-    val jac = pruned.select("fp_a", "fp_b").distinct()
-      .join(repArr.select(col("__fp").as("fp_a"), col("__sh").as("sh_a")), "fp_a")
-      .join(repArr.select(col("__fp").as("fp_b"), col("__sh").as("sh_b")), "fp_b")
-      .withColumn("jaccard", MinHashDedup.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("fp_a", "fp_b", "jaccard")
-    val fin = pruned.join(jac, Seq("fp_a", "fp_b")).select("id_a", "id_b", "jaccard")
-    println(s"[profile] n_final = ${time("verify: distinct-fp jaccard + join back")(fin.count())}")
+    // sub-split of the composite tail (r15): distinct fp pairs vs the
+    // two array joins + jaccard vs the per-pair join back — attribution
+    // for where the verify seconds actually go at the 100x tier.
+    val prunedC = time("verify: pruned checkpoint")(pruned.localCheckpoint(true))
+    // time() wraps the EAGER checkpoint construction — materialization
+    // happens there, a later count() over cached blocks measures nothing
+    val fpd = time("verify: distinct fp pairs (checkpoint)")(
+      prunedC.select("fp_a", "fp_b").distinct().localCheckpoint(true))
+    println(s"[profile] n_distinct_fp_pairs = ${fpd.count()}")
+    val jac = time("verify: array joins + jaccard (distinct pairs, checkpoint)")(
+      fpd
+        .join(repArr.select(col("__fp").as("fp_a"), col("__sh").as("sh_a")), "fp_a")
+        .join(repArr.select(col("__fp").as("fp_b"), col("__sh").as("sh_b")), "fp_b")
+        .withColumn("jaccard", MinHashDedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select("fp_a", "fp_b", "jaccard")
+        .localCheckpoint(true))
+    println(s"[profile] n_jac = ${jac.count()}")
+    val fin = prunedC.join(jac, Seq("fp_a", "fp_b")).select("id_a", "id_b", "jaccard")
+    println(s"[profile] n_final = ${time("verify: join back to per-pair rows")(fin.count())}")
     time("full nearDuplicates")(
       MinHashDedup.nearDuplicates(docs, "doc_id", norm, 0.7).count())
     spark.stop()
