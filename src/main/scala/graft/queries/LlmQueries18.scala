@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFns.toDoubleVec
+import graft.operators.Knn
+
+/** Eighteenth batch: the ANN index-quality audit (r15) — recall@k of the
+  * IVF probe against the exact brute-force ranking, per query vector.
+  * This is the vector-side sibling of q_lsh_precision's banding audit:
+  * a production vector pipeline measures recall on a query sample
+  * whenever nlist/nprobe change, BEFORE trusting the approximate index
+  * for dedup or retrieval. Reuses the production operators verbatim
+  * ([[Knn.bruteForceTopK]] is the exact baseline, [[Knn.ivfTopK]] the
+  * audited index), so the audit measures the search that actually runs.
+  *
+  * At 100 TB: the brute side is the bounded cost — a fixed query SAMPLE
+  * (32 vectors here) broadcast against one corpus scan, which is the
+  * documented q_knn_bruteforce shape — while the IVF side touches
+  * nprobe/nlist of the data; recall is then one slim top-k ∩ top-k per
+  * query. The audit's cost scales with the sample, not the corpus².
+  */
+object LlmQueries18 {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Per-query recall@10 of IVF(nprobe=2 of the label clusters) vs the
+    * exact cosine top-10. Both rankings share the same total order
+    * (1e-6-floor-truncated sim, vec_id tiebreak), so top-k membership —
+    * and therefore the intersection count — is deterministic on both
+    * engines. A query whose probed clusters miss every true neighbor
+    * keeps its row with n_hit = 0 (left join, not inner). */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val brute = Knn.bruteForceTopK(q, e.select("vec_id", "e"), k)
+      .select("qid", "vec_id")
+    val ivf = Knn.ivfTopK(q, e, "label", k, nprobe = 2)
+      .select("qid", "vec_id")
+    val hits = brute.join(ivf, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    q.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall_at_10"))
+      .orderBy("qid")
+  }
+
+  /** Twin: brute chain = knnBruteForceSql's shape at qid < 32; IVF chain
+    * = annIvfSql's centroid/assign/search chain at k=10; recall = the
+    * same left-joined intersection count. Ranking ties break on vec_id
+    * after the floor-truncated sim in both chains, exactly as the Spark
+    * operators rank. */
+  val annRecallSql: String = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 32),
+bsims AS (
+  SELECT qid, vec_id,
+         CAST(floor(list_cosine_similarity(qe, e.v) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+  FROM e CROSS JOIN q WHERE vec_id <> qid),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+    FROM bsims) x
+  WHERE r <= 10),
+sums AS (
+  SELECT label, i, SUM(CAST(round(v[i] * 1e6) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM e CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / 1e6 / n ORDER BY i) AS cv
+  FROM sums GROUP BY label),
+assign AS (
+  SELECT qid, label FROM (
+    SELECT q.qid, c.label,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(q.qe, c.cv) DESC, c.label) AS crank
+    FROM q CROSS JOIN cent c) x
+  WHERE crank <= 2),
+isims AS (
+  SELECT a.qid, e.vec_id,
+         CAST(floor(list_cosine_similarity(q.qe, e.v) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+  FROM assign a
+  JOIN e ON e.label = a.label
+  JOIN q ON q.qid = a.qid
+  WHERE e.vec_id <> a.qid),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+    FROM isims) x
+  WHERE r <= 10),
+hits AS (
+  SELECT qid, COUNT(*) AS n_hit
+  FROM brute JOIN ivf USING (qid, vec_id)
+  GROUP BY qid)
+SELECT q.qid,
+       COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10 AS recall_at_10
+FROM q LEFT JOIN hits h USING (qid)
+ORDER BY qid
+"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall" -> (annRecall _))
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_recall" -> annRecallSql)
+}

@@ -93,7 +93,8 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_mannwhitney",
       "q_mixture_temperature",
       "q_mixture_sample",
-      "q_hard_negatives" // the q_knn_bruteforce shape: broadcast 8-anchor set × corpus
+      "q_hard_negatives", // the q_knn_bruteforce shape: broadcast 8-anchor set × corpus
+      "q_ann_recall" // the exhaustive-baseline side of the recall audit: broadcast 32-query sample × corpus + the q_ann_ivf assignment shape
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
