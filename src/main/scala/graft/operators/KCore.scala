@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Shape per round (the 100 TB contract): one map-side-combinable
   * degree count keyed by node, then two LEFT SEMI joins keyed by src
-  * and dst — all three shuffles hash on node ids, so AQE reuses the
-  * exchange; no window function, no collect, and the graph only ever
-  * shrinks. Lineage is cut per round with an eager localCheckpoint
+  * and dst; no window function, no collect, and the graph only ever
+  * shrinks. The survivor set is eagerly staged per round (r15): its
+  * aggregate feeds BOTH semi-joins, and the planner does not reuse the
+  * exchange across the two build sides (verified: two BroadcastExchange
+  * subtrees, zero ReusedExchange) — unstaged, every round computed the
+  * degree count twice. Lineage is cut per round with an eager localCheckpoint
   * (house pattern of [[ConnectedComponents]] / [[LabelProp]] /
   * [[PageRank]]) so the plan stays round-sized. `rounds` is the unroll
   * knob — production callers loop with a convergence probe (count
@@ -40,14 +43,20 @@ object KCore {
       .distinct()
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      // one slim column of surviving node ids — staging beats computing
+      // the degree aggregate once per consuming semi-join
       val alive = e.groupBy("src").agg(count(lit(1)).as("c"))
         .filter(col("c") >= k)
         .select(col("src"))
+        .localCheckpoint(true)
+      val prev = e
       e = e
         .join(alive, Seq("src"), "left_semi")
         .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: alive + prev releasable now
+      alive.unpersist()
+      prev.unpersist()
     }
     e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))

@@ -38,7 +38,11 @@ object PageRank {
     val n = nodes.count()
     require(n > 0, "empty graph")
     val base = 15L * scale / (100L * n)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // staged once (r15): deg is loop-invariant but joined EVERY
+    // iteration — unstaged, each round re-ran the degree aggregate's
+    // exchange over e (verified: no exchange reuse across rounds; the
+    // KCore alive-set lesson). One slim (src, deg) row per node.
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var r = nodes.select(col("id"), lit(scale / n).as("rank"))
     for (_ <- 0 until iters) {
       val m = e.join(r.withColumnRenamed("id", "src"), "src")
@@ -68,7 +72,8 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // staged once — loop-invariant, joined per iteration (see ranks)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
     val restart = 15L * scale / 100L
     var r = nodes.select(col("id"),
       when(col("id") === source, scale).otherwise(0L).as("rank"))
