@@ -26,6 +26,17 @@ run is a plan defect until a scoped re-run with 1-2 in-band control
 queries proves otherwise. PERSISTENT flags therefore REQUIRE one
 scoped `SPARK_GRAFT_ONLY` re-run before the round's fold is accepted,
 and they fail the --gate regardless of the last run's delta.
+
+Control-band adjudication (`--controls=q_a,q_b,...`, r16 — mechanizes
+the r15 house method): name 3+ presumed-healthy queries measured in
+the SAME run; their run/floor ratios form the band [min, max] of what
+plain external load did to healthy code in that window. Each flagged
+query's own ratio is then classified INSIDE the band (consistent with
+load — the flag does not distinguish the query from healthy controls)
+or OUTSIDE it (escapes the load explanation — genuine plan/code
+suspect). Controls must be queries with stable floors and untouched
+code; pick from different families than the flags so a family-wide
+regression cannot hide inside its own band.
 """
 import json
 import sys
@@ -44,7 +55,10 @@ def check_config(old_path, new_paths):
     plausible and the flags look real. Comparing timings measured at
     different CPU counts is meaningless; error out instead."""
     docs = [(p, json.load(open(p))) for p in [old_path] + list(new_paths)]
-    stamped = [(p, d["cpus"]) for p, d in docs if "cpus" in d]
+    # Normalize to str: Bench writes cpus as a JSON number, but a
+    # hand-written or external artifact may carry "32" — {"32", 32}
+    # must not trigger a spurious cross-config refusal.
+    stamped = [(p, str(d["cpus"])) for p, d in docs if "cpus" in d]
     missing = [p for p, d in docs if "cpus" not in d]
     for p in missing:
         print(f"WARNING: {p} lacks the `cpus` field (pre-r15 artifact) — "
@@ -73,7 +87,54 @@ def flagged(old, run, pct):
             and run[q] - old[q] > 0.3}
 
 
-def main(old_path, new_paths, pct=25.0, gate=False):
+def adjudicate_controls(old, new, controls, flags, persistent):
+    """Classify each flagged query's run/floor ratio against the band
+    of ratios the named control queries show in the SAME run. Controls
+    are EXPECTED to exceed the report threshold on a loaded run (that
+    is what the band measures), so plain-regression overlap is fine —
+    they simply define the band instead of being classified. A control
+    that is PERSISTENT is a contradiction (persistent = suspect until
+    proven) and errors out. Returns the set of flags that escape the
+    band (genuine suspects)."""
+    missing = [c for c in controls if c not in old or c not in new]
+    if missing:
+        raise SystemExit(f"ERROR: control query(ies) {missing} absent from "
+                         f"baseline or run — controls must be measured in "
+                         f"the same run they adjudicate")
+    bad_floor = [c for c in controls if old[c] <= 0]
+    if bad_floor:
+        raise SystemExit(f"ERROR: control query(ies) {bad_floor} have a "
+                         f"non-positive floor")
+    suspect_controls = sorted(set(controls) & set(persistent))
+    if suspect_controls:
+        raise SystemExit(f"ERROR: {suspect_controls} are PERSISTENT flags — "
+                         f"a standing suspect cannot serve as a control")
+    flags = set(flags) - set(controls)
+    ratios = {c: new[c] / old[c] for c in controls}
+    band_lo, band_hi = min(ratios.values()), max(ratios.values())
+    print(f"control band: {band_lo:.2f}-{band_hi:.2f}x "
+          f"({len(controls)} controls: "
+          + ", ".join(f"{c}={ratios[c]:.2f}x" for c in sorted(controls)) + ")")
+    outside = set()
+    for q in sorted(flags):
+        if q not in old or q not in new or old[q] <= 0:
+            continue
+        r = new[q] / old[q]
+        if r <= band_hi:
+            print(f"  {q}: {r:.2f}x INSIDE band -> consistent with load")
+        else:
+            outside.add(q)
+            print(f"  {q}: {r:.2f}x OUTSIDE band (> {band_hi:.2f}x) -> "
+                  f"escapes the load explanation; genuine suspect")
+    if flags and not outside:
+        print("control verdict: all flags inside band -> load")
+    elif outside:
+        print(f"control verdict: {len(outside)} flag(s) escape the band: "
+              f"{sorted(outside)}")
+    return outside
+
+
+def main(old_path, new_paths, pct=25.0, gate=False, controls=None):
     check_config(old_path, new_paths)
     old = load_queries(old_path)
     runs = [load_queries(p) for p in new_paths]
@@ -117,6 +178,12 @@ def main(old_path, new_paths, pct=25.0, gate=False):
               f"NOT the load signature): {sorted(persistent)}")
         print("protocol: each requires one scoped SPARK_GRAFT_ONLY re-run "
               "with in-band controls before the fold is accepted")
+    if controls:
+        # classify only gate-relevant flags (>pct AND >0.3s absolute):
+        # a 60% swing on a 0.1s query is scheduler noise, and classifying
+        # it buries the real suspects in milliseconds-deep "escapes"
+        flags = {q for _, q in regressions if new[q] - old[q] > 0.3} | persistent
+        adjudicate_controls(old, new, controls, flags, persistent)
     if gate:
         gated = [(d, q) for d, q in regressions if new[q] - old[q] > 0.3]
         gated_qs = {q for _, q in gated} | persistent
@@ -129,7 +196,18 @@ def main(old_path, new_paths, pct=25.0, gate=False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--gate"]
+    controls = None
+    args = []
+    for a in sys.argv[1:]:
+        if a == "--gate":
+            continue
+        if a.startswith("--controls="):
+            controls = [c for c in a[len("--controls="):].split(",") if c]
+            if not controls:
+                raise SystemExit("ERROR: --controls= needs a comma-separated "
+                                 "list of query names")
+            continue
+        args.append(a)
     # pct is accepted ONLY as the final positional argument: anywhere
     # else, a bench file named like a number ('30') would be silently
     # consumed as the threshold and dropped from the run list.
@@ -154,4 +232,5 @@ if __name__ == "__main__":
     paths = args
     if len(paths) < 2:
         raise SystemExit(f"ERROR: need a baseline and at least one run\n{__doc__}")
-    sys.exit(main(paths[0], paths[1:], pct, gate="--gate" in sys.argv))
+    sys.exit(main(paths[0], paths[1:], pct, gate="--gate" in sys.argv,
+                  controls=controls))
