@@ -44,6 +44,7 @@ object Bfs {
       .distinct().localCheckpoint(true)
     var settled = Seq((source, 0L)).toDF("id", "hops").localCheckpoint(true)
     var frontier = settled.select("id")
+    var prevNext: DataFrame = null
     var k = 1
     while (k <= maxHops && !frontier.isEmpty) {
       val next = e.join(frontier.withColumnRenamed("id", "src"), "src")
@@ -51,10 +52,20 @@ object Bfs {
         .join(settled, Seq("id"), "left_anti")
         .select(col("id"), lit(k.toLong).as("hops"))
         .localCheckpoint(true)
+      val prevSettled = settled
       settled = settled.union(next).localCheckpoint(true)
+      // both eager checkpoints above are materialized, so the previous
+      // round's frames have no remaining readers — release for real
+      // (r16: Dataset.unpersist was a no-op on checkpoints; unreleased,
+      // a deep BFS pins every round's cumulative settled frame)
+      Checkpoints.release(prevSettled)
+      if (prevNext != null) Checkpoints.release(prevNext)
       frontier = next.select("id")
+      prevNext = next
       k += 1
     }
+    if (prevNext != null) Checkpoints.release(prevNext)
+    Checkpoints.release(e) // settled is a checkpoint at every exit path
     settled
   }
 }

@@ -73,14 +73,14 @@ object ConnectedComponents {
           f"smallStar+check ${(t2 - t1) / 1e9}%.2f s, " +
           s"edges=${next.count()} parts=${next.rdd.getNumPartitions}")
       }
-      ls.unpersist()
-      if (prev != null) prev.unpersist()
+      Checkpoints.release(ls)
+      if (prev != null) Checkpoints.release(prev)
       prev = e
       e = next
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
-    if (prev != null) prev.unpersist()
+    if (prev != null) Checkpoints.release(prev)
     // Rounds never distinct their output (saves an exchange per round;
     // the groupBy-mins absorb duplicate rows via map-side combine), so
     // dedup once here. Converged star edges are (root, member) in

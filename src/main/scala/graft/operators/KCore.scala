@@ -55,8 +55,8 @@ object KCore {
         .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
         .localCheckpoint(true) // eager: alive + prev releasable now
-      alive.unpersist()
-      prev.unpersist()
+      Checkpoints.release(alive)
+      Checkpoints.release(prev)
     }
     e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))

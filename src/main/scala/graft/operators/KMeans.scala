@@ -77,9 +77,12 @@ object KMeans {
       .withColumn("cid", row_number().over(Window.orderBy("__h")) - 1)
       .select(col("cid"), col(vecCol).as("cv"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters)
+    for (_ <- 1 to iters) {
+      val prev = cents
       cents = centroidsOf(assign(corpus, idCol, vecCol, cents), vecCol)
         .localCheckpoint(true)
+      Checkpoints.release(prev) // k rows/round, but pinned forever otherwise
+    }
     cents
   }
 }

@@ -63,16 +63,36 @@ object Knn {
     * Cluster assignments come from `clusterCol` (here a precomputed
     * clustering; k-means would produce the same shape). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, clusterCol: String,
-              k: Int, nprobe: Int = 2): DataFrame = {
-    val cents = centroids(corpus, clusterCol)
+              k: Int, nprobe: Int = 2): DataFrame =
+    ivfTopK(queries, corpus, clusterCol, k, nprobe,
+      centroids(corpus, clusterCol))
+
+  /** Query→cluster assignment: each query's `nprobe` nearest centroids.
+    * Exposed (r16) so a sweep over nprobe operating points can stage
+    * the centroid frame ONCE and reuse this exact production step per
+    * point — re-deriving the assignment chain in a query would risk
+    * auditing a different search than the one that runs. Output:
+    * (qid, qe, clusterCol). */
+  def ivfAssign(queries: DataFrame, cents: DataFrame, clusterCol: String,
+                nprobe: Int): DataFrame = {
     val wA = Window.partitionBy("qid")
       .orderBy(col("csim").desc, col(clusterCol))
-    val assign = queries.crossJoin(broadcast(cents))
+    queries.crossJoin(broadcast(cents))
       .select(col("qid"), col("qe"), col(clusterCol),
         cosineFast(col("qe"), col("cv")).as("csim"))
       .withColumn("crank", row_number().over(wA))
       .filter(col("crank") <= nprobe)
       .select("qid", "qe", clusterCol)
+  }
+
+  /** [[ivfTopK]] with a precomputed centroid frame: callers probing the
+    * same corpus at several operating points (q_ann_sweep) pass one
+    * staged `cents` instead of re-running the corpus-wide centroid
+    * aggregate per point — at 100 TB that aggregate is a full corpus
+    * scan, the loop-invariant-staging lesson applied to sweeps. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, clusterCol: String,
+              k: Int, nprobe: Int, cents: DataFrame): DataFrame = {
+    val assign = ivfAssign(queries, cents, clusterCol, nprobe)
     val sims = corpus.join(broadcast(assign), Seq(clusterCol))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col(clusterCol),

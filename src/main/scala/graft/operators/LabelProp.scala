@@ -42,6 +42,7 @@ object LabelProp {
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     for (_ <- 0 until iters) {
+      val prev = labels
       labels = e
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy("src", "nlabel").agg(count(lit(1)).as("cnt"))
@@ -49,7 +50,11 @@ object LabelProp {
         .agg(max(struct(col("cnt"), (-col("nlabel")).as("neg"))).as("m"))
         .select(col("src").as("id"), (-col("m.neg")).as("label"))
         .localCheckpoint(true)
+      Checkpoints.release(prev) // round-0 prev is derived, not a checkpoint -> no-op
     }
+    // e only feeds the rounds; after ≥1 round the returned labels frame
+    // is an eager checkpoint and no longer reads it
+    if (iters > 0) Checkpoints.release(e)
     labels
   }
 }

@@ -44,6 +44,12 @@ object MinHashIndex {
     * so the schema itself is the marker — nothing extra to write, and
     * pre-r14 directories without any marker file are still caught. */
   private def assertBucketFormat(df: DataFrame, where: String): DataFrame = {
+    if (!df.schema.fieldNames.contains("bucket"))
+      throw new IllegalStateException(
+        s"MinHash index at $where has no `bucket` column (found: " +
+          s"${df.schema.fieldNames.mkString(", ")}) — not a MinHash bucket " +
+          "index (corrupt or foreign directory). Rebuild it with " +
+          "MinHashIndex.build.")
     val t = df.schema("bucket").dataType
     if (t != org.apache.spark.sql.types.LongType)
       throw new IllegalStateException(

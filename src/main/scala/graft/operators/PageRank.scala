@@ -49,10 +49,19 @@ object PageRank {
         .join(deg, "src")
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
+      val prev = r
       r = nodes.join(m.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(m, 0L)) DIV 100")).as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: prev's blocks now unreferenced
+      Checkpoints.release(prev) // first-round prev isn't a checkpoint -> no-op
+    }
+    // loop-only pins (ADVICE r15): after ≥1 round the returned r is an
+    // eager checkpoint, so e/nodes/deg blocks are unreachable from it —
+    // release them or they stay pinned for the session lifetime. (At
+    // iters=0 the returned frame still reads nodes; keep the pins.)
+    if (iters > 0) {
+      Checkpoints.release(deg); Checkpoints.release(e); Checkpoints.release(nodes)
     }
     r
   }
@@ -82,11 +91,16 @@ object PageRank {
         .join(deg, "src")
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
+      val prev = r
       r = nodes.join(m.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
         .select(col("id"),
           (when(col("id") === source, restart).otherwise(0L)
             + expr("(85 * coalesce(m, 0L)) DIV 100")).as("rank"))
         .localCheckpoint(true)
+      Checkpoints.release(prev)
+    }
+    if (iters > 0) {
+      Checkpoints.release(deg); Checkpoints.release(e); Checkpoints.release(nodes)
     }
     r
   }

@@ -51,6 +51,51 @@ object LlmQueries18 {
       .orderBy("qid")
   }
 
+  /** ANN operating-point sweep (r16): recall@10 AND touched-fraction at
+    * nprobe ∈ {1, 2, 4} over ONE staged centroid frame — the tuning
+    * audit a production pipeline runs before picking nprobe: recall is
+    * what you buy, touched-fraction (share of corpus rows the probe
+    * scans) is what you pay. Reuses [[Knn.ivfAssign]]/[[Knn.ivfTopK]]
+    * verbatim per point; centroids and the exact brute-force baseline
+    * are each computed once and staged (32×10 and nlist rows — slim),
+    * so the sweep's marginal cost per point is one pruned corpus scan,
+    * not a corpus-wide centroid recompute. Cost scales with sample ×
+    * nprobe, never corpus². Output: one row per nprobe. */
+  def annSweep(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("e"))
+    val q = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val cents = Knn.centroids(e, "label").localCheckpoint(true)
+    val brute = Knn.bruteForceTopK(q, e.select("vec_id", "e"), k)
+      .select("qid", "vec_id").localCheckpoint(true)
+    val points = Seq(1, 2, 4)
+    val ivfAll = points.map { np =>
+      Knn.ivfTopK(q, e, "label", k, np, cents)
+        .select(lit(np).as("nprobe"), col("qid"), col("vec_id"))
+    }.reduce(_ union _)
+    val assignAll = points.map { np =>
+      Knn.ivfAssign(q, cents, "label", np)
+        .select(lit(np).as("nprobe"), col("qid"), col("label"))
+    }.reduce(_ union _)
+    val csize = e.groupBy("label").agg(count(lit(1)).as("n"))
+    val touched = assignAll.join(broadcast(csize), Seq("label"))
+      .groupBy("nprobe").agg(sum(col("n")).as("t"))
+    val hits = ivfAll.join(brute, Seq("qid", "vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("h"))
+    val stats = q.agg(count(lit(1)).as("nq"))
+      .crossJoin(e.agg(count(lit(1)).as("n_corpus")))
+    touched.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("nprobe"),
+        (coalesce(col("h"), lit(0L)).cast("double") / (col("nq") * k))
+          .as("avg_recall_at_10"),
+        (col("t").cast("double") / (col("nq") * col("n_corpus")))
+          .as("touched_frac"))
+      .orderBy("nprobe")
+  }
+
   /** Twin: brute chain = knnBruteForceSql's shape at qid < 32; IVF chain
     * = annIvfSql's centroid/assign/search chain at k=10; recall = the
     * same left-joined intersection count. Ranking ties break on vec_id
@@ -105,9 +150,78 @@ FROM q LEFT JOIN hits h USING (qid)
 ORDER BY qid
 """
 
+  /** Twin: the annRecallSql chains with an nprobe dimension — the
+    * centroid rank (crank) is computed once, a 3-row probes table fans
+    * it out per operating point, and recall/touched aggregate per
+    * nprobe. All divisions are single double-divisions of exact
+    * integer counts, so the doubles are engine-reproducible. */
+  val annSweepSql: String = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qe FROM e WHERE vec_id < 32),
+bsims AS (
+  SELECT qid, vec_id,
+         CAST(floor(list_cosine_similarity(qe, e.v) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+  FROM e CROSS JOIN q WHERE vec_id <> qid),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+    FROM bsims) x
+  WHERE r <= 10),
+sums AS (
+  SELECT label, i, SUM(CAST(round(v[i] * 1e6) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM e CROSS JOIN range(1, 65) t(i)
+  GROUP BY label, i),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / 1e6 / n ORDER BY i) AS cv
+  FROM sums GROUP BY label),
+cranks AS (
+  SELECT qid, label, crank FROM (
+    SELECT q.qid, c.label,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY list_cosine_similarity(q.qe, c.cv) DESC, c.label) AS crank
+    FROM q CROSS JOIN cent c) x),
+probes AS (SELECT * FROM (VALUES (1), (2), (4)) p(nprobe)),
+assign AS (
+  SELECT p.nprobe, cr.qid, cr.label
+  FROM probes p JOIN cranks cr ON cr.crank <= p.nprobe),
+csize AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+touched AS (
+  SELECT a.nprobe, SUM(s.n) AS t
+  FROM assign a JOIN csize s USING (label)
+  GROUP BY a.nprobe),
+isims AS (
+  SELECT a.nprobe, a.qid, e.vec_id,
+         CAST(floor(list_cosine_similarity(q.qe, e.v) * 1000000) AS DOUBLE) / 1000000.0 AS sim
+  FROM assign a
+  JOIN e ON e.label = a.label
+  JOIN q ON q.qid = a.qid
+  WHERE e.vec_id <> a.qid),
+ivf AS (
+  SELECT nprobe, qid, vec_id FROM (
+    SELECT nprobe, qid, vec_id,
+           row_number() OVER (PARTITION BY nprobe, qid ORDER BY sim DESC, vec_id) AS r
+    FROM isims) x
+  WHERE r <= 10),
+hits AS (
+  SELECT i.nprobe, COUNT(*) AS h
+  FROM ivf i JOIN brute b USING (qid, vec_id)
+  GROUP BY i.nprobe),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM q) AS nq, (SELECT COUNT(*) FROM e) AS n_corpus)
+SELECT t.nprobe,
+       CAST(COALESCE(h.h, 0) AS DOUBLE) / (s.nq * 10) AS avg_recall_at_10,
+       CAST(t.t AS DOUBLE) / (s.nq * s.n_corpus) AS touched_frac
+FROM touched t
+LEFT JOIN hits h USING (nprobe)
+CROSS JOIN stats s
+ORDER BY t.nprobe
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_recall" -> (annRecall _))
+    "q_ann_recall" -> (annRecall _),
+    "q_ann_sweep" -> (annSweep _))
 
   val oracles: Map[String, String] = Map(
-    "q_ann_recall" -> annRecallSql)
+    "q_ann_recall" -> annRecallSql,
+    "q_ann_sweep" -> annSweepSql)
 }
