@@ -14,25 +14,28 @@ import org.apache.spark.sql.streaming.Trigger
   * watermarked window aggregate (q_stream_window) — each timed
   * end-to-end (start → batches → stop) under three harness variants:
   *
-  *   P32  current harness verbatim: per-batch addData +
-  *        processAllAvailable at the bench session's 32 shuffle
-  *        partitions (32 state-store instances, 32+ tasks per batch).
-  *   P8   same batch boundaries, shuffle/state partitions scoped to 8
-  *        for the stream query only — isolates the task-launch +
-  *        state-store-instance share of the per-batch floor. State
-  *        semantics are partition-count-independent; batch boundaries
-  *        (the thing the registered queries test) are preserved.
+  *   P32  per-batch addData + processAllAvailable at the bench
+  *        session's 32 shuffle partitions. NOTE: this is NOT the
+  *        registered harness — every registered stream query already
+  *        scopes its stream to 4 partitions (early-round work; the
+  *        r16 measurement below rediscovered that knob before reading
+  *        the query bodies). P32 quantifies what that existing sizing
+  *        is worth.
+  *   P8   same batch boundaries, partitions scoped to 8 — measured
+  *        ~2.4× faster than P32 on both shapes: the fixed cost is
+  *        dominated by state-store instances × tasks/batch, which is
+  *        why the registered queries' 4-partition scoping matters.
   *   AN   all batches pre-added, ONE Trigger.AvailableNow run —
-  *        collapses the boundaries into one batch, so it is NOT a
-  *        semantics-preserving option for the registry (cross-batch
-  *        state transitions are what those queries verify); it is
-  *        measured to NAME the per-batch machinery share directly
-  *        (difference vs P32 ≈ (nBatches-1) × fixed cost).
+  *        another ~2× below P8, which NAMES the remaining per-batch
+  *        machinery share; but it collapses the batch boundaries the
+  *        registry exists to exercise (cross-batch state transitions),
+  *        so it is not a semantics-preserving option.
   *
-  * WAL/offset/commit/state files already live on tmpfs (build.sbt sets
-  * java.io.tmpdir=/dev/shm when present), so disk fsync is already out
-  * of the floor; what remains is planning + scheduling, which is what
-  * P8 vs P32 separates.
+  * Conclusion (r16): with partition sizing already applied and
+  * WAL/offset/commit/state files already on tmpfs (build.sbt sets
+  * java.io.tmpdir=/dev/shm when present), the residual ~0.35 s/batch
+  * is per-batch planning + scheduling, removable only by removing
+  * batches — i.e. irreducible at fixed batch-boundary semantics.
   *
   * Usage: sbt "runMain graft.tools.StreamFixedCostAb [nRows] [reps]"
   */
