@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{ConnectedComponents, IncrementalCC}
+
+/** Nineteenth batch: INCREMENTAL connected-components maintenance
+  * (r16) — the cluster-membership half of the incremental dedup story.
+  * The persisted MinHash index already finds new near-dup pairs per
+  * delta batch at per-doc cost (q_lsh_index / q_stream_lsh_index);
+  * this query proves the matching cluster update: fold a delta edge
+  * batch into an existing assignment and get EXACTLY the components a
+  * full recompute over base ∪ delta would produce — the oracle
+  * computes that full recompute via recursive-CTE closure, so the
+  * hash equality IS the incremental-equals-recompute proof, on top of
+  * the operator's own split-sweep spec (IncrementalCCSpec).
+  *
+  * At 100 TB: work scales with the delta — the corpus-sized
+  * assignment is scanned (semi-pruned and remapped via broadcast
+  * joins), never shuffled; the contraction CC runs on a delta-sized
+  * graph (see IncrementalCC's scaladoc). The query bounds its edge
+  * set by key filter so the oracle's O(n·m) closure stays cheap at
+  * any sf.
+  */
+object LlmQueries19 {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
+
+  /** Base = ~6/7 of a bounded bipartite-ish edge set over lineitem
+    * keys, delta = the 7th-line-item edges; output (id, component)
+    * after the incremental fold. */
+  def incrementalCC(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 8000)
+      .select((col("l_orderkey") % 2000).as("src"),
+        (col("l_partkey") % 2000).as("dst"), col("l_linenumber"))
+    val base = all.filter(col("l_linenumber") % 7 =!= 0).select("src", "dst")
+    val delta = all.filter(col("l_linenumber") % 7 === 0).select("src", "dst")
+    val assign = ConnectedComponents.components(base)
+    IncrementalCC.addEdges(assign, delta)
+      .orderBy("id")
+  }
+
+  /** Twin: full recursive-CTE closure over base ∪ delta (= the
+    * unsplit edge set) — min reachable id per node. The equality
+    * proves the incremental fold reproduces the recompute. */
+  val incrementalCCSql: String = """
+WITH RECURSIVE e AS (
+  SELECT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+  FROM lineitem WHERE l_orderkey < 8000),
+ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+sym AS (SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM sym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT id, component FROM comp ORDER BY id
+"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incremental_cc" -> (incrementalCC _))
+
+  val oracles: Map[String, String] = Map(
+    "q_incremental_cc" -> incrementalCCSql)
+}
