@@ -19,12 +19,20 @@ import org.apache.spark.sql.functions._
   * Shape per round (the 100 TB contract): one map-side-combinable
   * degree count keyed by node, then two LEFT SEMI joins keyed by src
   * and dst; no window function, no collect, and the graph only ever
-  * shrinks. The survivor set is eagerly staged per round (r15): its
-  * aggregate feeds BOTH semi-joins, and the planner does not reuse the
-  * exchange across the two build sides (verified: two BroadcastExchange
-  * subtrees, zero ReusedExchange) — unstaged, every round computed the
-  * degree count twice. Lineage is cut per round with an eager localCheckpoint
-  * (house pattern of [[ConnectedComponents]] / [[LabelProp]] /
+  * shrinks. The survivor set is staged per round behind a LAZY local
+  * checkpoint (r16): its aggregate feeds BOTH semi-joins and the
+  * planner does not reuse the exchange across the two build sides
+  * (verified r15: two BroadcastExchange subtrees, zero ReusedExchange),
+  * so without staging every round computed the degree count twice —
+  * but the r15 EAGER stage bought that single computation with an
+  * extra materialization job per round, measured ~15% on the whole
+  * operator at sf0.1 (KCoreAb three-way, r16: unstaged 1.64 s, eager
+  * 1.95 s, lazy 1.73 s — the r15 "A/B-neutral" claim did not survive
+  * more reps). Lazy gets both: the two consumers reference ONE
+  * persisted RDD whose blocks materialize inside the round's single
+  * eager e-job, computing the aggregate once with no extra barrier.
+  * Lineage is cut per round with an eager localCheckpoint on e (house
+  * pattern of [[ConnectedComponents]] / [[LabelProp]] /
   * [[PageRank]]) so the plan stays round-sized. `rounds` is the unroll
   * knob — production callers loop with a convergence probe (count
   * stabilizes) exactly like [[ConnectedComponents.run]]; the oracled
@@ -43,12 +51,14 @@ object KCore {
       .distinct()
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      // one slim column of surviving node ids — staging beats computing
-      // the degree aggregate once per consuming semi-join
+      // one slim column of surviving node ids — LAZY checkpoint: both
+      // semi-joins share the one persisted RDD (aggregate computed
+      // once), blocks materialize inside the e-job below (no extra
+      // per-round barrier; see the operator scaladoc for the A/B)
       val alive = e.groupBy("src").agg(count(lit(1)).as("c"))
         .filter(col("c") >= k)
         .select(col("src"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val prev = e
       e = e
         .join(alive, Seq("src"), "left_semi")
