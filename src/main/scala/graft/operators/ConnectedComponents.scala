@@ -58,19 +58,25 @@ object ConnectedComponents {
       // every round re-planned and re-shuffled the largeStar sym-union
       // + groupBy + join three times (the candidatePairs r14 lesson,
       // found here by the r15 hammingClusters stage split where CC
-      // dominated the operator). One eager checkpoint per round caps
-      // the round at one largeStar evaluation; the edge frame is
-      // O(|edges|) rows of two ids, so the blocks are cheap at any
-      // scale and strictly cheaper than two recomputes.
+      // dominated the operator). A LAZY checkpoint per round (r16, the
+      // KCore lesson) caps the round at one largeStar evaluation — the
+      // three consumers share one persisted RDD — WITHOUT the eager
+      // variant's extra materialization job per round: the blocks
+      // materialize inside the convergence check's action below
+      // (CcAb interleaved: lazy 2.28 vs eager 2.36 s min). The edge
+      // frame is O(|edges|) rows of two ids, so the blocks are cheap
+      // at any scale and strictly cheaper than two recomputes.
       val t0 = if (debug) System.nanoTime() else 0L
-      val ls = largeStar(e).localCheckpoint(true)
+      val ls = largeStar(e).localCheckpoint(false)
       val t1 = if (debug) System.nanoTime() else 0L
       val next = smallStar(ls).localCheckpoint(false)
-      converged = isMinStar(next) // materializes next; ls now releasable
+      converged = isMinStar(next) // materializes next AND ls; both releasable
       if (debug) {
         val t2 = System.nanoTime()
-        println(f"[cc] round $iter: largeStar ${(t1 - t0) / 1e9}%.2f s, " +
-          f"smallStar+check ${(t2 - t1) / 1e9}%.2f s, " +
+        // ls is lazy (r16): plan-building only in the first split; the
+        // whole round's compute lands in the check's single action
+        println(f"[cc] round $iter: largeStar-plan ${(t1 - t0) / 1e9}%.2f s, " +
+          f"round-job ${(t2 - t1) / 1e9}%.2f s, " +
           s"edges=${next.count()} parts=${next.rdd.getNumPartitions}")
       }
       Checkpoints.release(ls)
