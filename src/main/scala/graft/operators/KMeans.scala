@@ -73,16 +73,24 @@ object KMeans {
     val seeds = corpus.select(col(idCol), col(vecCol))
       .withColumn("__h", hash)
       .orderBy("__h").limit(k)
-    var cents = seeds
+    val seedCents = seeds
       .withColumn("cid", row_number().over(Window.orderBy("__h")) - 1)
       .select(col("cid"), col(vecCol).as("cv"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val prev = cents
+    var cents = seedCents
+    // lazy rounds + one eager final materialization (r16): Lloyd's has
+    // no per-round driver action, so eager-per-round checkpoints were
+    // iters standalone jobs; lazy keeps lineage round-sized and the
+    // final eager checkpoint materializes the pipelined loop in one
+    // (see PageRank.ranks / tools/PrAb)
+    val rounds = collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 1 to iters) {
       cents = centroidsOf(assign(corpus, idCol, vecCol, cents), vecCol)
-        .localCheckpoint(true)
-      Checkpoints.release(prev) // k rows/round, but pinned forever otherwise
+        .localCheckpoint(i == iters)
+      if (i < iters) rounds += cents
     }
+    rounds.foreach(Checkpoints.release) // k rows/round, but pinned forever otherwise
+    if (iters > 0) Checkpoints.release(seedCents) // consumed by round 1 only
     cents
   }
 }

@@ -41,20 +41,27 @@ object LabelProp {
       .distinct().localCheckpoint(true)
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-    for (_ <- 0 until iters) {
-      val prev = labels
+    // lazy rounds + one eager final materialization (r16): no per-round
+    // driver action exists, so eager-per-round checkpoints were N
+    // standalone jobs whose only purpose — lineage truncation — the
+    // lazy form provides too (see PageRank.ranks / tools/PrAb)
+    val rounds = collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    for (i <- 0 until iters) {
       labels = e
         .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
         .groupBy("src", "nlabel").agg(count(lit(1)).as("cnt"))
         .groupBy("src")
         .agg(max(struct(col("cnt"), (-col("nlabel")).as("neg"))).as("m"))
         .select(col("src").as("id"), (-col("m.neg")).as("label"))
-        .localCheckpoint(true)
-      Checkpoints.release(prev) // round-0 prev is derived, not a checkpoint -> no-op
+        .localCheckpoint(i == iters - 1)
+      if (i < iters - 1) rounds += labels
     }
     // e only feeds the rounds; after ≥1 round the returned labels frame
     // is an eager checkpoint and no longer reads it
-    if (iters > 0) Checkpoints.release(e)
+    if (iters > 0) {
+      rounds.foreach(Checkpoints.release)
+      Checkpoints.release(e)
+    }
     labels
   }
 }

@@ -44,23 +44,32 @@ object PageRank {
     // KCore alive-set lesson). One slim (src, deg) row per node.
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var r = nodes.select(col("id"), lit(scale / n).as("rank"))
-    for (_ <- 0 until iters) {
+    // Per-round checkpoints are LAZY except the last (r16, the KCore/CC
+    // lesson taken one step further): with no per-round driver action,
+    // an eager checkpoint per iteration is a standalone job whose only
+    // purpose — lineage truncation — the lazy form provides too. The
+    // final EAGER checkpoint materializes the whole pipelined loop in
+    // ONE job (PrAb interleaved: 1.30 vs 1.37 s min), after which every
+    // intermediate round's blocks are releasable deterministically.
+    val rounds = collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 0 until iters) {
       val m = e.join(r.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
-      val prev = r
       r = nodes.join(m.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(m, 0L)) DIV 100")).as("rank"))
-        .localCheckpoint(true) // eager: prev's blocks now unreferenced
-      Checkpoints.release(prev) // first-round prev isn't a checkpoint -> no-op
+        .localCheckpoint(i == iters - 1)
+      if (i < iters - 1) rounds += r
     }
     // loop-only pins (ADVICE r15): after ≥1 round the returned r is an
-    // eager checkpoint, so e/nodes/deg blocks are unreachable from it —
-    // release them or they stay pinned for the session lifetime. (At
-    // iters=0 the returned frame still reads nodes; keep the pins.)
+    // eager checkpoint, so intermediate/e/nodes/deg blocks are
+    // unreachable from it — release them or they stay pinned for the
+    // session lifetime. (At iters=0 the returned frame still reads
+    // nodes; keep the pins.)
     if (iters > 0) {
+      rounds.foreach(Checkpoints.release)
       Checkpoints.release(deg); Checkpoints.release(e); Checkpoints.release(nodes)
     }
     r
@@ -86,20 +95,22 @@ object PageRank {
     val restart = 15L * scale / 100L
     var r = nodes.select(col("id"),
       when(col("id") === source, scale).otherwise(0L).as("rank"))
-    for (_ <- 0 until iters) {
+    // lazy rounds + one eager final materialization — see [[ranks]]
+    val rounds = collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 0 until iters) {
       val m = e.join(r.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("m"))
-      val prev = r
       r = nodes.join(m.withColumnRenamed("dst", "id"), Seq("id"), "left_outer")
         .select(col("id"),
           (when(col("id") === source, restart).otherwise(0L)
             + expr("(85 * coalesce(m, 0L)) DIV 100")).as("rank"))
-        .localCheckpoint(true)
-      Checkpoints.release(prev)
+        .localCheckpoint(i == iters - 1)
+      if (i < iters - 1) rounds += r
     }
     if (iters > 0) {
+      rounds.foreach(Checkpoints.release)
       Checkpoints.release(deg); Checkpoints.release(e); Checkpoints.release(nodes)
     }
     r
