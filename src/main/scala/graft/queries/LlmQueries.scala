@@ -76,7 +76,12 @@ ORDER BY fingerprint
     * mirroring `MinHashDedup.shingleRows`), `CAST('0x'||hex AS BIGINT)`
     * decoding the same uint32 Spark's `conv` produces, and the identical
     * (a_j, b_j) constants interpolated from `MinHashDedup.hashParams`. */
-  val minhashNearDupSql: String = {
+  /** The shared minhash pair chain (norm → shingles → signatures →
+    * banding → candidates → exact Jaccard), ending in CTE
+    * `j(id_a, id_b, jaccard)` with NO final SELECT — reused by
+    * q_minhash_neardup (pairs) and q_incremental_dedup (pairs →
+    * recursive-CTE closure, LlmQueries19). */
+  val minhashPairChainSql: String = {
     val P = MinHashDedup.P
     val mins = MinHashDedup.hashParams(16).zipWithIndex.map { case ((a, b), j) =>
       s"MIN((x * $a + $b) % $P) AS mh$j"
@@ -122,10 +127,12 @@ j AS (
   SELECT id_a, id_b,
          CAST(len(list_filter(a.shingles, v -> list_contains(b.shingles, v))) AS DOUBLE) /
          (len(a.shingles) + len(b.shingles) - len(list_filter(a.shingles, v -> list_contains(b.shingles, v)))) AS jaccard
-  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id)
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id)"""
+  }
+
+  val minhashNearDupSql: String = minhashPairChainSql + """
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7 ORDER BY id_a, id_b
 """
-  }
 
   /** SimHash clusters over md5-derived 32-bit token hashes (exact
     * cross-engine twin below decodes the same bits from md5 hex). */

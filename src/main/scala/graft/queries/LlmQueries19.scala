@@ -60,9 +60,55 @@ comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
 SELECT id, component FROM comp ORDER BY id
 """
 
+  /** END-TO-END incremental dedup-cluster maintenance: the MinHash
+    * near-dup pairs of the corpus are split into a base era
+    * (id_b < 400 — both docs old) and a delta era (id_b ≥ 400 — at
+    * least one new doc, the exact pair set an index probe emits for a
+    * delta batch, q_stream_lsh_index's split); clusters are built on
+    * the base era and the delta era is FOLDED in with
+    * [[IncrementalCC.addEdges]]. The oracle recomputes components over
+    * ALL pairs via recursive closure, so the hash equality proves the
+    * maintained clusters equal a full recompute — the composition a
+    * streaming dedup pipeline runs every batch (probe → fold), now
+    * oracle-checked as one unit. Pair detection itself is
+    * q_minhash_neardup's production operator verbatim; this query's
+    * subject is the maintenance step. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.operators.MinHashDedup.nearDuplicates(
+        docs, "doc_id", graft.functions.TextFns.normalizeText(col("text")),
+        threshold = 0.7)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
+    val basePairs = pairs.filter(col("dst") < 400)
+    val deltaPairs = pairs.filter(col("dst") >= 400)
+    val assign = ConnectedComponents.components(basePairs)
+    IncrementalCC.addEdges(assign, deltaPairs).orderBy("id")
+  }
+
+  /** Twin: the shared minhash pair chain + recursive-CTE closure over
+    * the UNSPLIT pair set — the full recompute the incremental fold
+    * must reproduce. */
+  val incrementalDedupSql: String =
+    LlmQueries.minhashPairChainSql.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+psym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM psym
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN psym s ON r.b = s.src),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT id, component FROM comp ORDER BY id
+"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_incremental_cc" -> (incrementalCC _))
+    "q_incremental_cc" -> (incrementalCC _),
+    "q_incremental_dedup" -> (incrementalDedup _))
 
   val oracles: Map[String, String] = Map(
-    "q_incremental_cc" -> incrementalCCSql)
+    "q_incremental_cc" -> incrementalCCSql,
+    "q_incremental_dedup" -> incrementalDedupSql)
 }
