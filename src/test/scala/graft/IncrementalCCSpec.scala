@@ -53,6 +53,22 @@ class IncrementalCCSpec extends GraftSuite {
       delta = Seq((2L, 3L), (4L, 5L), (8L, 100L)))
   }
 
+  test("plan pin: the assignment joins broadcast the delta-sized side, never sort-merge") {
+    // The operator's 100 TB contract is that the corpus-sized
+    // assignment is scanned with broadcast probes and NEVER shuffled:
+    // a SortMergeJoin on the assignment would re-partition the corpus
+    // per delta batch.
+    val base = (0L until 2000L).map(i => (i, i + 2000L))
+    val delta = Seq((1L, 2001L), (5L, 9999L))
+    val assign = ConnectedComponents.components(edges(base))
+    val out = IncrementalCC.addEdges(assign, edges(delta))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins in:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"assignment-side sort-merge join leaked into:\n${plan.take(2000)}")
+  }
+
   test("randomized split sweep: every split of a fixed edge set agrees with recompute") {
     // deterministic pseudo-random edge set over 40 nodes
     val all = (0 until 120).map { i =>
