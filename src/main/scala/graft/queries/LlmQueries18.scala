@@ -82,11 +82,14 @@ object LlmQueries18 {
     val csize = e.groupBy("label").agg(count(lit(1)).as("n"))
     val touched = assignAll.join(broadcast(csize), Seq("label"))
       .groupBy("nprobe").agg(sum(col("n")).as("t"))
-    val hits = ivfAll.join(brute, Seq("qid", "vec_id"))
+    // brute is a staged k×sample frame and hits is ≤3 rows — broadcast
+    // explicitly rather than leaning on AQE's runtime SMJ→BHJ rescue
+    // (the static plan showed two SortMergeJoins here, r16 plan audit)
+    val hits = ivfAll.join(broadcast(brute), Seq("qid", "vec_id"))
       .groupBy("nprobe").agg(count(lit(1)).as("h"))
     val stats = q.agg(count(lit(1)).as("nq"))
       .crossJoin(e.agg(count(lit(1)).as("n_corpus")))
-    touched.join(hits, Seq("nprobe"), "left")
+    touched.join(broadcast(hits), Seq("nprobe"), "left")
       .crossJoin(broadcast(stats))
       .select(col("nprobe"),
         (coalesce(col("h"), lit(0L)).cast("double") / (col("nq") * k))
