@@ -55,10 +55,17 @@ def check_config(old_path, new_paths):
     plausible and the flags look real. Comparing timings measured at
     different CPU counts is meaningless; error out instead."""
     docs = [(p, json.load(open(p))) for p in [old_path] + list(new_paths)]
-    # Normalize to str: Bench writes cpus as a JSON number, but a
-    # hand-written or external artifact may carry "32" — {"32", 32}
-    # must not trigger a spurious cross-config refusal.
-    stamped = [(p, str(d["cpus"])) for p, d in docs if "cpus" in d]
+    # Normalize numerically: Bench writes cpus as a JSON number, but a
+    # hand-written or external artifact may carry "32" or 32.0 — {"32",
+    # 32, 32.0} must not trigger a spurious cross-config refusal
+    # (ADVICE r16: str() alone still split 32 vs 32.0). Non-numeric
+    # stamps fall back to their string form.
+    def canon_cpus(v):
+        try:
+            return str(int(float(v)))
+        except (TypeError, ValueError):
+            return str(v)
+    stamped = [(p, canon_cpus(d["cpus"])) for p, d in docs if "cpus" in d]
     missing = [p for p, d in docs if "cpus" not in d]
     for p in missing:
         print(f"WARNING: {p} lacks the `cpus` field (pre-r15 artifact) — "

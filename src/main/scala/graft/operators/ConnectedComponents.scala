@@ -42,7 +42,32 @@ object ConnectedComponents {
     * Throws if not converged within `maxIter` rounds (each round roughly
     * halves star depth; 20 covers any graph with diameter < 2^20). */
   def components(edges: DataFrame, srcCol: String = "src",
-                 dstCol: String = "dst", maxIter: Int = 20): DataFrame = {
+                 dstCol: String = "dst", maxIter: Int = 20): DataFrame =
+    componentsWithFinal(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[components]] for callers that immediately STAGE the result (the
+    * IncrementalStage/DedupStage pattern): the output is materialized
+    * as an eager checkpoint and the loop's FINAL internal edge frame is
+    * released. The lazy [[components]] result keeps that final frame
+    * pinned for the session — its blocks are the only copy of the
+    * converged stars and the root-strict [[Checkpoints.release]] cannot
+    * reach them through the derived output (r17; at 100 TB the frame is
+    * component-assignment-sized, one leaked copy per CC invocation).
+    * Returns a checkpoint root the caller owns and may release. */
+  def componentsEager(edges: DataFrame, srcCol: String = "src",
+                      dstCol: String = "dst", maxIter: Int = 20): DataFrame = {
+    val (out, fin) = componentsWithFinal(edges, srcCol, dstCol, maxIter)
+    val staged = out.localCheckpoint(true)
+    Checkpoints.release(fin)
+    staged
+  }
+
+  /** Core loop: returns (lazy output, the final round's checkpointed
+    * edge frame the output derives from) so eager call sites can
+    * release the latter once the former is materialized. */
+  private[operators] def componentsWithFinal(
+      edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 20): (DataFrame, DataFrame) = {
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("src"),
         greatest(col(srcCol), col(dstCol)).as("dst"))
@@ -92,8 +117,9 @@ object ConnectedComponents {
     // dedup once here. Converged star edges are (root, member) in
     // canonical least-first form; add the roots themselves.
     val star = e.distinct()
-    star.select(col("dst").as("id"), col("src").as("component"))
+    val out = star.select(col("dst").as("id"), col("src").as("component"))
       .union(star.select(col("src").as("id"), col("src").as("component")).distinct())
+    (out, e)
   }
 
   /** One row per component: (component, cluster_size). */

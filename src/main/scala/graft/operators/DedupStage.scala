@@ -63,7 +63,6 @@ object DedupStage {
     val sim = SimHash.withSimhash(docs, "doc_id", tokens(normalizeText(col("text"))))
     val hamEdges = SimHash.hammingPairs(sim, "doc_id", nBits = 32, maxDist = 2)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    ConnectedComponents.components(fpEdges.union(hamEdges))
-      .localCheckpoint(true)
+    ConnectedComponents.componentsEager(fpEdges.union(hamEdges))
   }
 }

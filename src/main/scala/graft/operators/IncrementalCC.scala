@@ -50,9 +50,37 @@ object IncrementalCC {
     *               ids orderable like the assignment's
     * @return (id, component) over all of assign's ids plus the delta's
     *         new endpoints — row-identical to
-    *         `ConnectedComponents.components(baseEdges ∪ delta)` */
+    *         `ConnectedComponents.components(baseEdges ∪ delta)`
+    *
+    * Pin contract (ADVICE r16): each invocation stages three eager
+    * delta-sized checkpoints (endpoint ids, pruned lookup, remap) that
+    * the LAZY result consumes — they stay pinned while the returned
+    * frame is alive and are released only with the session. One-shot
+    * batch callers accept that (the frames are delta-sized); a
+    * long-lived per-batch loop must use [[addEdgesEager]], which
+    * releases them before returning. */
   def addEdges(assign: DataFrame, delta: DataFrame,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    addEdgesImpl(assign, delta, srcCol, dstCol)._1
+
+  /** [[addEdges]] for per-batch loops (the streaming fold): the result
+    * is materialized as an EAGER checkpoint and the three staging
+    * frames are released before returning, so a fold leaves exactly ONE
+    * pinned frame — the maintained assignment itself, which the next
+    * fold consumes. The caller owns that pin: release the PREVIOUS
+    * assignment with [[Checkpoints.release]] once the returned frame
+    * replaces it (never before — the release is destructive; see
+    * Checkpoints' ordering contract). */
+  def addEdgesEager(assign: DataFrame, delta: DataFrame,
+                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val (lazyOut, staging) = addEdgesImpl(assign, delta, srcCol, dstCol)
+    val out = lazyOut.localCheckpoint(true)
+    staging.foreach(Checkpoints.release)
+    out
+  }
+
+  private def addEdgesImpl(assign: DataFrame, delta: DataFrame,
+                           srcCol: String, dstCol: String): (DataFrame, Seq[DataFrame]) = {
     val d = delta
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -74,9 +102,12 @@ object IncrementalCC {
         coalesce(col("cdst"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
     // CC over the contracted graph: nodes are affected component roots
-    // and new ids — bounded by the delta
-    val remap = ConnectedComponents.components(contracted)
-      .localCheckpoint(true)
+    // and new ids — bounded by the delta. remap is staged eagerly, so
+    // the loop's final internal frame is releasable right away (r17 —
+    // the lazy components() result would pin it for the session).
+    val (ccOut, ccFinal) = ConnectedComponents.componentsWithFinal(contracted)
+    val remap = ccOut.localCheckpoint(true)
+    Checkpoints.release(ccFinal)
     val updatedExisting = a
       .join(broadcast(remap.select(col("id").as("component"),
         col("component").as("newc"))), Seq("component"), "left")
@@ -88,6 +119,71 @@ object IncrementalCC {
     val updatedNew = newIds
       .join(broadcast(remap), Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    updatedExisting.union(updatedNew)
+    (updatedExisting.union(updatedNew), Seq(dIds, lookup, remap))
+  }
+
+  /** Decremental maintenance: retract a batch of edges from the graph an
+    * existing assignment was computed over — takedowns, license changes,
+    * document deletions — without recomputing components over the full
+    * remaining edge set. Removal can SPLIT a component, which the
+    * assignment alone cannot resolve, so unlike [[addEdges]] this needs
+    * the surviving edges: CC re-runs on the induced subgraph of the
+    * TOUCHED components only.
+    *
+    * Algorithm:
+    *   1. touched = components containing any deleted-edge endpoint —
+    *      ≤ 2·|deletes| component ids (broadcast);
+    *   2. members = assignment rows of touched components (the corpus
+    *      scanned once, semi-pruned by the broadcast component set);
+    *   3. induced surviving subgraph = edges whose src is a touched
+    *      member (components are edge-closed, so one endpoint decides)
+    *      minus the deleted pairs (broadcast anti-join);
+    *   4. recompute CC on that subgraph; untouched rows pass through
+    *      (broadcast anti on the component id).
+    *
+    * Nodes of touched components that lose their last edge drop out of
+    * the result — exactly [[ConnectedComponents.components]]' contract
+    * (only nodes appearing in edges are assigned), so the output is
+    * row-identical to a full recompute over `edges ∖ deletes`.
+    *
+    * 100 TB shape: the assignment and the edge set are each SCANNED
+    * once or twice and SHUFFLED never — every join probe (touched ids,
+    * deleted pairs, touched members) is broadcast. The recompute is
+    * bounded by the touched components' induced subgraph: for dedup
+    * clusters those are near-dup clusters — small by construction; a
+    * retraction inside a corpus-spanning giant component degenerates to
+    * recomputing that component, which is inherent to deletion, not to
+    * this operator. Pin contract: three eager staging checkpoints
+    * (deleted pairs, touched ids, members — delete/affected-sized) stay
+    * pinned while the lazy result is alive, as in [[addEdges]].
+    *
+    * @param assign  existing (id, component) rows over `edges`
+    *                (min-member-id components)
+    * @param edges   the FULL edge set the assignment was computed over
+    * @param deletes edges to retract (orientation-insensitive; rows not
+    *                present in `edges` are ignored)
+    * @return (id, component) row-identical to
+    *         `ConnectedComponents.components(edges ∖ deletes)` */
+  def removeEdges(assign: DataFrame, edges: DataFrame, deletes: DataFrame,
+                  srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col(srcCol), col(dstCol)).as("src"),
+        greatest(col(srcCol), col(dstCol)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val a = assign.select(col("id"), col("component"))
+    val del = canon(deletes).distinct().localCheckpoint(true)
+    val delIds = del.select(col("src").as("id"))
+      .union(del.select(col("dst").as("id"))).distinct()
+    val touched = a.join(broadcast(delIds), Seq("id"), "left_semi")
+      .select(col("component")).distinct().localCheckpoint(true)
+    val members = a.join(broadcast(touched), Seq("component"), "left_semi")
+      .select(col("id")).localCheckpoint(true)
+    val induced = canon(edges)
+      .join(broadcast(members.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+      .join(broadcast(del), Seq("src", "dst"), "left_anti")
+    val recomputed = ConnectedComponents.components(induced)
+    val untouched = a.join(broadcast(touched), Seq("component"), "left_anti")
+    untouched.select(col("id"), col("component"))
+      .union(recomputed.select(col("id"), col("component")))
   }
 }

@@ -27,9 +27,11 @@ object IncrementalStage {
 
   val CcOwner = "q_incremental_cc"
   val DedupOwner = "q_incremental_dedup"
+  val DecOwner = "q_decremental_cc"
 
   private val cc = new graft.SessionMemo[String, DataFrame]()
   private val dedup = new graft.SessionMemo[String, (DataFrame, DataFrame)]()
+  private val dec = new graft.SessionMemo[String, DataFrame]()
 
   private def allEdges(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
@@ -42,10 +44,9 @@ object IncrementalStage {
   def ccBaseAssign(s: SparkSession, dir: String): DataFrame =
     cc(s, dir) {
       StagedOnce.timedBuild(s, s"iccbase|$dir", CcOwner, dir) {
-        ConnectedComponents.components(
-            allEdges(s, dir).filter(col("l_linenumber") % 7 =!= 0)
-              .select("src", "dst"))
-          .localCheckpoint(true)
+        ConnectedComponents.componentsEager(
+          allEdges(s, dir).filter(col("l_linenumber") % 7 =!= 0)
+            .select("src", "dst"))
       }
     }
 
@@ -53,6 +54,47 @@ object IncrementalStage {
     * recomputed per invocation like any delta batch would be read. */
   def ccDeltaEdges(s: SparkSession, dir: String): DataFrame =
     allEdges(s, dir).filter(col("l_linenumber") % 7 === 0).select("src", "dst")
+
+  /** q_decremental_cc's graph: per-order CHAINS — node o·8+ln links to
+    * its successor, so components are order-sized (≤ 8 nodes) and the
+    * graph has MANY SMALL components, the shape dedup clusters actually
+    * have. The first cut of this query used the dense incremental graph
+    * (a handful of giant components): there every takedown touched
+    * every component and the "delta-cost" probe silently degenerated to
+    * a full recompute, 3.6 s per invocation at sf0.1 — measuring the
+    * operator's worst case, not its law. Edges scale with the corpus
+    * (~457k at sf0.1); the distinct absorbs the testdata's planted
+    * duplicate (l_orderkey, l_linenumber) rows. (src, dst) determines
+    * (o, ln), so the delete predicate is well-defined per edge. */
+  private def chainEdges(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).as("src"),
+        (col("l_orderkey") * 8 + col("l_linenumber") + 1).as("dst"),
+        col("l_orderkey").as("o"), col("l_linenumber").as("ln"))
+      .distinct()
+
+  def decAllEdges(s: SparkSession, dir: String): DataFrame =
+    chainEdges(s, dir).select("src", "dst")
+
+  /** The retraction batch — a LOCALIZED takedown (every 97th order loses
+    * its mid-chain links, ~0.26% of edges), so touched components are a
+    * sliver of the graph and the probe's recompute is delta-sized: the
+    * production regime the operator exists for. Chains split where the
+    * deleted link was interior; nodes whose only link goes drop out. */
+  def decDeleteEdges(s: SparkSession, dir: String): DataFrame =
+    chainEdges(s, dir)
+      .filter(col("o") % 97 === 0 && col("ln") % 3 === 0)
+      .select("src", "dst")
+
+  /** Base assignment for q_decremental_cc: components over the FULL
+    * edge set — the state a production pipeline has on disk before the
+    * takedown batch arrives. Staged once per (session, dir). */
+  def decBaseAssign(s: SparkSession, dir: String): DataFrame =
+    dec(s, dir) {
+      StagedOnce.timedBuild(s, s"decbase|$dir", DecOwner, dir) {
+        ConnectedComponents.componentsEager(decAllEdges(s, dir))
+      }
+    }
 
   /** (all near-dup pairs, base-era assignment) for q_incremental_dedup:
     * the MinHash pair set over the corpus (canonical id_a < id_b) and
@@ -68,8 +110,7 @@ object IncrementalStage {
           .select(col("id_a").as("src"), col("id_b").as("dst"))
           .localCheckpoint(true)
         val assign = ConnectedComponents
-          .components(pairs.filter(col("dst") < 400))
-          .localCheckpoint(true)
+          .componentsEager(pairs.filter(col("dst") < 400))
         (pairs, assign)
       }
     }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, IncrementalCC}
+
+/** IncrementalCC.removeEdges must be row-identical to a full
+  * ConnectedComponents recompute over `edges ∖ deletes` — retraction at
+  * delta cost, including the cases addEdges can never produce:
+  * components SPLITTING and nodes DROPPING OUT when their last edge
+  * goes. Cases: splits, last-edge drops, whole-component removal,
+  * untouched pass-through, orientation-insensitive deletes, deletes of
+  * absent edges, and a randomized delete sweep (the IncrementalCCSpec
+  * template, VERDICT r16 #2). */
+class DecrementalCCSpec extends GraftSuite {
+
+  import spark.implicits._
+
+  private def edges(pairs: Seq[(Long, Long)]): DataFrame =
+    pairs.toDF("src", "dst")
+
+  private def sortedRows(df: DataFrame): Seq[(Long, Long)] =
+    df.select(col("id").cast("long"), col("component").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  private def canon(e: (Long, Long)): (Long, Long) =
+    (math.min(e._1, e._2), math.max(e._1, e._2))
+
+  private def check(base: Seq[(Long, Long)], deletes: Seq[(Long, Long)]): Unit = {
+    val assign = ConnectedComponents.components(edges(base))
+    val dec = IncrementalCC.removeEdges(assign, edges(base), edges(deletes))
+    val kept = base.map(canon).distinct
+      .filterNot(deletes.map(canon).toSet)
+      .filter(e => e._1 != e._2)
+    val full = ConnectedComponents.components(edges(kept))
+    assert(sortedRows(dec) == sortedRows(full),
+      s"decremental != recompute for base=$base deletes=$deletes")
+  }
+
+  test("deleting a bridge splits one component into two") {
+    check(base = Seq((1L, 2L), (2L, 3L), (3L, 4L)), deletes = Seq((2L, 3L)))
+  }
+
+  test("a node that loses its last edge drops out of the assignment") {
+    check(base = Seq((1L, 2L), (2L, 3L)), deletes = Seq((1L, 2L)))
+  }
+
+  test("deleting every edge of a component removes it entirely") {
+    check(base = Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      deletes = Seq((1L, 2L), (2L, 3L)))
+  }
+
+  test("untouched components pass through unchanged") {
+    val base = Seq((1L, 2L), (10L, 11L), (11L, 12L), (20L, 21L))
+    val assign = ConnectedComponents.components(edges(base))
+    val out = IncrementalCC.removeEdges(assign, edges(base), edges(Seq((1L, 2L))))
+    val expect = sortedRows(assign).filterNot { case (id, _) => id == 1L || id == 2L }
+    assert(sortedRows(out) == expect)
+  }
+
+  test("deletes are orientation-insensitive") {
+    check(base = Seq((1L, 2L), (2L, 3L)), deletes = Seq((3L, 2L)))
+  }
+
+  test("deleting an edge that was never present changes nothing") {
+    val base = Seq((1L, 2L), (2L, 3L))
+    val assign = ConnectedComponents.components(edges(base))
+    val out = IncrementalCC.removeEdges(assign, edges(base), edges(Seq((7L, 8L))))
+    assert(sortedRows(out) == sortedRows(assign))
+  }
+
+  test("redundant edge: deletion keeps the component connected via the other path") {
+    // triangle: removing one side leaves the component intact
+    check(base = Seq((1L, 2L), (2L, 3L), (1L, 3L)), deletes = Seq((1L, 3L)))
+  }
+
+  test("plan pin: assignment and edge scans take broadcast probes, never sort-merge") {
+    // removeEdges' 100 TB contract: the corpus-sized assignment and edge
+    // set are scanned with broadcast semi/anti probes and never
+    // shuffled; the only recompute is the touched components' induced
+    // subgraph (behind a checkpoint in the final plan).
+    val base = (0L until 2000L).map(i => (i, i + 2000L)) ++
+      Seq((1L, 3L), (3L, 5L))
+    val assign = ConnectedComponents.components(edges(base))
+    val out = IncrementalCC.removeEdges(assign, edges(base), edges(Seq((3L, 5L))))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins in:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"assignment-side sort-merge join leaked into:\n${plan.take(2000)}")
+  }
+
+  test("randomized delete sweep: every delete slice of a fixed edge set agrees with recompute") {
+    // deterministic pseudo-random edge set over 40 nodes — sparse enough
+    // (60 edges pre-dedup) that slices genuinely split components
+    val all = (0 until 60).map { i =>
+      val a = (i * 7919L) % 40
+      val b = (i * 104729L + 13) % 40
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    Seq(2, 3, 5).foreach { mod =>
+      val deletes = all.zipWithIndex.collect { case (e, i) if i % mod == 0 => e }
+      check(all, deletes)
+    }
+  }
+}

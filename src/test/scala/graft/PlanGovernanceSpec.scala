@@ -95,7 +95,8 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_mixture_sample",
       "q_hard_negatives", // the q_knn_bruteforce shape: broadcast 8-anchor set × corpus
       "q_ann_recall", // the exhaustive-baseline side of the recall audit: broadcast 32-query sample × corpus + the q_ann_ivf assignment shape
-      "q_ann_sweep" // q_ann_recall's shapes × 3 nprobe points + singleton (nq, n_corpus) stats row
+      "q_ann_sweep", // q_ann_recall's shapes × 3 nprobe points + singleton (nq, n_corpus) stats row
+      "q_ann_drift_recall" // probeFrames' broadcast k-row centroid assignment (the q_ann_ivf shape) × two eras + singleton nq row
     )
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
