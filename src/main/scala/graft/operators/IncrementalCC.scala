@@ -154,8 +154,10 @@ object IncrementalCC {
     * retraction inside a corpus-spanning giant component degenerates to
     * recomputing that component, which is inherent to deletion, not to
     * this operator. Pin contract: three eager staging checkpoints
-    * (deleted pairs, touched ids, members — delete/affected-sized) stay
-    * pinned while the lazy result is alive, as in [[addEdges]].
+    * (deleted pairs, touched ids, members — delete/affected-sized) plus
+    * the recompute's final internal frame stay pinned while the lazy
+    * result is alive, as in [[addEdges]]; per-batch loops use
+    * [[removeEdgesEager]], which releases all four.
     *
     * @param assign  existing (id, component) rows over `edges`
     *                (min-member-id components)
@@ -165,7 +167,25 @@ object IncrementalCC {
     * @return (id, component) row-identical to
     *         `ConnectedComponents.components(edges ∖ deletes)` */
   def removeEdges(assign: DataFrame, edges: DataFrame, deletes: DataFrame,
-                  srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+                  srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    removeEdgesImpl(assign, edges, deletes, srcCol, dstCol)._1
+
+  /** [[removeEdges]] for per-batch loops — [[addEdgesEager]]'s contract
+    * mirrored: result staged eagerly, the three staging frames AND the
+    * induced-subgraph CC's final internal frame released before
+    * returning; the caller owns (and releases) exactly one maintained
+    * assignment generation. */
+  def removeEdgesEager(assign: DataFrame, edges: DataFrame, deletes: DataFrame,
+                       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val (lazyOut, staging) = removeEdgesImpl(assign, edges, deletes, srcCol, dstCol)
+    val out = lazyOut.localCheckpoint(true)
+    staging.foreach(Checkpoints.release)
+    out
+  }
+
+  private def removeEdgesImpl(assign: DataFrame, edges: DataFrame,
+                              deletes: DataFrame, srcCol: String,
+                              dstCol: String): (DataFrame, Seq[DataFrame]) = {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col(srcCol), col(dstCol)).as("src"),
         greatest(col(srcCol), col(dstCol)).as("dst"))
@@ -181,9 +201,13 @@ object IncrementalCC {
     val induced = canon(edges)
       .join(broadcast(members.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
       .join(broadcast(del), Seq("src", "dst"), "left_anti")
-    val recomputed = ConnectedComponents.components(induced)
+    // the recompute's final internal frame rides in the staging list:
+    // the eager wrapper may release it once the result materializes,
+    // the lazy form leaves it pinned (the result derives from it)
+    val (recomputed, ccFinal) = ConnectedComponents.componentsWithFinal(induced)
     val untouched = a.join(broadcast(touched), Seq("component"), "left_anti")
-    untouched.select(col("id"), col("component"))
+    val out = untouched.select(col("id"), col("component"))
       .union(recomputed.select(col("id"), col("component")))
+    (out, Seq(del, touched, members, ccFinal))
   }
 }

@@ -82,9 +82,15 @@ object IncrementalStage {
     * production regime the operator exists for. Chains split where the
     * deleted link was interior; nodes whose only link goes drop out. */
   def decDeleteEdges(s: SparkSession, dir: String): DataFrame =
+    decDeleteEdgesTagged(s, dir).select("src", "dst")
+
+  /** The takedown batch with its order key exposed, so
+    * q_stream_decremental_cc can split it into micro-batches by a
+    * deterministic function of the order. */
+  def decDeleteEdgesTagged(s: SparkSession, dir: String): DataFrame =
     chainEdges(s, dir)
       .filter(col("o") % 97 === 0 && col("ln") % 3 === 0)
-      .select("src", "dst")
+      .select("src", "dst", "o")
 
   /** Base assignment for q_decremental_cc: components over the FULL
     * edge set — the state a production pipeline has on disk before the

@@ -152,11 +152,81 @@ comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
 SELECT id, component FROM comp ORDER BY id
 """
 
+  /** Decremental maintenance AS A STREAM — takedown batches arrive as
+    * micro-batches and each is folded into the maintained assignment
+    * via [[IncrementalCC.removeEdgesEager]]: the retraction mirror of
+    * q_stream_incremental_dedup, closing the maintenance matrix
+    * (add/remove × batch/stream). Removal is compositional — deleting
+    * D1 then D2 equals deleting D1 ∪ D2 — so the oracle is the same
+    * closure over edges minus ALL takedowns that q_decremental_cc
+    * proves; what this query adds is the carried STATE: each batch's
+    * probe runs against the assignment the previous batches left,
+    * and against the CURRENT edge set (original minus prior takedowns
+    * — the edge table a production pipeline reads, modeled here as a
+    * broadcast anti-join of the accumulated small delete frame).
+    * Per-batch cost: two broadcast-pruned scans + a touched-chains CC;
+    * exactly one assignment generation live at a time. */
+  def streamDecrementalCC(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val outDir = s"target/sdec_out_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val deletes = StreamQueries.slice(s, dir, "q_stream_decremental_cc") {
+      IncrementalStage.decDeleteEdgesTagged(s, dir)
+        .select(col("src").cast("long"), col("dst").cast("long"),
+          expr("(o div 97) % 3").cast("int").as("batch"))
+        .orderBy("src", "dst").as[(Long, Long, Int)].collect()
+    }
+    require(deletes.nonEmpty, "empty takedown slice")
+    val batches = (0 until 3)
+      .map(b => deletes.filter(_._3 == b).map(d => (d._1, d._2)).toSeq)
+      .filter(_.nonEmpty)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPart = s.conf.get(partKey)
+    s.conf.set(partKey, "4")
+    var assign = IncrementalStage.decBaseAssign(s, dir)
+    val baseAssign = assign
+    var removed: DataFrame = null // accumulated takedowns (small, staged)
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("src", "dst")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        val current =
+          if (removed == null) IncrementalStage.decAllEdges(s, dir)
+          else IncrementalStage.decAllEdges(s, dir)
+            .join(broadcast(removed), Seq("src", "dst"), "left_anti")
+        val next = IncrementalCC.removeEdgesEager(assign, current, b)
+        if (assign ne baseAssign) Checkpoints.release(assign)
+        assign = next
+        val nextRemoved =
+          (if (removed == null) b else removed.union(b)).localCheckpoint(true)
+        if (removed != null) Checkpoints.release(removed)
+        removed = nextRemoved
+        Checkpoints.release(b)
+      }
+      .start()
+    try batches.foreach { bt => in.addData(bt); q.processAllAvailable() }
+    finally {
+      q.stop()
+      s.conf.set(partKey, prevPart)
+    }
+    assign.orderBy("id").write.mode("overwrite").parquet(outDir)
+    if (assign ne baseAssign) Checkpoints.release(assign)
+    if (removed != null) Checkpoints.release(removed)
+    s.read.parquet(outDir).orderBy("id")
+  }
+
+  /** Twin: identical to q_decremental_cc's — the batched retractions
+    * must land exactly where the one-shot retraction lands. */
+  val streamDecrementalCCSql: String = decrementalCCSql
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_incremental_dedup" -> (streamIncrementalDedup _),
-    "q_decremental_cc" -> (decrementalCC _))
+    "q_decremental_cc" -> (decrementalCC _),
+    "q_stream_decremental_cc" -> (streamDecrementalCC _))
 
   val oracles: Map[String, String] = Map(
     "q_stream_incremental_dedup" -> streamIncrementalDedupSql,
-    "q_decremental_cc" -> decrementalCCSql)
+    "q_decremental_cc" -> decrementalCCSql,
+    "q_stream_decremental_cc" -> streamDecrementalCCSql)
 }

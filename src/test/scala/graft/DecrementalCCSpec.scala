@@ -91,6 +91,32 @@ class DecrementalCCSpec extends GraftSuite {
       s"assignment-side sort-merge join leaked into:\n${plan.take(2000)}")
   }
 
+  test("streamed retractions: per-batch eager folds carry state and land on the one-shot result") {
+    import graft.operators.Checkpoints
+    // chain 1-2-3-4 plus an untouched chain; batch 1 splits the long
+    // chain, batch 2 deletes the split-off pair's last edge so both its
+    // nodes drop — each fold probing the PREVIOUS fold's assignment and
+    // the current (post-takedown) edge set, q_stream_decremental_cc's
+    // exact loop shape.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+    var assign = ConnectedComponents.componentsEager(edges(base))
+    var removed = Set.empty[(Long, Long)]
+    val batches = Seq(Seq((2L, 3L)), Seq((3L, 4L)))
+    batches.zipWithIndex.foreach { case (d, i) =>
+      val current = edges(base.filterNot(removed))
+      val next = IncrementalCC.removeEdgesEager(assign, current, edges(d))
+      Checkpoints.release(assign)
+      assign = next
+      removed ++= d
+      if (i == 0)
+        assert(sortedRows(assign) == Seq((1L, 1L), (2L, 1L), (3L, 3L),
+          (4L, 3L), (10L, 10L), (11L, 10L), (12L, 10L)))
+    }
+    assert(sortedRows(assign) ==
+      Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)))
+    Checkpoints.release(assign)
+  }
+
   test("randomized delete sweep: every delete slice of a fixed edge set agrees with recompute") {
     // deterministic pseudo-random edge set over 40 nodes — sparse enough
     // (60 edges pre-dedup) that slices genuinely split components
