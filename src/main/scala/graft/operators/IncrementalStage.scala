@@ -120,4 +120,19 @@ object IncrementalStage {
         (pairs, assign)
       }
     }
+
+  val RetractOwner = "q_dedup_retraction"
+
+  private val dedupFull = new graft.SessionMemo[String, DataFrame]()
+
+  /** The LIVE dedup-cluster assignment — components over the corpus's
+    * full MinHash pair set (shares [[dedupBase]]'s staged pair frame) —
+    * the state q_dedup_retraction applies document takedowns to.
+    * Staged once per (session, dir). */
+  def dedupFullAssign(s: SparkSession, dir: String): DataFrame =
+    dedupFull(s, dir) {
+      StagedOnce.timedBuild(s, s"idedupfull|$dir", RetractOwner, dir) {
+        ConnectedComponents.componentsEager(dedupBase(s, dir)._1)
+      }
+    }
 }

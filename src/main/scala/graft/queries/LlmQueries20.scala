@@ -220,13 +220,52 @@ SELECT id, component FROM comp ORDER BY id
     * must land exactly where the one-shot retraction lands. */
   val streamDecrementalCCSql: String = decrementalCCSql
 
+  /** DOCUMENT retraction from the LIVE dedup state — q_decremental_cc
+    * applied the retraction operator to an abstract graph; this query
+    * applies it to the thing a corpus pipeline actually maintains: the
+    * MinHash near-dup cluster assignment. A takedown list (every 7th
+    * doc: doc_id % 7 = 1 — ~9 of the 47 clustered docs at the gate
+    * scale, so retractions genuinely hit clusters) removes those docs'
+    * PAIRS (edges incident to
+    * a retracted doc) from the staged full-corpus assignment via
+    * [[IncrementalCC.removeEdges]] — a retracted doc loses every edge
+    * and drops out of the assignment automatically; survivors' clusters
+    * split or re-root exactly as a from-scratch recompute over the
+    * surviving pairs would (the oracle). Cost: broadcast-pruned scans of
+    * the pair set and assignment plus CC over the touched clusters only
+    * — near-dup clusters are small by construction, so the recompute is
+    * takedown-proportional, never corpus-proportional. */
+  def dedupRetraction(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = IncrementalStage.dedupBase(s, dir)
+    val assign = IncrementalStage.dedupFullAssign(s, dir)
+    val deletes = pairs.filter(
+      col("src") % 7 === 1 || col("dst") % 7 === 1)
+    IncrementalCC.removeEdges(assign, pairs, deletes).orderBy("id")
+  }
+
+  /** Twin: the shared minhash pair chain with the retracted docs'
+    * pairs filtered out of the closure — derived from
+    * q_incremental_dedup's twin by text substitution (the lshIndexSql
+    * discipline: composites may not drift from their base chains). */
+  val dedupRetractionSql: String = {
+    val base = LlmQueries19.incrementalDedupSql
+    val anchor = "pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7)"
+    val swapped = base.replace(anchor,
+      "pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7 " +
+        "AND id_a % 7 <> 1 AND id_b % 7 <> 1)")
+    require(swapped != base, "minhash twin anchor moved; update dedupRetractionSql")
+    swapped
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_incremental_dedup" -> (streamIncrementalDedup _),
     "q_decremental_cc" -> (decrementalCC _),
-    "q_stream_decremental_cc" -> (streamDecrementalCC _))
+    "q_stream_decremental_cc" -> (streamDecrementalCC _),
+    "q_dedup_retraction" -> (dedupRetraction _))
 
   val oracles: Map[String, String] = Map(
     "q_stream_incremental_dedup" -> streamIncrementalDedupSql,
     "q_decremental_cc" -> decrementalCCSql,
-    "q_stream_decremental_cc" -> streamDecrementalCCSql)
+    "q_stream_decremental_cc" -> streamDecrementalCCSql,
+    "q_dedup_retraction" -> dedupRetractionSql)
 }
