@@ -61,8 +61,14 @@ def check_config(old_path, new_paths):
     # (ADVICE r16: str() alone still split 32 vs 32.0). Non-numeric
     # stamps fall back to their string form.
     def canon_cpus(v):
+        # Only collapse INTEGRAL floats ({"32", 32, 32.0} -> "32"):
+        # truncating a fractional stamp (cpus=32.9) would silently
+        # bypass the cross-config refusal this guard exists to enforce
+        # (ADVICE r17) -- non-integral values keep their string form
+        # and refuse against 32.
         try:
-            return str(int(float(v)))
+            f = float(v)
+            return str(int(f)) if f.is_integer() else str(v)
         except (TypeError, ValueError):
             return str(v)
     stamped = [(p, canon_cpus(d["cpus"])) for p, d in docs if "cpus" in d]

@@ -78,10 +78,12 @@ object KMeans {
       .select(col("cid"), col(vecCol).as("cv"))
       .localCheckpoint(true)
     var cents = seedCents
-    // lazy rounds + one eager final materialization (r16): Lloyd's has
-    // no per-round driver action, so eager-per-round checkpoints were
-    // iters standalone jobs; lazy keeps lineage round-sized and the
-    // final eager checkpoint materializes the pipelined loop in one
+    // lazy per-round checkpoints (r16; comment corrected r18): assign()
+    // collects the centroids at the top of every round, so that driver
+    // action forces each round regardless of eagerness — the rounds do
+    // NOT collapse into one final job. What lazy buys is skipping the
+    // SEPARATE materialization job an eager checkpoint adds per round
+    // (iters extra jobs), while keeping lineage round-sized
     // (see PageRank.ranks / tools/PrAb)
     val rounds = collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to iters) {

@@ -78,11 +78,59 @@ object MinHashIndex {
       idCol, nHashes, bands)
       .repartition(col("band"))
 
-  /** Stage the corpus bucket table at `dir` (overwrite). */
+  /** Union of the layers' tombstone sets — one `id` column — or None if
+    * no layer has ever retracted. Tombstone files are takedown-sized,
+    * so the union is broadcast-cheap at any corpus scale. */
+  private def tombstoneUnion(spark: SparkSession,
+                             dirs: Seq[String]): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val existing = dirs.map(d => new Path(s"$d/tombstones")).filter { p =>
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (existing.isEmpty) None
+    else Some(existing.map(p => spark.read.parquet(p.toString))
+      .reduce(_.unionByName(_)).distinct())
+  }
+
+  /** Retract docs from the index — the takedown path (r18, VERDICT r17
+    * #1): without it a takedown cleans the cluster ASSIGNMENT
+    * ([[IncrementalCC.removeEdges]]) but the retracted docs' signatures
+    * stay staged, so every later probe re-emits pairs against deleted
+    * docs and the next fold re-inserts their edges. Rewriting the base
+    * for each takedown would be corpus-proportional, so retraction is a
+    * TOMBSTONE overlay instead: append the ids to `dir/tombstones`
+    * (takedown-sized write, nothing else touched), [[probeNewMulti]]
+    * anti-joins every layer's bucket rows against the broadcast
+    * tombstone union BEFORE bucket-width/representative aggregation —
+    * so the filtered index behaves exactly as if the docs were never
+    * staged — and [[compact]] purges tombstoned rows physically and
+    * clears the tombstones. Contract: ids are arrival-ordered and never
+    * reused (re-appending a retracted id would be filtered forever);
+    * retracting an id the index never staged is a no-op. */
+  def retract(spark: SparkSession, dir: String, ids: DataFrame,
+              idCol: String): Unit = {
+    // same loud-failure discipline as append: retracting against a
+    // pre-r14 layer would "succeed" while probes keep missing pairs
+    assertBucketFormat(spark.read.parquet(s"$dir/buckets"), dir)
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  /** Stage the corpus bucket table at `dir` (overwrite). Resets the
+    * whole index ROOT, not just `buckets`: stale tombstones left by a
+    * prior generation's [[retract]] would silently filter the new
+    * corpus's docs out of every probe (found the hard way in r18 —
+    * build-overwrite inherited a draft run's tombstones). */
   def build(docs: DataFrame, idCol: String, textNorm: Column, dir: String,
-            nHashes: Int = 16, bands: Int = 4): Unit =
+            nHashes: Int = 16, bands: Int = 4): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ts = new Path(s"$dir/tombstones")
+    ts.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(ts, true)
     bucketRows(docs, idCol, textNorm, nHashes, bands)
       .write.mode("overwrite").partitionBy("band").parquet(s"$dir/buckets")
+  }
 
   /** Append a delta batch's bucket rows — per-doc work only. Validates
     * the existing directory's format first: appending long-bucket files
@@ -122,9 +170,20 @@ object MinHashIndex {
     // partition discovery (CONFLICTING_DIRECTORY_STRUCTURES — each root
     // carries its own band=N dirs); per-layer reads keep each root's
     // band-partition pruning intact and the union is by name.
-    val staged = dirs
+    val live = dirs
       .map(d => assertBucketFormat(spark.read.parquet(s"$d/buckets"), d))
       .reduce(_.unionByName(_))
+    // Tombstoned docs are filtered BEFORE the bucket-width/representative
+    // aggregation: a retracted doc may neither pair nor hold a bucket's
+    // min-id representative slot nor count toward the mega-bucket cap —
+    // the filtered index must behave exactly like one built without the
+    // retracted docs (spec-asserted probe equivalence).
+    val staged = tombstoneUnion(spark, dirs) match {
+      case Some(t) =>
+        live.join(broadcast(t.withColumnRenamed("id", idCol)),
+          Seq(idCol), "left_anti")
+      case None => live
+    }
     // Eagerly staged, same reason as MinHashDedup.candidatePairs (r14):
     // the anti-join and star-join broadcasts would each rebuild the
     // aggregate over the full staged read otherwise.
@@ -181,14 +240,30 @@ object MinHashIndex {
     * facts (no geometry, no ordering), so the compacted base is
     * SET-EQUAL to the layered index and probes return identical
     * results before and after — [[MinHashIndexCompactionSpec]] asserts
-    * exactly that invariance. Contract: single maintainer, no
-    * concurrent probes during the swap. */
+    * exactly that invariance. Tombstoned rows ([[retract]]) are purged
+    * physically in the rewrite and the tombstone files cleared, so
+    * compaction also bounds the tombstone filter's size. Contract:
+    * single maintainer, no concurrent probes during the swap. */
   def compact(spark: SparkSession, baseDir: String,
               overlayDirs: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
-    val union = (baseDir +: overlayDirs)
+    val dirs = baseDir +: overlayDirs
+    val raw = dirs
       .map(d => assertBucketFormat(spark.read.parquet(s"$d/buckets"), d))
       .reduce(_.unionByName(_))
+    // Purge tombstoned rows physically during the rewrite ([[retract]]'s
+    // deferred half): the compacted base then needs no tombstone filter,
+    // and the tombstone files are cleared after the swap — a crash in
+    // between leaves stale tombstones whose rows are already gone, which
+    // the probe-time anti-join treats as a no-op (still correct).
+    val union = tombstoneUnion(spark, dirs) match {
+      case Some(t) =>
+        val idName = raw.schema.fieldNames
+          .filterNot(Set("band", "bucket")).head
+        raw.join(broadcast(t.withColumnRenamed("id", idName)),
+          Seq(idName), "left_anti")
+      case None => raw
+    }
     val tmp = s"$baseDir/buckets__compacting"
     // Cluster by band BEFORE the partitioned write: without it every
     // task emits up to one file per band and the rewrite can retain or
@@ -206,6 +281,7 @@ object MinHashIndex {
       throw new java.io.IOException(
         s"index compaction: rename $tmp -> $p failed; original intact at $old")
     fs.delete(old, true)
+    fs.delete(new Path(s"$baseDir/tombstones"), true) // purged in the rewrite
     overlayDirs.foreach(d => fs.delete(new Path(d), true))
   }
 }

@@ -61,15 +61,24 @@ object LlmQueries20 {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(overlay), true)
     val delta = StreamQueries.slice(s, dir, "q_stream_incremental_dedup") {
+      // StreamRowCap is the slice contract's hard guard (ADVICE r17):
+      // without the limit a 10x/100x tier-dir run would collect the
+      // whole grown delta to the driver. orderBy before limit keeps the
+      // slice a contiguous id PREFIX, which the probe's minNewId
+      // batching below depends on.
       docs.filter(col("doc_id") >= 400)
         .select(col("doc_id").cast("long"), col("text"))
-        .orderBy("doc_id").as[(Long, String)].collect()
+        .orderBy("doc_id").limit(StreamQueries.StreamRowCap)
+        .as[(Long, String)].collect()
     }
     require(delta.nonEmpty, "empty delta slice")
-    val batches = Seq(
-      delta.filter(_._1 < 434).toSeq,
-      delta.filter(d => d._1 >= 434 && d._1 < 467).toSeq,
-      delta.filter(_._1 >= 467).toSeq).filter(_.nonEmpty)
+    // Positional thirds instead of fixed id cutoffs (ADVICE r17: the
+    // 434/467 literals put ~98% of the sf0.1 delta into batch 3):
+    // batches stay comparable across scale dirs, and each batch is a
+    // contiguous ascending id slice, so "ids >= this batch's min are
+    // exactly this batch" — the probe's minNewId contract — holds.
+    val batches = delta.toSeq
+      .grouped(math.max((delta.length + 2) / 3, 1)).toSeq.filter(_.nonEmpty)
     // Per-batch jobs shuffle kilobyte-scale bucket/pair rows — task
     // overhead dominates at 32 partitions (the q_stream_lsh_index
     // measurement); result is partition-count independent.
@@ -171,20 +180,26 @@ SELECT id, component FROM comp ORDER BY id
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val outDir = s"target/sdec_out_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val deletes = StreamQueries.slice(s, dir, "q_stream_decremental_cc") {
+      // the slice contract's StreamRowCap hard guard (ADVICE r17)
       IncrementalStage.decDeleteEdgesTagged(s, dir)
         .select(col("src").cast("long"), col("dst").cast("long"),
           expr("(o div 97) % 3").cast("int").as("batch"))
-        .orderBy("src", "dst").as[(Long, Long, Int)].collect()
+        .orderBy("src", "dst").limit(StreamQueries.StreamRowCap)
+        .as[(Long, Long, Int)].collect()
     }
     require(deletes.nonEmpty, "empty takedown slice")
     val batches = (0 until 3)
       .map(b => deletes.filter(_._3 == b).map(d => (d._1, d._2)).toSeq)
       .filter(_.nonEmpty)
+    // Resolve the staged base BEFORE narrowing partitions (ADVICE r17:
+    // if this query stages it first — scoped run, Verify ordering —
+    // the corpus-sized base CC build must run at the session config,
+    // not the per-batch 4-partition one).
+    var assign = IncrementalStage.decBaseAssign(s, dir)
+    val baseAssign = assign
     val partKey = "spark.sql.shuffle.partitions"
     val prevPart = s.conf.get(partKey)
     s.conf.set(partKey, "4")
-    var assign = IncrementalStage.decBaseAssign(s, dir)
-    val baseAssign = assign
     var removed: DataFrame = null // accumulated takedowns (small, staged)
     val in = MemoryStream[(Long, Long)]
     val q = in.toDF().toDF("src", "dst")

@@ -110,6 +110,64 @@ class MinHashIndexSpec extends GraftSuite {
     assert(bands.length == 4, s"expected 4 band dirs, got ${bands.toSeq}")
   }
 
+  test("retract: probe equals a fresh build without the docs; compact purges physically") {
+    val docs = Tables(spark, sf, "documents")
+    val norm = normalizeText(col("text"))
+    val dir = "target/lsh_index_spec_retract"
+    val fresh = "target/lsh_index_spec_retract_fresh"
+    val split = 150L
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(dir, fresh).foreach(d =>
+      hfs.delete(new org.apache.hadoop.fs.Path(d), true))
+    MinHashIndex.build(docs.filter(col("doc_id") < split), "doc_id", norm, dir)
+    MinHashIndex.append(docs.filter(col("doc_id") >= split), "doc_id", norm, dir)
+
+    // corpus side stays the FULL table: the index-side tombstone filter
+    // is what must keep retracted docs out of the candidates
+    def probe(d: String) = MinHashIndex
+      .probeNew(spark, d, docs, "doc_id", norm,
+        threshold = 0.7, minNewId = split)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val before = probe(dir)
+    assert(before.nonEmpty, "need real pairs or the test proves nothing")
+    // takedown set is derived FROM the observed pairs (a fixed id
+    // predicate missed every pair at the spec SF): one member of the
+    // first pair — so the pair must vanish — plus one id in no pair at
+    // all, covering the retract-a-pairless-doc no-op path.
+    val pairMembers = before.flatMap(p => Set(p._1, p._2))
+    val allIds = docs.select(col("doc_id").cast("long"))
+      .as[Long].collect().toSet
+    val takedown = Set(pairMembers.min, (allIds -- pairMembers).min)
+    val gone = col("doc_id").isin(takedown.toSeq: _*)
+
+    MinHashIndex.retract(spark, dir, docs.filter(gone).select("doc_id"), "doc_id")
+    val after = probe(dir)
+    // the filtered index must behave exactly like one BUILT without the
+    // retracted docs — pairs, bucket widths and representatives included
+    MinHashIndex.build(docs.filter(!gone), "doc_id", norm, fresh)
+    assert(after == probe(fresh), "retracted index must equal a fresh build")
+    assert(after.forall(p => !takedown(p._1) && !takedown(p._2)))
+    assert((before -- after).nonEmpty, "retraction must remove the hit pairs")
+
+    // compact purges the tombstoned rows physically and clears tombstones
+    MinHashIndex.compact(spark, dir, Seq.empty)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    assert(spark.read.parquet(s"$dir/buckets").count() ==
+      spark.read.parquet(s"$fresh/buckets").count(),
+      "compact must purge exactly the tombstoned rows")
+    assert(probe(dir) == after, "probe invariant across the purge")
+
+    // a retracted id stays gone even if re-appended (ids never reused)
+    MinHashIndex.retract(spark, dir,
+      docs.filter(gone).select("doc_id"), "doc_id")
+    MinHashIndex.append(docs.filter(gone), "doc_id", norm, dir)
+    assert(probe(dir) == after, "re-appended retracted docs must stay filtered")
+  }
+
   test("pre-r14 string-bucket layers fail loudly on probe, append and compact") {
     val docs = Tables(spark, sf, "documents")
     val norm = normalizeText(col("text"))

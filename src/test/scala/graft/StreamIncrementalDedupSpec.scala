@@ -29,7 +29,8 @@ class StreamIncrementalDedupSpec extends GraftSuite {
   private val C = "unrelatedbasetextthatpairsonlywithitsowncopy0123456789qwertyuiopasdfghjklzxcvbnmmuchlongerthanthewindowsize9876543210zz"
 
   // base era (< 400): two singleton family roots + one real cluster;
-  // delta batches (the query splits at 434 / 467): family A grows in
+  // delta batches (the query splits the sorted delta into positional
+  // thirds — here one doc per batch): family A grows in
   // batch 1, family B in batch 2, the bridge arrives in batch 3.
   private val docs = Seq(
     (1L, A), (3L, B), (10L, C), (11L, C),
