@@ -153,7 +153,9 @@ object IncrementalCC {
     * clusters those are near-dup clusters — small by construction; a
     * retraction inside a corpus-spanning giant component degenerates to
     * recomputing that component, which is inherent to deletion, not to
-    * this operator. Pin contract: three eager staging checkpoints
+    * this operator — and past [[MembersBroadcastCapKey]] rows the
+    * members probe drops its broadcast hint and degrades to a shuffle
+    * join instead of a forced-broadcast driver OOM (r18). Pin contract: three eager staging checkpoints
     * (deleted pairs, touched ids, members — delete/affected-sized) plus
     * the recompute's final internal frame stay pinned while the lazy
     * result is alive, as in [[addEdges]]; per-batch loops use
@@ -183,6 +185,36 @@ object IncrementalCC {
     out
   }
 
+  /** Membership-row cap above which [[removeEdges]] abandons the
+    * broadcast hint on the touched-members probe and lets the planner
+    * shuffle instead (session conf, r18 — VERDICT r17 finding 1): the
+    * other probe frames are delete-bounded, but `members` is the full
+    * membership of every touched component, which a takedown inside a
+    * corpus-spanning giant component makes unbounded — and a FORCED
+    * broadcast of an unbounded frame fails hard (driver OOM) instead of
+    * degrading. 5M ids ≈ 40 MB broadcast — comfortably under Spark's
+    * 8 GB hard limit with headroom for wide id types. */
+  private[graft] val MembersBroadcastCapKey = "graft.cc.membersBroadcastCap"
+
+  /** The induced-surviving-subgraph probe with the size-gated members
+    * join — package-visible so the gate's PLAN (hint kept vs dropped)
+    * is spec-assertable directly: inside [[removeEdges]] the frame is
+    * consumed by the recompute's first-round checkpoint and never
+    * appears in the output plan. `memberRows` is the materialized
+    * checkpoint's count — an O(partitions) action on already-staged
+    * blocks, not a recompute. */
+  private[graft] def inducedSurviving(canonEdges: DataFrame, del: DataFrame,
+                                      members: DataFrame,
+                                      memberRows: Long): DataFrame = {
+    val cap = members.sparkSession.conf
+      .get(MembersBroadcastCapKey, "5000000").toLong
+    val mSrc = members.withColumnRenamed("id", "src")
+    val probe = if (memberRows <= cap) broadcast(mSrc) else mSrc
+    canonEdges
+      .join(probe, Seq("src"), "left_semi")
+      .join(broadcast(del), Seq("src", "dst"), "left_anti")
+  }
+
   private def removeEdgesImpl(assign: DataFrame, edges: DataFrame,
                               deletes: DataFrame, srcCol: String,
                               dstCol: String): (DataFrame, Seq[DataFrame]) = {
@@ -198,9 +230,7 @@ object IncrementalCC {
       .select(col("component")).distinct().localCheckpoint(true)
     val members = a.join(broadcast(touched), Seq("component"), "left_semi")
       .select(col("id")).localCheckpoint(true)
-    val induced = canon(edges)
-      .join(broadcast(members.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
-      .join(broadcast(del), Seq("src", "dst"), "left_anti")
+    val induced = inducedSurviving(canon(edges), del, members, members.count())
     // the recompute's final internal frame rides in the staging list:
     // the eager wrapper may release it once the result materializes,
     // the lazy form leaves it pinned (the result derives from it)

@@ -91,6 +91,50 @@ class DecrementalCCSpec extends GraftSuite {
       s"assignment-side sort-merge join leaked into:\n${plan.take(2000)}")
   }
 
+  test("giant-component gate: past the cap the members probe drops its broadcast hint; rows unchanged") {
+    // VERDICT r17 finding 1: `members` is the only probe frame not
+    // bounded by the delete batch — one giant component makes it
+    // corpus-sized, and a FORCED broadcast then dies with driver OOM
+    // instead of degrading. Past graft.cc.membersBroadcastCap the hint
+    // is dropped (the planner may still broadcast if runtime stats
+    // allow — the gate removes only the unconditional force).
+    val base = (1L until 40L).map(i => (i, i + 1)) // one 40-node giant chain
+    val assign = ConnectedComponents.components(edges(base))
+    val del = edges(Seq((20L, 21L))).select(
+      least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst"))
+    val members = assign.select("id")
+    def hintCount(cap: String): Long = {
+      val prev = spark.conf.getOption(IncrementalCC.MembersBroadcastCapKey)
+      spark.conf.set(IncrementalCC.MembersBroadcastCapKey, cap)
+      try {
+        val induced = IncrementalCC.inducedSurviving(
+          edges(base), del, members, memberRows = 40L)
+        "rightHint=\\(strategy=broadcast\\)".r
+          .findAllIn(induced.queryExecution.optimizedPlan.toString).size
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(IncrementalCC.MembersBroadcastCapKey, v)
+          case None => spark.conf.unset(IncrementalCC.MembersBroadcastCapKey)
+        }
+      }
+    }
+    // default cap: members semi-join AND del anti-join both hinted;
+    // cap 0: only the (delete-sized) del anti-join keeps its hint
+    assert(hintCount("5000000") == 2)
+    assert(hintCount("0") == 1)
+
+    // end-to-end through removeEdges with the gate triggered: the
+    // shuffle fallback must still land exactly on the full recompute
+    val prev = spark.conf.getOption(IncrementalCC.MembersBroadcastCapKey)
+    spark.conf.set(IncrementalCC.MembersBroadcastCapKey, "0")
+    try check(base, deletes = Seq((20L, 21L)))
+    finally prev match {
+      case Some(v) => spark.conf.set(IncrementalCC.MembersBroadcastCapKey, v)
+      case None => spark.conf.unset(IncrementalCC.MembersBroadcastCapKey)
+    }
+  }
+
   test("streamed retractions: per-batch eager folds carry state and land on the one-shot result") {
     import graft.operators.Checkpoints
     // chain 1-2-3-4 plus an untouched chain; batch 1 splits the long
