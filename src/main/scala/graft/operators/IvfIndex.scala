@@ -27,11 +27,67 @@ import graft.functions.VectorFns._
   */
 object IvfIndex {
 
+  /** Union-free tombstone read: the takedown ids [[retract]] staged at
+    * `dir/tombstones`, or None if the index never retracted. Takedown-
+    * sized, so broadcast-cheap at any corpus scale. */
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/tombstones")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(p.toString).distinct())
+    else None
+  }
+
+  /** The staged assignment table with retracted vectors filtered out —
+    * what every reader ([[probe]], [[drift]], [[compact]]) must see:
+    * a deleted vector may neither serve as a neighbor nor count toward
+    * drift. Broadcast anti-join; no-op when nothing was retracted. */
+  private def liveAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val asg = spark.read.parquet(s"$dir/assignments")
+    tombstones(spark, dir) match {
+      case Some(t) =>
+        asg.join(broadcast(t.withColumnRenamed("id", "vec_id")),
+          Seq("vec_id"), "left_anti")
+      case None => asg
+    }
+  }
+
+  /** Retract vectors from the index — the takedown path (r18, VERDICT
+    * r17 #2; [[MinHashIndex.retract]]'s IVF sibling): without it a
+    * deleted document's embedding keeps serving as a nearest neighbor
+    * from the staged assignment table. Rewriting the cluster-partitioned
+    * table per takedown would be corpus-proportional, so retraction is
+    * a TOMBSTONE overlay: append the ids to `dir/tombstones`
+    * (takedown-sized write), every reader anti-joins the assignment
+    * scan against the broadcast tombstone set, and [[compact]] purges
+    * the rows physically. Centroids are NOT refit — the index keeps
+    * serving the build-time geometry, exactly as [[append]] does on the
+    * way in; a takedown heavy enough to move the geometry shows up in
+    * [[drift]] and triggers the documented rebuild. Contract: ids never
+    * reused (a re-appended retracted id stays filtered until a fresh
+    * [[build]]); retracting an id the index never staged is a no-op. */
+  def retract(spark: SparkSession, dir: String, ids: DataFrame,
+              idCol: String): Unit = {
+    require(new org.apache.hadoop.fs.Path(s"$dir/assignments")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/assignments")),
+      s"ivf retract: no staged index at $dir")
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+  }
+
   /** Fit k-means and stage the index. `e` must carry (idCol, vecCol).
     * One Lloyd's run + one corpus-wide assignment scan; the assignment
-    * write is the only shuffle (into the cluster partitioning). */
+    * write is the only shuffle (into the cluster partitioning). Resets
+    * the whole index root: stale tombstones from a prior generation
+    * would silently filter the new corpus ([[MinHashIndex.build]]'s r18
+    * lesson applied here before it bit). */
   def build(e: DataFrame, idCol: String, vecCol: String, k: Int,
             iters: Int, dir: String): Unit = {
+    val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    ts.getFileSystem(e.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(ts, true)
     val cents = KMeans.fit(e, idCol, vecCol, k, iters)
     val assigned = KMeans.assign(e, idCol, vecCol, cents)
     // Cluster by cid before the partitioned write — the same layout
@@ -74,7 +130,7 @@ object IvfIndex {
     * build-time geometry). One broadcast join + one scalar aggregate. */
   def drift(spark: SparkSession, dir: String, vecCol: String): Double = {
     val cents = spark.read.parquet(s"$dir/centroids")
-    spark.read.parquet(s"$dir/assignments")
+    liveAssignments(spark, dir)
       .join(broadcast(cents), "cid")
       .agg(avg(lit(1.0) - cosineFast(col(vecCol), col("cv"))))
       .head.getDouble(0)
@@ -96,7 +152,11 @@ object IvfIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
     val tmp = s"$dir/assignments__compacting"
-    spark.read.parquet(s"$dir/assignments")
+    // the rewrite is also [[retract]]'s deferred half: tombstoned rows
+    // are purged physically and the tombstone files cleared after the
+    // swap (a crash in between leaves stale tombstones whose rows are
+    // already gone — the reader-side anti-join treats that as a no-op)
+    liveAssignments(spark, dir)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
     val p = new Path(s"$dir/assignments")
@@ -109,6 +169,7 @@ object IvfIndex {
       throw new java.io.IOException(
         s"ivf compaction: rename $tmp -> $p failed; original intact at $old")
     fs.delete(old, true)
+    fs.delete(new Path(s"$dir/tombstones"), true) // purged in the rewrite
   }
 
   /** Probe the staged index: (qid, qe) queries → top-k neighbors from
@@ -116,7 +177,7 @@ object IvfIndex {
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
             k: Int, nprobe: Int): DataFrame =
     probeFrames(spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/assignments"), queries, k, nprobe)
+      liveAssignments(spark, dir), queries, k, nprobe)
 
   /** The probe plan over explicit (cid, cv) / (vec_id, e, cid) frames —
     * `probe` is exactly this over the staged tables; specs call it with

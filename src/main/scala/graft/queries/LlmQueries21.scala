@@ -165,6 +165,55 @@ object LlmQueries21 {
     s.read.parquet(outDir).orderBy("id")
   }
 
+  /** Vector takedown from the persisted IVF index (VERDICT r17 #2 —
+    * [[streamTakedown]]'s ANN sibling): the staged q_ann_ivf_persisted
+    * index is COPIED (a takedown mutates an existing index; the
+    * pristine original keeps serving its own query) and the blocklist
+    * (vec_id ≡ 1 mod 7) is retracted via [[IvfIndex.retract]] — a
+    * tombstone overlay the probe's assignment scan anti-joins, so
+    * deleted vectors stop serving as neighbors WITHOUT a
+    * corpus-proportional rewrite and WITHOUT refitting centroids (the
+    * build-time geometry keeps serving, exactly as append-side drift).
+    * The probe then answers over survivors only; survivors that the
+    * retracted vectors were crowding out of the top-k rise into it.
+    * Oracle = the q_ann_ivf_kmeans chain with the search side filtered
+    * to survivors and the Lloyd's fit left on the FULL corpus — the
+    * exact no-refit semantics. */
+  def annRetraction(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFns.toDoubleVec
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val src = LlmQueries4.stagedIvfDir(s, dir)
+    val mine = s"target/ivf_retract_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    graft.operators.StagedOnce(s, mine, owner = "q_ann_retraction", dir = dir) {
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      fs.delete(new Path(mine), true)
+      FileUtil.copy(fs, new Path(src), fs, new Path(mine), false, conf)
+      graft.operators.IvfIndex.retract(s, mine,
+        e.filter(col("vec_id") % 7 === 1).select("vec_id"), "vec_id")
+    }
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    graft.operators.IvfIndex.probe(s, mine, q, k = 5, nprobe = 2)
+      .select("qid", "vec_id", "cluster", "sim", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** Twin: q_ann_ivf_kmeans's chain (full-corpus Lloyd's — retraction
+    * does not refit) with the search CTE restricted to surviving
+    * vectors — derived by text substitution (the lshIndexSql
+    * discipline: variants may not drift from their base chains). */
+  val annRetractionSql: String = {
+    val base = LlmQueries.annIvfKmeansSql
+    val anchor = "WHERE a.vec_id <> p.qid),"
+    val swapped = base.replace(anchor,
+      "WHERE a.vec_id <> p.qid AND a.vec_id % 7 <> 1),")
+    require(swapped != base, "ivf twin anchor moved; update annRetractionSql")
+    swapped
+  }
+
   /** Twin: identical to q_dedup_retraction's — the closure over the
     * full minhash pair chain restricted to surviving (doc_id % 7 ≠ 1)
     * docs. The streamed add→takedown→add composition must land exactly
@@ -174,8 +223,10 @@ object LlmQueries21 {
   val streamTakedownSql: String = LlmQueries20.dedupRetractionSql
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_takedown" -> (streamTakedown _))
+    "q_stream_takedown" -> (streamTakedown _),
+    "q_ann_retraction" -> (annRetraction _))
 
   val oracles: Map[String, String] = Map(
-    "q_stream_takedown" -> streamTakedownSql)
+    "q_stream_takedown" -> streamTakedownSql,
+    "q_ann_retraction" -> annRetractionSql)
 }

@@ -69,19 +69,29 @@ ORDER BY d.doc_id
     * the plan shape is what changed: no iterative k-means stage
     * anywhere in the probe's lineage (plan-asserted in
     * OperatorsSpec). */
-  def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+  /** The session-staged IVF index dir for `dir` — build-once-per-session
+    * (StagedOnce): repeated invocations probe the staged index instead
+    * of re-running Lloyd's, the documented build/probe amortization.
+    * Shared with q_ann_retraction, which COPIES this index and applies
+    * a takedown to the copy (a takedown mutates an existing index; the
+    * pristine original keeps serving this query's oracle). */
+  private[queries] def stagedIvfDir(s: SparkSession, dir: String): String = {
     val base = java.nio.file.Paths.get("target",
       "ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
-    // Build-once-per-session (StagedOnce): repeated invocations probe
-    // the staged index instead of re-running Lloyd's — the documented
-    // build/probe amortization, now true of the query itself.
     graft.operators.StagedOnce(s, base, owner = "q_ann_ivf_persisted", dir = dir) {
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       IvfIndex.build(e, "vec_id", "e", k = 4, iters = 2, base)
     }
+    base
+  }
+
+  def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val base = stagedIvfDir(s, dir)
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     IvfIndex.probe(s, base, q, k = 5, nprobe = 2)

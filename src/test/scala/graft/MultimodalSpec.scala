@@ -233,6 +233,55 @@ class MultimodalSpec extends GraftSuite {
     assert(cids.length == 4, s"expected 4 cid dirs, got ${cids.toSeq}")
   }
 
+  test("IVF retract: deleted vectors leave probe and drift; compact purges; build resets") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.functions.VectorFns._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ret").toString + "/idx"
+    val all = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("e"))
+    IvfIndex.build(all, "vec_id", "e", k = 4, iters = 1, dir)
+    val q = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    def probeSet() = IvfIndex.probe(spark, dir, q, k = 5, nprobe = 2)
+      .select("qid", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probeSet()
+    val gone = before.map(_._2).min // a vector that provably serves
+    IvfIndex.retract(spark, dir,
+      Seq(gone).toDF("vec_id"), "vec_id")
+    val after = probeSet()
+    assert(!after.exists(_._2 == gone), "retracted vector still serves")
+    assert(after != before, "retraction must change the top-k")
+    // semantic reference: probeFrames over assignments minus the id —
+    // centroids untouched (retraction does not refit)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val ref = IvfIndex.probeFrames(cents,
+        spark.read.parquet(s"$dir/assignments").filter(col("vec_id") =!= gone),
+        q, k = 5, nprobe = 2)
+      .select("qid", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == ref)
+    // drift is computed over survivors only
+    val refDrift = spark.read.parquet(s"$dir/assignments")
+      .filter(col("vec_id") =!= gone)
+      .join(broadcast(cents), "cid")
+      .agg(avg(lit(1.0) - cosineFast(col("e"), col("cv")))).head.getDouble(0)
+    assert(math.abs(IvfIndex.drift(spark, dir, "e") - refDrift) < 1e-12)
+    // compact purges physically and clears the tombstones
+    val rowsLive = spark.read.parquet(s"$dir/assignments").count() - 1
+    IvfIndex.compact(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+    assert(spark.read.parquet(s"$dir/assignments").count() == rowsLive)
+    assert(probeSet() == after, "probe invariant across the purge")
+    // a fresh build resets the tombstones (no inherited filtering)
+    IvfIndex.retract(spark, dir, Seq(gone).toDF("vec_id"), "vec_id")
+    IvfIndex.build(all, "vec_id", "e", k = 4, iters = 1, dir)
+    assert(probeSet() == before, "rebuild must not inherit tombstones")
+  }
+
   test("Salted.join rejects join types that would duplicate unmatched small-side rows") {
     import spark.implicits._
     val big = Seq((1, "a"), (2, "b")).toDF("k", "v")

@@ -59,6 +59,7 @@ class PlanGovernanceSpec extends GraftSuite {
       "q_ann_ivf", // broadcast nprobe-centroid assignment (k rows × corpus)
       "q_ann_ivf_kmeans", // same assignment shape over k-means centroids
       "q_ann_ivf_persisted", // same broadcast k-row centroid assignment, from the staged index
+      "q_ann_retraction", // same probe shape over the takedown-filtered copy of that index
       "q_tfidf_topterms", // broadcast singleton n_docs scalar
       "q_hll_union", // two singleton aggregates (merged estimate × exact) joined 1×1
       "q_global_bins", // broadcast of ONE global cut-point row onto the fact
