@@ -262,6 +262,13 @@ class MultimodalSpec extends GraftSuite {
       .select("qid", "vec_id", "sim").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(after == ref)
+    // the tombstone anti-join must not break the probe's cid partition
+    // pruning — the inverted file's whole point (plan-verified r18:
+    // the dynamic pruning subquery pushes through the left_anti join)
+    val plan = IvfIndex.probe(spark, dir, q, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"cid pruning lost under tombstones:\n${plan.take(3000)}")
     // drift is computed over survivors only
     val refDrift = spark.read.parquet(s"$dir/assignments")
       .filter(col("vec_id") =!= gone)
