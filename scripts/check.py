@@ -22,6 +22,7 @@ Usage: python3 scripts/check.py /root/testdata/sf0.01 target/verify_out
 """
 import hashlib
 import json
+import os
 import math
 import sys
 
@@ -55,8 +56,13 @@ def driver_hash(tbl, cols):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single-file tables; ScaleUp tier dirs are
+        # directory tables — glob the parts in that case
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):

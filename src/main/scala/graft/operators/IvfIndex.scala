@@ -82,12 +82,11 @@ object IvfIndex {
     * write is the only shuffle (into the cluster partitioning). Resets
     * the whole index root: stale tombstones from a prior generation
     * would silently filter the new corpus ([[MinHashIndex.build]]'s r18
-    * lesson applied here before it bit). */
+    * lesson applied here before it bit) — cleared only AFTER the new
+    * generation is fully staged, so a crashed rebuild cannot resurrect
+    * the old generation's retracted vectors. */
   def build(e: DataFrame, idCol: String, vecCol: String, k: Int,
             iters: Int, dir: String): Unit = {
-    val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    ts.getFileSystem(e.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(ts, true)
     val cents = KMeans.fit(e, idCol, vecCol, k, iters)
     val assigned = KMeans.assign(e, idCol, vecCol, cents)
     // Cluster by cid before the partitioned write — the same layout
@@ -105,6 +104,13 @@ object IvfIndex {
     // `Knn.ivfTopK` maintains when it derives centroids in-query.
     KMeans.centroidsOf(assigned, vecCol)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    // Tombstones drop only AFTER the new generation is fully staged: a
+    // crash during the (expensive) Lloyd's fit or either write must not
+    // leave an intact OLD index serving its retracted vectors
+    // tombstone-less (review r18).
+    val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    ts.getFileSystem(e.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(ts, true)
   }
 
   /** Delta-append maintenance: assign NEW vectors against the STAGED

@@ -121,15 +121,20 @@ object MinHashIndex {
     * whole index ROOT, not just `buckets`: stale tombstones left by a
     * prior generation's [[retract]] would silently filter the new
     * corpus's docs out of every probe (found the hard way in r18 —
-    * build-overwrite inherited a draft run's tombstones). */
+    * build-overwrite inherited a draft run's tombstones). The delete
+    * comes AFTER the staged write: a crash mid-build must not leave an
+    * intact OLD index serving its retracted (takedown-deleted) docs
+    * tombstone-less (review r18; same window as compact's discipline —
+    * the overwrite itself is not swap-safe, but the tombstones never
+    * drop before the generation that owns them does). */
   def build(docs: DataFrame, idCol: String, textNorm: Column, dir: String,
             nHashes: Int = 16, bands: Int = 4): Unit = {
     import org.apache.hadoop.fs.Path
+    bucketRows(docs, idCol, textNorm, nHashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/buckets")
     val ts = new Path(s"$dir/tombstones")
     ts.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
       .delete(ts, true)
-    bucketRows(docs, idCol, textNorm, nHashes, bands)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/buckets")
   }
 
   /** Append a delta batch's bucket rows — per-doc work only. Validates
@@ -258,8 +263,16 @@ object MinHashIndex {
     // the probe-time anti-join treats as a no-op (still correct).
     val union = tombstoneUnion(spark, dirs) match {
       case Some(t) =>
-        val idName = raw.schema.fieldNames
-          .filterNot(Set("band", "bucket")).head
+        // the id column is THE field that is not band/bucket — require
+        // exactly one so a future schema addition fails loudly here
+        // instead of silently anti-joining on the wrong column and then
+        // deleting the tombstones it failed to apply (review r18)
+        val idFields = raw.schema.fieldNames.filterNot(Set("band", "bucket"))
+        require(idFields.length == 1,
+          s"bucket schema has ${idFields.length} non-band/bucket fields " +
+            s"(${idFields.mkString(", ")}); compact's tombstone purge " +
+            "needs exactly one id column — thread the id through explicitly")
+        val idName = idFields.head
         raw.join(broadcast(t.withColumnRenamed("id", idName)),
           Seq(idName), "left_anti")
       case None => raw

@@ -16,6 +16,48 @@ object LlmQueries20 {
 
   private def t(s: SparkSession, dir: String, name: String) = Tables(s, dir, name)
 
+  /** The sorted, capped delta slice (doc_id ≥ 400) every streamed dedup
+    * composition feeds its ADD batches from — ONE collect per
+    * (session, dir): the memo key is shared, so whichever of
+    * q_stream_incremental_dedup / q_stream_takedown runs first pays the
+    * scan (the idxBase shared-staging discipline; review r18 — the two
+    * queries previously collected byte-identical slices under separate
+    * keys). StreamRowCap is the slice contract's hard guard, mirrored
+    * into the twins by [[capDocsMirror]]; orderBy before limit keeps
+    * the slice a contiguous id PREFIX, which the probes' minNewId
+    * batching depends on. */
+  private[queries] def dedupDeltaSlice(s: SparkSession,
+                                       dir: String): Array[(Long, String)] = {
+    import s.implicits._
+    StreamQueries.slice(s, dir, "q_stream_incremental_dedup") {
+      t(s, dir, "documents").filter(col("doc_id") >= 400)
+        .select(col("doc_id").cast("long"), col("text"))
+        .orderBy("doc_id").limit(StreamQueries.StreamRowCap)
+        .as[(Long, String)].collect()
+    }
+  }
+
+  /** One ADD micro-batch of the probe→fold composition — the shared
+    * per-batch body of q_stream_incremental_dedup and
+    * q_stream_takedown (review r18: a fix to the fold must not have to
+    * be remembered in two copies): append the batch's signatures to the
+    * overlay, probe the layers for its new-vs-indexed pairs (id_b ≥
+    * the batch's min id — later ids are not yet indexed, so this is
+    * exactly the batch's pairs), fold via
+    * [[IncrementalCC.addEdgesEager]]. Returns (next assignment, the
+    * batch's pair frame — lazy over probe-staged checkpoints); the
+    * caller owns releasing the superseded assignment generation. */
+  private[queries] def addFoldBatch(s: SparkSession, docs: DataFrame,
+      layers: Seq[String], overlay: String, batch: DataFrame,
+      assign: DataFrame): (DataFrame, DataFrame) = {
+    MinHashIndex.append(batch, "doc_id", normalizeText(col("text")), overlay)
+    val minId = batch.agg(min("doc_id")).head.getLong(0)
+    val pairs = MinHashIndex.probeNewMulti(s, layers, docs,
+        "doc_id", normalizeText(col("text")), threshold = 0.7, minNewId = minId)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    (IncrementalCC.addEdgesEager(assign, pairs), pairs)
+  }
+
   /** Incremental dedup-cluster maintenance AS A STREAM — the
     * composition a production ingest pipeline actually runs, per
     * micro-batch: append the batch's MinHash signatures to the
@@ -60,17 +102,7 @@ object LlmQueries20 {
     val baseAssign = IncrementalStage.dedupBase(s, dir)._2
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(overlay), true)
-    val delta = StreamQueries.slice(s, dir, "q_stream_incremental_dedup") {
-      // StreamRowCap is the slice contract's hard guard (ADVICE r17):
-      // without the limit a 10x/100x tier-dir run would collect the
-      // whole grown delta to the driver. orderBy before limit keeps the
-      // slice a contiguous id PREFIX, which the probe's minNewId
-      // batching below depends on.
-      docs.filter(col("doc_id") >= 400)
-        .select(col("doc_id").cast("long"), col("text"))
-        .orderBy("doc_id").limit(StreamQueries.StreamRowCap)
-        .as[(Long, String)].collect()
-    }
+    val delta = dedupDeltaSlice(s, dir)
     require(delta.nonEmpty, "empty delta slice")
     // Positional thirds instead of fixed id cutoffs (ADVICE r17: the
     // 434/467 literals put ~98% of the sf0.1 delta into batch 3):
@@ -91,14 +123,8 @@ object LlmQueries20 {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.localCheckpoint(true) // one compute: append + min
-        MinHashIndex.append(b, "doc_id", normalizeText(col("text")), overlay)
-        val minId = b.agg(min("doc_id")).head.getLong(0)
-        // Later ids are not yet indexed, so id_b >= minId restricts the
-        // probe to exactly this batch's new-vs-indexed pairs.
-        val pairs = MinHashIndex.probeNewMulti(s, Seq(idxBase, overlay), docs,
-            "doc_id", normalizeText(col("text")), threshold = 0.7, minNewId = minId)
-          .select(col("id_a").as("src"), col("id_b").as("dst"))
-        val next = IncrementalCC.addEdgesEager(assign, pairs)
+        val (next, _) = addFoldBatch(s, docs, Seq(idxBase, overlay), overlay,
+          b, assign)
         // release the superseded generation — never the shared staged base
         if (assign ne baseAssign) Checkpoints.release(assign)
         assign = next
@@ -115,10 +141,33 @@ object LlmQueries20 {
     s.read.parquet(outDir).orderBy("id")
   }
 
-  /** Twin: identical to q_incremental_dedup's — the recursive-CTE
-    * closure over the UNSPLIT minhash pair set. The streaming fold must
-    * land exactly where the batch fold and the full recompute land. */
-  val streamIncrementalDedupSql: String = LlmQueries19.incrementalDedupSql
+  /** Mirror a harness slice's StreamRowCap into a minhash-chain twin:
+    * restrict the corpus to base docs plus the first-cap delta docs by
+    * id — exactly what the capped `orderBy(doc_id).limit(cap)` slice
+    * feeds the stream (r18, review finding: the cap never binds at the
+    * gate SFs, so hashes are unchanged there, but a 10×/100× tier dir
+    * truncates the slice and an uncapped twin would diverge — the
+    * StreamQueries2 convention, applied here). */
+  private[queries] def capDocsMirror(base: String): String = {
+    val anchor = "  FROM documents),\nsh AS ("
+    val cap = StreamQueries.StreamRowCap
+    val swapped = base.replace(anchor,
+      s"""  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          ORDER BY doc_id LIMIT $cap))),
+sh AS (""")
+    require(swapped != base, "minhash chain docs anchor moved; update capDocsMirror")
+    swapped
+  }
+
+  /** Twin: q_incremental_dedup's recursive-CTE closure over the UNSPLIT
+    * minhash pair set, with the harness slice's row cap mirrored
+    * ([[capDocsMirror]]). The streaming fold must land exactly where
+    * the batch fold and the full recompute land. */
+  val streamIncrementalDedupSql: String =
+    capDocsMirror(LlmQueries19.incrementalDedupSql)
 
   /** Decremental connected-components maintenance (r17, VERDICT r16
     * #2): retract a LOCALIZED takedown batch (~0.26% of edges — every
@@ -231,9 +280,26 @@ SELECT id, component FROM comp ORDER BY id
     s.read.parquet(outDir).orderBy("id")
   }
 
-  /** Twin: identical to q_decremental_cc's — the batched retractions
-    * must land exactly where the one-shot retraction lands. */
-  val streamDecrementalCCSql: String = decrementalCCSql
+  /** Twin: q_decremental_cc's closure with the takedown slice's row cap
+    * mirrored — the stream deletes only the first StreamRowCap edges by
+    * (src, dst), so the twin's kept-set must exclude exactly that
+    * capped subset (unbinding at the gate SFs; binding at tier dirs).
+    * Modulo the cap, the batched retractions land exactly where the
+    * one-shot retraction lands. */
+  val streamDecrementalCCSql: String = {
+    val anchor =
+      "kept AS (SELECT src, dst FROM raw WHERE NOT (o % 97 = 0 AND ln % 3 = 0)),"
+    val cap = StreamQueries.StreamRowCap
+    val swapped = decrementalCCSql.replace(anchor,
+      s"""capdel AS (SELECT src, dst FROM raw WHERE o % 97 = 0 AND ln % 3 = 0
+           ORDER BY src, dst LIMIT $cap),
+kept AS (SELECT src, dst FROM raw r
+         WHERE NOT EXISTS (SELECT 1 FROM capdel d
+                           WHERE d.src = r.src AND d.dst = r.dst)),""")
+    require(swapped != decrementalCCSql,
+      "decremental kept anchor moved; update streamDecrementalCCSql")
+    swapped
+  }
 
   /** DOCUMENT retraction from the LIVE dedup state — q_decremental_cc
     * applied the retraction operator to an abstract graph; this query

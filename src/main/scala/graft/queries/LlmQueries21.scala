@@ -40,8 +40,10 @@ object LlmQueries21 {
     *      a post-takedown doc whose text matches a retracted doc).
     *
     * The takedown list is a BLOCKLIST (every doc_id ≡ 1 mod 7, present
-    * or future): tombstoned ids stay filtered even if later batches
-    * append them — [[MinHashIndex.retract]]'s ids-never-reused contract.
+    * or future, capped at the slice guard's first StreamRowCap ids —
+    * mirrored in the twin): tombstoned ids stay filtered even if later
+    * batches append them — [[MinHashIndex.retract]]'s ids-never-reused
+    * contract.
     *
     * Oracle = q_dedup_retraction's twin: the recursive closure over the
     * full corpus pair set restricted to surviving docs. The hash
@@ -76,12 +78,9 @@ object LlmQueries21 {
     val (sharedPairs, baseAssign) = IncrementalStage.dedupBase(s, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(overlay), true)
-    val delta = StreamQueries.slice(s, dir, "q_stream_takedown") {
-      docs.filter(col("doc_id") >= 400)
-        .select(col("doc_id").cast("long"), col("text"))
-        .orderBy("doc_id").limit(StreamQueries.StreamRowCap)
-        .as[(Long, String)].collect()
-    }
+    // shared with q_stream_incremental_dedup — one collect per
+    // (session, dir), the idxBase shared-staging discipline
+    val delta = LlmQueries20.dedupDeltaSlice(s, dir)
     require(delta.nonEmpty, "empty delta slice")
     val blocklist = StreamQueries.slice(s, dir, "q_stream_takedown:ids") {
       docs.filter(col("doc_id") % 7 === 1)
@@ -116,15 +115,10 @@ object LlmQueries21 {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.localCheckpoint(true)
         if (b.filter(col("kind") === 1).isEmpty) {
-          // ADD: the q_stream_incremental_dedup per-batch shape
+          // ADD: the shared probe→fold batch body
           val adds = b.select(col("doc_id"), col("text"))
-          MinHashIndex.append(adds, "doc_id", normalizeText(col("text")), overlay)
-          val minId = adds.agg(min("doc_id")).head.getLong(0)
-          val pairs = MinHashIndex.probeNewMulti(s, Seq(idxBase, overlay), docs,
-              "doc_id", normalizeText(col("text")), threshold = 0.7,
-              minNewId = minId)
-            .select(col("id_a").as("src"), col("id_b").as("dst"))
-          val next = IncrementalCC.addEdgesEager(assign, pairs)
+          val (next, pairs) = LlmQueries20.addFoldBatch(s, docs,
+            Seq(idxBase, overlay), overlay, adds, assign)
           if (assign ne baseAssign) Checkpoints.release(assign)
           assign = next
           val acc = allPairs.union(pairs).localCheckpoint(true)
@@ -214,13 +208,27 @@ object LlmQueries21 {
     swapped
   }
 
-  /** Twin: identical to q_dedup_retraction's — the closure over the
-    * full minhash pair chain restricted to surviving (doc_id % 7 ≠ 1)
-    * docs. The streamed add→takedown→add composition must land exactly
-    * where the one-shot assignment retraction (and a from-scratch
-    * rebuild over survivors) lands — the add batch AFTER the takedown
-    * is what makes this equality prove deleted docs stay gone. */
-  val streamTakedownSql: String = LlmQueries20.dedupRetractionSql
+  /** Twin: q_dedup_retraction's closure (minhash pair chain restricted
+    * to surviving docs) with BOTH harness caps mirrored — the delta
+    * slice's doc cap ([[LlmQueries20.capDocsMirror]]) and the blocklist
+    * slice's id cap (the takedown retracts only the first StreamRowCap
+    * blocklisted ids, so the twin's survivor filter excludes exactly
+    * that capped set; both caps unbinding at the gate SFs). The
+    * streamed add→takedown→add composition must land exactly where a
+    * from-scratch rebuild over survivors lands — the add batch AFTER
+    * the takedown is what makes this equality prove deleted docs stay
+    * gone. */
+  val streamTakedownSql: String = {
+    val base = LlmQueries20.capDocsMirror(LlmQueries20.dedupRetractionSql)
+    val anchor = "AND id_a % 7 <> 1 AND id_b % 7 <> 1"
+    val cap = StreamQueries.StreamRowCap
+    val capList = "(SELECT doc_id FROM documents WHERE doc_id % 7 = 1 " +
+      s"ORDER BY doc_id LIMIT $cap)"
+    val swapped = base.replace(anchor,
+      s"AND id_a NOT IN $capList AND id_b NOT IN $capList")
+    require(swapped != base, "retraction twin anchor moved; update streamTakedownSql")
+    swapped
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_takedown" -> (streamTakedown _),
