@@ -112,10 +112,36 @@ object Tables {
     // scan yields fewer partitions than the session's parallelism, fan it
     // out once. At real scale (many files / many row groups) the scan
     // already exceeds core count and this is a no-op — it only triggers
-    // for small landed files, where the round-robin shuffle is cents.
+    // for small landed files.
+    //
+    // The fan-out hashes the table's primary key instead of round-robin
+    // (r18, guide §2.5): every keyless repartition(n) first pays a local
+    // sort of its input (spark.sql.execution.sortBeforeRepartition,
+    // SPARK-23207 — needed so retried tasks reproduce the same row→
+    // partition map), a per-scan cost this exchange was paying on every
+    // fact pass of every query. Hashing a deterministic unique key needs
+    // no such sort (same placement on any retry by construction), spreads
+    // as evenly (key cardinality ≥ 60× partition count on every fact
+    // table), and leaves hashpartitioning(key) as the scan's output
+    // partitioning, which downstream joins/aggregates keyed the same way
+    // reuse instead of re-exchanging.
     val target = spark.sparkContext.defaultParallelism
     if (!dims(name) && fixed.rdd.getNumPartitions < math.max(target / 2, 1))
-      fixed.repartition(target)
+      fanoutKey.get(name) match {
+        case Some(k) => fixed.repartition(target, col(k))
+        case None    => fixed.repartition(target) // unknown table: keep round-robin
+      }
     else fixed
   }
+
+  /** Deterministic fan-out key per fact table: the primary (or, for
+    * lineitem, the most-joined prefix) key — unique-ish, so the hash
+    * spread matches round-robin's without the sort-before-repartition
+    * pass, and stable under task retry (guide §2.5's determinism rule). */
+  private val fanoutKey: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey",
+    "orders" -> "o_orderkey",
+    "events" -> "event_id",
+    "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
 }

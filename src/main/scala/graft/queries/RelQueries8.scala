@@ -253,9 +253,17 @@ ORDER BY user_id, start_us
     val base = s"target/dynpart_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    // Cluster by the partition column before each partitionBy write
+    // (r18, guide §6 small-files): unclustered, every one of the 32
+    // scan tasks opened a file per event_type it saw — ~32×|types|
+    // files per write, and the read-back paid the per-file open cost
+    // again. One kilobyte-scale exchange keyed by event_type makes each
+    // partition value a single writer task → |types| files total. Same
+    // rows, same read-back rollup; only the file layout changes.
     val ev = t(s, dir, "events").filter(col("event_id") < 10000)
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
+      .repartition(col("event_type"))
     ev.write.partitionBy("event_type").mode("overwrite").parquet(base)
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = s.conf.get(key, "STATIC")

