@@ -138,16 +138,35 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"build_s":$bs,"errors":$errJson,"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"load":$loadsJson,"t_start":$offsJson,"cpus":$cpusJson,"shuffle_partitions":$cpusJson,"sf":$sfJson}"""
-    // The per-query map (100+ entries, ~3 KB) goes to the file only: the
-    // driver's bounded tail capture truncates long stdout lines from the
-    // HEAD, which beheaded the full JSON three rounds running. The final
-    // stdout line is a ~130-byte total-only object that always survives.
+    // The per-query map (100+ entries, ~6 KB as one line) cannot ride a
+    // single stdout line: the driver's bounded tail capture truncates
+    // long lines from the HEAD, which beheaded the full JSON three
+    // rounds running. r18's total-only brief line survived but left
+    // PERF's per-query and scaling blocks empty (`per_query: {}`) — so
+    // every optimization claim rode one load-confounded total. Fix
+    // (VERDICT r18 item 2, measurement-output change only — nothing in
+    // the timed region changed): chunk the per-query map into short
+    // (<1 KB) `queries_part` stdout lines printed just before the brief
+    // line, which stays LAST so existing consumers keep working. Each
+    // chunk is self-describing ({i, of}) and the chunks' `queries`
+    // objects are disjoint slices of the full map; build_s rides one
+    // extra line so amortized staging cost stays driver-visible too.
     val brief =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"n_errors":${errors.size},"load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},"cpus":$cpusJson,"queries_file":"target/bench.json","sf":$sfJson}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target", "bench.json"), full + "\n")
     SessionMemo.evictSession(spark)
     spark.stop()
+    val entriesPerChunk = 30 // ~25 B/entry → ~800 B/line, safely short
+    val chunks = results.grouped(entriesPerChunk).toSeq
+    chunks.zipWithIndex.foreach { case (grp, i) =>
+      val qj = grp.map { case (k, v, _, _) => jkey(k) + ":" + fmt(v) }
+        .mkString("{", ",", "}")
+      System.out.println(
+        s"""{"metric":"queries_part","i":${i + 1},"of":${chunks.length},"cpus":$cpusJson,"queries":$qj}""")
+    }
+    System.out.println(
+      s"""{"metric":"build_s","cpus":$cpusJson,"build_s":$bs}""")
     System.out.println(brief)
     System.out.flush()
   }
