@@ -48,6 +48,18 @@ object DynOverwriteProfile {
     }
     def staticWrite(): Unit =
       ev.write.partitionBy("event_type").mode("overwrite").parquet(base)
+    // r19 evidence A/B for the r18 clustered-write change: same rows,
+    // with vs without the pre-write exchange keyed on the partition
+    // column; reports output file count per variant.
+    def countFiles(p: String): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    def clusteredWrite(): Unit =
+      ev.repartition(col("event_type"))
+        .write.partitionBy("event_type").mode("overwrite").parquet(base + "_cl")
     def dynamicWrite(): Unit = {
       val key = "spark.sql.sources.partitionOverwriteMode"
       spark.conf.set(key, "dynamic")
@@ -70,7 +82,8 @@ object DynOverwriteProfile {
       ("1 static partitionBy overwrite", () => { rm(base); staticWrite() }),
       ("2 dynamic-mode overwrite      ", () => dynamicWrite()),
       ("3 read-back groupBy           ", () => readAgg()),
-      ("0 plain overwrite (IO control)", () => plainWrite()))
+      ("0 plain overwrite (IO control)", () => plainWrite()),
+      ("4 clustered partitionBy write ", () => { rm(base + "_cl"); clusteredWrite() }))
     val acc = phases.map(_ => collection.mutable.ArrayBuffer[Double]())
     for (_ <- 1 to reps; ((_, f), i) <- phases.zipWithIndex)
       acc(i) += timed(f())
@@ -81,6 +94,12 @@ object DynOverwriteProfile {
       println(f"[dynprof] $label: min=${xs.min}%.3f s  " +
         f"all=${xs.map(x => f"$x%.2f").mkString(",")}")
     }
+    // File-count evidence: phase 1 (unclustered, the pre-r18 shape) vs
+    // phase 4 (clustered on event_type, the registered query's shape).
+    rm(base); staticWrite()
+    rm(base + "_cl"); clusteredWrite()
+    println(s"[dynprof] files unclustered=${countFiles(base)} " +
+      s"clustered=${countFiles(base + "_cl")}")
     println(s"[dynprof] end load=${load()}")
     spark.stop()
   }

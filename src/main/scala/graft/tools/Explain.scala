@@ -12,9 +12,15 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
+    // Match the bench session's sizing (r19): plan shape depends on the
+    // core count twice over — the Tables.load fan-out triggers off
+    // defaultParallelism and exchange elision needs the scan's partition
+    // count to equal shuffle.partitions — so evidence plans dumped at
+    // local[4] can differ from what the driver's local[32] bench runs.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
