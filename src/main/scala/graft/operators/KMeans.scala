@@ -74,6 +74,8 @@ object KMeans {
       .withColumn("__h", hash)
       .orderBy("__h").limit(k)
     val seedCents = seeds
+      // global window audit (r19): frame = `seeds`, already LIMIT k —
+      // the single-partition row_number touches k rows, never the corpus
       .withColumn("cid", row_number().over(Window.orderBy("__h")) - 1)
       .select(col("cid"), col(vecCol).as("cv"))
       .localCheckpoint(true)

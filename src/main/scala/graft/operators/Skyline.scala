@@ -50,6 +50,11 @@ object Skyline {
       .agg(max(col(yCol)).as("sk_y"))
     val bucketed = heads.withColumn("sk_b", floor(col("sk_x") / bucketWidth))
     val bmax = bucketed.groupBy("sk_b").agg(max(col("sk_y")).as("sk_bmax"))
+    // global window audit (r19): frame = one row per x-BUCKET, i.e.
+    // ≤ (x value range)/bucketWidth rows — bounded by the caller's
+    // bucketWidth choice against the domain's value range (q_skyline:
+    // ~130k cents of price range / 100k ≈ 3 buckets), independent of
+    // row count. GlobalWindowBoundSpec pins the q_skyline instance.
     val wB = Window.orderBy("sk_b").rowsBetween(Window.unboundedPreceding, -1)
     val prevB = bmax.withColumn("sk_prevbmax", max(col("sk_bmax")).over(wB))
     val pruned = bucketed.join(prevB.select("sk_b", "sk_prevbmax"), "sk_b")

@@ -32,6 +32,10 @@ object LlmQueries8 {
   def hybridSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bm = RelQueries9.bm25(s, dir) // top-25 (doc_id, n_terms, score_micro)
+    // global window audit (r19): all four unpartitioned row_number sites
+    // in this file rank frames ALREADY cut to top-25/top-10 by a
+    // preceding LIMIT — the single-partition window touches ≤ 25 rows
+    // by construction, never the corpus (GlobalWindowBoundSpec).
     val ra = bm.select(col("doc_id"),
       row_number().over(Window.orderBy(col("score_micro").desc, col("doc_id")))
         .cast("long").as("r"))

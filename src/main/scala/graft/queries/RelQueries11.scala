@@ -63,6 +63,8 @@ ORDER BY price_c, p_size, p_partkey
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
     val tot = d.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("tot"))
+    // global window audit (r19): frame = day-grain revenue series —
+    // date-range-bounded, never order volume
     val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.crossJoin(broadcast(tot))
       .withColumn("cusum_n", sum(col("n") * col("rev_c") - col("tot")).over(w))

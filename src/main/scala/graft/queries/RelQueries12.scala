@@ -80,6 +80,8 @@ ORDER BY lift_micro DESC, ante, cons LIMIT 15
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    // global window audit (r19): frame input = day-grain aggregate
+    // (one row per calendar day) — date-range-bounded
     val win = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     val w = d.select(col("day"),
       count(lit(1)).over(win).as("n"),

@@ -73,6 +73,8 @@ FROM cand WHERE lev <= 2 ORDER BY probe_id, base_id
     val dau = ev.distinct().groupBy("d").agg(count(lit(1)).as("dau"))
     val nu = ev.groupBy("user_id").agg(min(col("d")).as("d"))
       .groupBy("d").agg(count(lit(1)).as("new_users"))
+    // global window audit (r19): frame = day-grain series (one row per
+    // calendar day) — bounded by the date range, never event volume
     val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dau.join(nu, Seq("d"), "left")
       .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
@@ -122,6 +124,8 @@ ORDER BY d
     val grid = t(s, dir, "events").select(to_date(col("ts")).as("day")).distinct()
     val cum = grid.select(col("day"), lit(0L).as("delta")).unionByName(deltas)
       .groupBy("day").agg(sum("delta").as("delta"))
+      // global window audit (r19): frame = the day grid (one row per
+      // calendar day) — date-range-bounded, never event volume
       .withColumn("cov", sum("delta").over(
         Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     grid.join(cum, "day")

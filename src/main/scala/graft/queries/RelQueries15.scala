@@ -94,6 +94,9 @@ FROM m ORDER BY n_occ DESC, doc_id LIMIT 20
       .withColumn("ln_term",
         floor(log(lit(1.0) - col("d").cast("double") / col("n").cast("double"))
           * 1e6).cast("long"))
+      // global window audit (r19): frame = one row per distinct
+      // duration-in-days with an event — bounded by the study's
+      // calendar length, never subject volume
       .withColumn("cum_lnmicro", sum("ln_term").over(
         Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("t").as("t_day"), col("n").as("n_risk"),
