@@ -136,10 +136,19 @@ ORDER BY doc_id
         expr("array_join(slice(tks, 1, greatest(CAST((size(tks)*3) DIV 5 AS INT), 5)), ' ')")
           .as("text"))
     val corpus = docs.unionByName(planted)
-    val g = gramsOf(corpus).distinct()
+    // Stage the per-doc distinct shingle postings ONCE (r19, guide §2.4
+    // + the house MinHashDedup/probeNewMulti discipline): Catalyst does
+    // not share subplans across self-joins, so unstaged, the tokenize →
+    // shingle → distinct pipeline re-ran for every consumer — the plan
+    // carried 24 scans of `documents` (plans/r19/
+    // q_containment_dedup_before.txt) and re-paid the regex/md5 pass
+    // each time. `g` feeds the df-cap aggregate and the join; `kept`
+    // feeds sz plus BOTH sides of the pair self-join. Plan-only change:
+    // rows are identical, the oracle twin is untouched.
+    val g = gramsOf(corpus).distinct().localCheckpoint(true)
     val dfCap = g.groupBy("ng").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 64).select("ng")
-    val kept = g.join(dfCap, "ng")
+    val kept = g.join(dfCap, "ng").localCheckpoint(true)
     val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = kept.as("a")
       .join(kept.as("b"),
